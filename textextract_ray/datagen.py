@@ -1,0 +1,236 @@
+"""Deterministic fixture-page generator (FIXTURES.md classes F0-F11).
+
+Produces the BASELINE.json input_hint table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+as Parquet shards. Fully deterministic: page class and host derive from
+``doc_id`` arithmetic only; all prose comes from a PRNG seeded with
+``SEED ^ doc_id`` so a row's bytes are independent of shard layout and
+generation order (FIXTURES.md §6).
+
+Two generation modes:
+  * ``generate_pages(...)``: the full 12-class conformance corpus.
+  * ``pages_from_documents(...)``: wraps the driver testdata
+    ``documents`` table into boilerplate-laden HTML pages whose main
+    content is exactly the document text — giving the extraction
+    pipeline a DuckDB-expressible oracle (extracted_text == text).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schemas import PAGES_SCHEMA
+
+SEED = 20250824
+EPOCH_US = 1_500_000_000_000_000  # 2017-07-14 UTC, fixed base
+TS_STEP_US = 61_000_000           # doc_id * 61s (FIXTURES.md §1)
+N_HOSTS = 20
+LANGS = ("en", "de", "fr", "es", "zz")
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt labore dolore magna aliqua enim minim veniam quis "
+    "nostrud exercitation ullamco laboris nisi aliquip commodo consequat "
+    "duis aute irure reprehenderit voluptate velit esse cillum fugiat nulla "
+    "pariatur excepteur sint occaecat cupidatat proident sunt culpa officia "
+    "deserunt mollit anim est laborum"
+).split()
+
+
+def page_url(doc_id: int) -> str:
+    return f"https://host{doc_id % N_HOSTS}.example/doc/{doc_id}"
+
+
+def _rng(doc_id: int) -> random.Random:
+    return random.Random(SEED ^ (doc_id * 2654435761 % (1 << 61)))
+
+
+def _sentence(rng: random.Random, nwords: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(nwords)]
+    return " ".join(ws).capitalize() + "."
+
+
+def _paragraph(rng: random.Random, nsent: int | None = None) -> str:
+    nsent = nsent or rng.randint(2, 5)
+    return " ".join(_sentence(rng, rng.randint(8, 18)) for _ in range(nsent))
+
+
+def _nav(rng: random.Random, n: int = 8) -> str:
+    links = "".join(
+        f'<li><a href="/{rng.choice(_WORDS)}">{rng.choice(_WORDS).capitalize()}</a></li>'
+        for _ in range(n)
+    )
+    return f"<nav><ul>{links}</ul></nav>"
+
+
+def _footer(rng: random.Random) -> str:
+    links = " ".join(f'<a href="/l{i}">{rng.choice(_WORDS)}</a>' for i in range(6))
+    return f"<footer><p>{links}</p><p>&copy; example.org</p></footer>"
+
+
+def _sidebar(rng: random.Random) -> str:
+    links = "".join(f'<li><a href="/s{i}">{_sentence(rng, 3)}</a></li>' for i in range(5))
+    return f"<aside><h3>Related</h3><ul>{links}</ul></aside>"
+
+
+def _article(rng: random.Random, nparas: int, title: str | None = None) -> str:
+    body = "".join(f"<p>{_paragraph(rng)}</p>" for _ in range(nparas))
+    h = f"<h1>{title or _sentence(rng, 5)[:-1]}</h1>" if title is not False else ""
+    return f"<article>{h}{body}</article>"
+
+
+def _shell(title: str, body: str, charset: str = "utf-8") -> str:
+    return (
+        f'<html><head><meta charset="{charset}"><title>{title}</title>'
+        f"<style>body{{margin:0}}</style></head><body>{body}</body></html>"
+    )
+
+
+def make_page(doc_id: int, giant_bytes: int = 1 << 20) -> bytes:
+    """Deterministic page bytes for one doc_id; class = doc_id % 12."""
+    cls = doc_id % 12
+    rng = _rng(doc_id)
+    title = _sentence(rng, 4)[:-1]
+
+    if cls == 0:  # simple article
+        return _shell(title, _article(rng, rng.randint(3, 10))).encode("utf-8")
+    if cls == 1:  # boilerplate-heavy
+        body = _nav(rng) + _sidebar(rng) + _article(rng, rng.randint(3, 8)) + _footer(rng)
+        return _shell(title, body).encode("utf-8")
+    if cls == 2:  # link-farm
+        links = "".join(
+            f'<li><a href="/x{i}">{_sentence(rng, 4)}</a></li>' for i in range(40)
+        )
+        return _shell(title, f"<div><ul>{links}</ul></div>").encode("utf-8")
+    if cls == 3:  # article + short comments
+        comments = "".join(
+            f'<div class="c"><p>{_sentence(rng, 2)[:24]}</p></div>' for _ in range(5)
+        )
+        return _shell(title, _article(rng, rng.randint(3, 6)) + comments).encode("utf-8")
+    if cls == 4:  # entities / whitespace torture
+        body = (
+            "<article><p>Fish &amp; chips &lt;tag&gt; caf&#233; &#228;&nbsp;umlaut "
+            "  spaced\r\nout<br>line two of the entity torture paragraph</p>"
+            "<pre>  code {\n    indent\t kept\n  }</pre>"
+            f"<p>{_paragraph(rng, 3)}</p></article>"
+        )
+        return _shell(title, body).encode("utf-8")
+    if cls == 5:  # malformed html
+        body = (
+            f"<div><p>{_paragraph(rng, 3)}"
+            f"<p>{_paragraph(rng, 2)}</div></div>"
+            f"<div class=unquoted data-x=1><p>{_paragraph(rng, 2)}</p>"
+        )
+        return _shell(title, body).encode("utf-8")
+    if cls == 6:  # empty / tiny
+        return b"" if doc_id % 24 == 6 else b"<html><p>tiny</p></html>"
+    if cls == 7:  # non-utf8 latin-1
+        wrong = doc_id % 24 == 19  # declared charset lies on alternating rows
+        declared = "utf-8" if wrong else "iso-8859-1"
+        body = f"<article><p>Caf\xe9 na\xefve r\xe9sum\xe9 — {_paragraph(rng, 3)}</p></article>"
+        page = _shell(title, body, charset=declared)
+        return page.encode("latin-1", errors="replace")
+    if cls == 8:  # giant doc: article padded with deep nested boilerplate
+        art = _article(rng, 6)
+        pad_unit = "<div><div><ul>" + "".join(
+            f'<li><a href="/p{i}">{rng.choice(_WORDS)}</a></li>' for i in range(20)
+        ) + "</ul></div></div>"
+        reps = max(1, giant_bytes // len(pad_unit.encode()))
+        return _shell(title, pad_unit * (reps // 2) + art + pad_unit * (reps - reps // 2)).encode(
+            "utf-8"
+        )
+    if cls == 9:  # duplicate url: exact copy of a far-away F0 row
+        return make_page(_dup_target(doc_id), giant_bytes)
+    if cls == 10:  # script/style/comment noise
+        body = (
+            f"<script>var x = 'leak {rng.choice(_WORDS)}';</script>"
+            f"<style>.a {{color: red}}</style><!-- secret comment -->"
+            f"<template><p>template leak</p></template>"
+            + _article(rng, rng.randint(3, 6))
+            + "<script>trailing()</script>"
+        )
+        return _shell(title, body).encode("utf-8")
+    # cls == 11: binary masquerade
+    rng2 = _rng(doc_id + 1)
+    blob = bytes(rng2.randrange(256) for _ in range(256))
+    magic = b"%PDF-1.7\n" if doc_id % 24 == 11 else b"\x89PNG\r\n\x1a\n"
+    return magic + blob
+
+
+def _dup_target(doc_id: int) -> int:
+    """F9 rows duplicate an F0 row far enough away to cross shards."""
+    return max(0, (doc_id // 24) * 12)
+
+
+def page_row(doc_id: int, giant_bytes: int = 1 << 20) -> dict:
+    cls = doc_id % 12
+    src_id = _dup_target(doc_id) if cls == 9 else doc_id
+    rng = _rng(src_id + 7)
+    return {
+        "url": page_url(src_id),
+        "warc_ts": EPOCH_US + src_id * TS_STEP_US,
+        "html": make_page(doc_id, giant_bytes),
+        "text": _sentence(rng, 10),  # raw-crawl placeholder, NOT expected output
+        "lang": LANGS[src_id % 5],
+    }
+
+
+def generate_pages(
+    out_dir: str,
+    n_rows: int,
+    n_shards: int,
+    giant_bytes: int = 1 << 20,
+) -> list:
+    """Write `pages-{shard:05d}.parquet` shards; returns the file list.
+
+    Idempotent: fixed row order per shard, fixed writer options
+    (FIXTURES.md §6).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_rows + n_shards - 1) // n_shards
+    files = []
+    for shard in range(n_shards):
+        lo, hi = shard * per, min((shard + 1) * per, n_rows)
+        rows = [page_row(i, giant_bytes) for i in range(lo, hi)]
+        table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+        pq.write_table(table, path, compression="zstd", row_group_size=4096)
+        files.append(path)
+    return files
+
+
+# --- pages from the driver `documents` table (SQL-checkable oracle) ----------
+
+def wrap_document_html(doc_id: int, text: str) -> bytes:
+    """Wrap one document's text as a boilerplate-laden page whose main
+    content is EXACTLY ``text`` — nav/sidebar/footer are link-dense and
+    prune away, there are no headings in the article, and the body is a
+    single ``<p>`` so extraction round-trips byte-identically.
+    """
+    rng = _rng(doc_id)
+    body = _nav(rng) + f"<article><p>{text}</p></article>" + _footer(rng)
+    return _shell(f"doc {doc_id}", body).encode("utf-8")
+
+
+def documents_to_pages(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: documents(doc_id, text, lang, ...) -> pages rows."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "url": [page_url(d) for d in doc_ids],
+            "warc_ts": pa.array(
+                [EPOCH_US + d * TS_STEP_US for d in doc_ids], pa.timestamp("us", tz="UTC")
+            ),
+            "html": [wrap_document_html(d, t) for d, t in zip(doc_ids, texts)],
+            "text": texts,
+            "lang": langs,
+        },
+        schema=PAGES_SCHEMA,
+    )

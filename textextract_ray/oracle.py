@@ -1,0 +1,387 @@
+"""The oracle extractor: pure, deterministic, single-document.
+
+This is the rebuild of the reference's one core computation —
+``extract(document) -> exact text, nothing added, nothing reformatted``
+(the VLM prompt contract at reference backend/routes/api_routes.py:78:
+"Extract and return only the exact text visible ... Output only the raw
+text") — re-expressed as a deterministic HTML tokenizer + tag-stack
+block segmentation + text-density/link-density boilerplate classifier
+in the Boilerpipe/trafilatura style (public-literature heuristics:
+Kohlschütter et al., "Boilerplate Detection using Shallow Text
+Features", WSDM 2010).
+
+Design constraints (SURVEY.md §7 hard parts):
+  * pure function of the input bytes — no dependence on batch
+    composition, row order, wall clock, or randomness, so pipeline
+    output is byte-identical per url under any re-partitioning;
+  * pinned charset-sniff policy (BOM → meta charset → utf-8 → latin-1)
+    so span offsets never drift;
+  * never raises — every failure becomes a status
+    (mirrors the reference's catch-and-record policy at
+    backend/routes/api_routes.py:134-152);
+  * versioned (EXTRACTOR_VERSION) so checkpoint resume can refuse
+    to mix outputs from different extractor versions (the version
+    tuple-compare idiom of reference update_routes.py:167-183).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from dataclasses import dataclass, field
+
+from . import EXTRACTOR_VERSION
+
+__all__ = ["ExtractResult", "extract_document", "EXTRACTOR_VERSION"]
+
+# --- pinned policy constants -------------------------------------------------
+
+MIN_HTML_BYTES = 64          # analogue of the 5x5-px min-selection filter (reference src/ocr.py:140)
+MIN_CONTENT_CHARS = 25       # shortest block that can stand alone as content
+MAX_LINK_DENSITY = 1.0 / 3   # boilerpipe-style link-density cutoff
+DEFAULT_MAX_OUTPUT_BYTES = 4 * 1024 * 1024  # giant-doc guard (analogue of max_tokens 1024, reference api_routes.py:101-105)
+
+# magic numbers for non-HTML payloads (the PDF/layout actor path is a
+# separate stage; here they are detected, never parsed)
+_MAGIC = (
+    (b"%PDF-", "pdf"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b", "gzip"),
+)
+
+_BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tfoot tr td th
+    section article main header footer nav aside blockquote pre form fieldset
+    figure figcaption hr address center body html head title option select
+    textarea button label""".split()
+)
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_SKIP_CONTENT_TAGS = frozenset({"script", "style", "template", "noscript", "svg", "head", "title"})
+_CHROME_TAGS = frozenset({"nav", "header", "footer", "aside"})  # readability-style pruned regions
+# void elements never pushed on the stack
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"          # comments (unclosed -> to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>"                 # doctype
+    r"|<\?[^>]*>"                # processing instruction
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"
+    r"|<",                       # stray '<' treated as text
+    re.DOTALL,
+)
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_XML_ENC_RE = re.compile(rb"""<\?xml[^>]+encoding\s*=\s*["']([a-zA-Z0-9_\-]+)""", re.IGNORECASE)
+
+_WS_RUN_RE = re.compile(r"\s+")
+_SPACE_RUN_RE = re.compile(r"[ \t\f\v\xa0]+")
+_NL_TRIM_RE = re.compile(r" *\n *")
+_NL_RUN_RE = re.compile(r"\n{2,}")
+
+
+@dataclass
+class ExtractResult:
+    text: str = ""
+    spans: list = field(default_factory=list)  # [{"start": int, "end": int, "kind": str}]
+    status: str = "ok"
+    error: str = ""
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Pinned charset-sniff order: BOM -> meta/xml declaration -> utf-8.
+
+    The declared codec is validated against Python's codec registry;
+    unknown names fall through to utf-8. Decode failures at the chosen
+    codec fall back to latin-1 (which never fails), keeping the decode
+    total and deterministic.
+    """
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if raw.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if raw.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    head = raw[:4096]
+    m = _META_CHARSET_RE.search(head) or _XML_ENC_RE.search(head)
+    if m:
+        name = m.group(1).decode("ascii", "replace").strip().lower()
+        try:
+            import codecs
+
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            pass
+    return "utf-8"
+
+
+def _decode(raw: bytes) -> str:
+    codec = sniff_charset(raw)
+    try:
+        return raw.decode(codec)
+    except (UnicodeDecodeError, LookupError):
+        pass
+    if codec not in ("utf-8", "utf-8-sig"):
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            pass
+    return raw.decode("latin-1")
+
+
+def _canonicalize(parts: list, pre: bool) -> str:
+    """Pinned whitespace canonicalization for one block.
+
+    Non-pre: every source-whitespace run is one space; explicit <br>
+    markers become single newlines; edges stripped. Pre: newlines
+    normalized to \\n, inner whitespace preserved, outer newlines
+    stripped.
+    """
+    t = "".join(parts)
+    if pre:
+        t = t.replace("\r\n", "\n").replace("\r", "\n")
+        return t.strip("\n")
+    t = _SPACE_RUN_RE.sub(" ", t)
+    t = _NL_TRIM_RE.sub("\n", t)
+    t = _NL_RUN_RE.sub("\n", t)
+    return t.strip()
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "kind", "pre", "chrome")
+
+    def __init__(self, kind: str, pre: bool, chrome: bool):
+        self.parts = []
+        self.link_chars = 0
+        self.kind = kind
+        self.pre = pre
+        self.chrome = chrome
+
+
+def _parse_blocks(doc: str) -> list:
+    """Tokenize HTML and segment into text blocks with a tag stack.
+
+    Malformed input (unclosed tags, stray close tags, unquoted
+    attributes) recovers deterministically: unknown close tags pop to
+    the nearest matching open tag or are ignored; EOF flushes the open
+    block. Never raises on any byte string that decodes.
+    """
+    blocks: list = []
+    stack: list = []  # open tag names
+    skip_depth = 0    # inside script/style/template/noscript/svg/head
+    link_depth = 0
+    pre_depth = 0
+    chrome_depth = 0
+    cur: _Block | None = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None and cur.parts:
+            blocks.append(cur)
+        cur = None
+
+    def block_kind() -> str:
+        for t in reversed(stack):
+            if t in _HEADING_TAGS:
+                return "heading"
+            if t == "pre":
+                return "pre"
+            if t == "li":
+                return "li"
+            if t in ("td", "th"):
+                return "cell"
+            if t in _BLOCK_TAGS:
+                return "text"
+        return "text"
+
+    pos = 0
+    n = len(doc)
+    while pos < n:
+        lt = doc.find("<", pos)
+        if lt == -1:
+            lt = n
+        if lt > pos:
+            if skip_depth == 0:
+                text = doc[pos:lt]
+                if pre_depth > 0:
+                    if cur is None:
+                        cur = _Block(block_kind(), True, chrome_depth > 0)
+                    cur.parts.append(_htmllib.unescape(text))
+                elif text.isspace():
+                    # word-separating whitespace across inline tags: keep a
+                    # single space only if a block is already open
+                    if cur is not None:
+                        cur.parts.append(" ")
+                elif text:
+                    unescaped = _WS_RUN_RE.sub(" ", _htmllib.unescape(text))
+                    if unescaped:
+                        if cur is None:
+                            cur = _Block(block_kind(), False, chrome_depth > 0)
+                        cur.parts.append(unescaped)
+                        if link_depth > 0:
+                            cur.link_chars += len(unescaped.strip())
+            pos = lt
+            continue
+        m = _TOKEN_RE.match(doc, lt)
+        if m is None:
+            pos = lt + 1
+            continue
+        if m.group(2) is None:
+            # comment / doctype / PI / stray '<'
+            if m.group(0) == "<" and skip_depth == 0:
+                if cur is None:
+                    cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
+                cur.parts.append("<")
+            pos = m.end()
+            continue
+        closing = m.group(1) == "/"
+        tag = m.group(2).lower()
+        self_closing = m.group(4) == "/" or tag in _VOID_TAGS
+        pos = m.end()
+
+        if not closing and tag in _SKIP_CONTENT_TAGS and not self_closing:
+            # consume to the matching close tag (or EOF) verbatim
+            close_re = re.compile(r"</\s*" + re.escape(tag) + r"\s*>", re.IGNORECASE)
+            mm = close_re.search(doc, pos)
+            pos = mm.end() if mm else n
+            continue
+
+        if tag == "br":
+            if skip_depth == 0:
+                if cur is None:
+                    cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
+                cur.parts.append("\n")
+            continue
+        if self_closing:
+            if tag in _BLOCK_TAGS:
+                flush()
+            continue
+        if not closing:
+            if tag in _BLOCK_TAGS:
+                flush()
+            stack.append(tag)
+            if tag == "a":
+                link_depth += 1
+            elif tag == "pre":
+                pre_depth += 1
+            elif tag in _CHROME_TAGS:
+                chrome_depth += 1
+        else:
+            if tag in _BLOCK_TAGS:
+                flush()
+            # pop to the nearest matching open tag; ignore unmatched closes
+            if tag in stack:
+                while stack:
+                    t = stack.pop()
+                    if t == "a":
+                        link_depth = max(0, link_depth - 1)
+                    elif t == "pre":
+                        pre_depth = max(0, pre_depth - 1)
+                    elif t in _CHROME_TAGS:
+                        chrome_depth = max(0, chrome_depth - 1)
+                    if t == tag:
+                        break
+    flush()
+    return blocks
+
+
+def _classify(blocks: list) -> list:
+    """Boilerpipe-style selection. Returns [(canonical_text, kind)].
+
+    Rules (pinned; golden tests freeze them):
+      * chrome blocks (inside nav/header/footer/aside) are dropped;
+      * content blocks kept iff canonical length >= MIN_CONTENT_CHARS
+        and link_density <= MAX_LINK_DENSITY;
+      * pre blocks kept iff non-empty and link_density <= cutoff
+        (code blocks are legitimately short);
+      * headings kept iff the next kept content block appears before
+        the next heading (a heading with no surviving section is
+        boilerplate).
+    """
+    canon = []
+    for b in blocks:
+        text = _canonicalize(b.parts, b.pre)
+        if not text:
+            continue
+        ld = (b.link_chars / len(text)) if text else 1.0
+        canon.append((text, b.kind, ld, b.chrome))
+
+    content_keep = []
+    for i, (text, kind, ld, chrome) in enumerate(canon):
+        if chrome or kind == "heading":
+            content_keep.append(False)
+        elif kind == "pre":
+            content_keep.append(ld <= MAX_LINK_DENSITY)
+        else:
+            content_keep.append(len(text) >= MIN_CONTENT_CHARS and ld <= MAX_LINK_DENSITY)
+
+    kept = []
+    for i, (text, kind, ld, chrome) in enumerate(canon):
+        if kind == "heading" and not chrome and ld <= MAX_LINK_DENSITY:
+            keep = False
+            for j in range(i + 1, len(canon)):
+                if canon[j][1] == "heading":
+                    break
+                if content_keep[j]:
+                    keep = True
+                    break
+            if keep:
+                kept.append((text, "heading"))
+        elif content_keep[i]:
+            kept.append((text, kind))
+    return kept
+
+
+def extract_document(
+    html: bytes | None,
+    max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES,
+) -> ExtractResult:
+    """Extract main content from one page. Total — never raises.
+
+    Returns text + span offsets (into the returned text) + status.
+    Statuses mirror FIXTURES.md §3: ok, empty, invalid, unsupported,
+    parse_error, truncated.
+    """
+    try:
+        if html is None or len(html) < MIN_HTML_BYTES:
+            return ExtractResult(status="invalid", error="html smaller than minimum")
+        for magic, name in _MAGIC:
+            if html.startswith(magic):
+                return ExtractResult(status="unsupported", error=f"non-html payload: {name}")
+        doc = _decode(html)
+        kept = _classify(_parse_blocks(doc))
+        if not kept:
+            return ExtractResult(status="empty")
+        out_parts = []
+        spans = []
+        offset = 0
+        status = "ok"
+        budget = max_output_bytes
+        for text, kind in kept:
+            nbytes = len(text.encode("utf-8"))
+            if budget is not None and nbytes > budget:
+                status = "truncated"
+                break
+            if out_parts:
+                offset += 2  # "\n\n" separator
+                if budget is not None:
+                    budget -= 2
+            out_parts.append(text)
+            spans.append({"start": offset, "end": offset + len(text), "kind": kind})
+            offset += len(text)
+            if budget is not None:
+                budget -= nbytes
+        if not out_parts:
+            return ExtractResult(status="truncated", error="first block exceeds output budget")
+        return ExtractResult(text="\n\n".join(out_parts), spans=spans, status=status)
+    except Exception as exc:  # pragma: no cover - the total-function guarantee
+        return ExtractResult(status="parse_error", error=f"{type(exc).__name__}: {exc}")
