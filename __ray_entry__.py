@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or in the library code these
+callables use.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every ``queries()`` entry is one operator family from SURVEY.md §2 (or
+the training-data additions: dedup ladder, ANN, text analysis); SQL-
+expressible ones have a DuckDB oracle in ``oracle_sql()`` with column
+names matching the Ray result exactly.
 """
 
 from __future__ import annotations
@@ -20,25 +17,215 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents →
+    synthesized boilerplate-laden pages → validate → actor-pool
+    extraction. Returns the extracted table."""
+    from textextract_ray.pipelines.extract_pipeline import (
+        _documents_as_pages,
+        extract_dataset,
+    )
+
+    return extract_dataset(
+        _documents_as_pages("/root/testdata/sf0.001"), dedup=False
+    ).drop_columns(["spans"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from textextract_ray.pipelines import extract_pipeline as ep
+    from textextract_ray.pipelines import relational as rel
+    from textextract_ray.pipelines import textops as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction (the north_rule invariant, SQL-checkable)
+        "extract_documents": ep.extract_documents,
+        "extract_spans": ep.extract_spans,
+        # relational / metering operators (SURVEY.md §2.5-2.7)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "usage_daily": rel.usage_daily,
+        "usage_monthly": rel.usage_monthly,
+        "remaining_quota": rel.remaining_quota,
+        "recent_events": rel.recent_events,
+        "latest_order_per_customer": rel.latest_release_per_user,
+        "filter_regex_count": rel.filter_regex_count,
+        "dedup_exact": rel.dedup_exact_documents,
+        "distinct_langs": rel.distinct_langs,
+        "customer_nation_region": rel.customer_nation_region,
+        "period_usage": rel.period_usage,
+        "events_in_range": rel.events_in_range,
+        "events_hourly_window": rel.events_hourly_window,
+        "session_counts": rel.session_counts,
+        # text analysis / training-data ops
+        "token_stats": tx.token_stats,
+        "fingerprints": tx.fingerprints,
+        "quality_scores": tx.quality_scores,
+        "language_id": tx.language_id,
+        # dedup ladder (sketch-based: deterministic, pytest-checked)
+        "minhash_near_dups": tx.minhash_near_dups,
+        "simhash_near_dups": tx.simhash_near_dups,
+        "embedding_near_dups": tx.embedding_near_dups,
+        # similarity search
+        "ann_topk": tx.ann_topk,
+        "ann_topk_ivf": tx.ann_topk_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    url_expr = (
+        "concat('https://host', CAST(doc_id % 20 AS VARCHAR), "
+        "'.example/doc/', CAST(doc_id AS VARCHAR))"
+    )
+    return {
+        "extract_documents": f"""
+            SELECT {url_expr} AS url, text AS extracted_text, 'ok' AS status
+            FROM documents ORDER BY url
+        """,
+        "extract_spans": f"""
+            SELECT {url_expr} AS url, 0 AS span_start,
+                   length(text) AS span_end, 'text' AS span_kind
+            FROM documents ORDER BY url
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   count(*) AS count_order,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "usage_daily": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS requests_count,
+                   sum(value) AS total_value,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
+            FROM events GROUP BY user_id, day ORDER BY user_id, day
+        """,
+        "usage_monthly": """
+            SELECT user_id, strftime(ts, '%Y-%m') AS month,
+                   count(*) AS requests_count
+            FROM events GROUP BY user_id, month ORDER BY user_id, month
+        """,
+        "remaining_quota": """
+            SELECT user_id, count(*) AS used_requests,
+                   greatest(0, 40 - count(*)) AS remaining_requests,
+                   count(*) < 40 AS can_make_request
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "recent_events": """
+            SELECT event_id, ts, user_id, event_type
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "filter_regex_count": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE regexp_matches(text, '(spark|vector)')
+            GROUP BY lang ORDER BY lang
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents ORDER BY lang
+        """,
+        "customer_nation_region": """
+            SELECT r.r_name, n.n_name,
+                   count(*) AS n_customers,
+                   sum(c.c_acctbal) AS total_acctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name
+        """,
+        "period_usage": """
+            SELECT user_id,
+                   CASE WHEN extract(day FROM ts) >= 15
+                        THEN date_trunc('month', ts) + INTERVAL 14 DAY
+                        ELSE date_trunc('month', ts - INTERVAL 1 MONTH) + INTERVAL 14 DAY
+                   END AS period_start,
+                   count(*) AS requests_count,
+                   sum(value) AS total_value
+            FROM events GROUP BY user_id, period_start
+            ORDER BY user_id, period_start
+        """,
+        "events_in_range": """
+            SELECT user_id, count(*) AS requests_count, sum(value) AS total_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-02-10'
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "events_hourly_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events, sum(value) AS total_value
+            FROM events GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "session_counts": """
+            WITH gaps AS (
+                SELECT user_id,
+                       ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) FILTER (
+                       WHERE gap IS NULL OR gap > INTERVAL 30 MINUTE
+                   ) AS n_sessions
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(string_split(text, ' '))) AS total_tokens,
+                   avg(len(string_split(text, ' '))) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id FROM scored WHERE rn <= 10
+            ORDER BY query_id, vec_id
+        """,
+        # quality_scores / language_id / near-dup sketches / ANN-IVF:
+        # non-SQL-expressible (heuristic + sketch ops) → rows-only check;
+        # their determinism is pinned by pytest golden tests instead.
+    }

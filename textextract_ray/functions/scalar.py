@@ -1,0 +1,124 @@
+"""Scalar kernels: versions, date windows, urls, validators.
+
+Rebuilds the reference's scalar computations (SURVEY.md §2.8) as
+vectorized functions usable inside ``map_batches`` —
+``pyarrow.compute`` where a kernel exists, numpy otherwise. Python
+loops only on provably tiny inputs (version strings in a manifest).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- versions (reference update_routes.py:167-183, src/updater.py:168-193) ---
+
+def parse_version(v: str) -> tuple:
+    """Strip leading 'v', split on '.', int-cast, zero-pad to 3 parts."""
+    v = v.strip().lstrip("vV")
+    parts = []
+    for p in v.split("."):
+        m = re.match(r"\d+", p)
+        parts.append(int(m.group(0)) if m else 0)
+    while len(parts) < 3:
+        parts.append(0)
+    return tuple(parts[:3])
+
+
+def version_gt(a: str, b: str) -> bool:
+    """Tuple compare — the reference's is_newer_version."""
+    return parse_version(a) > parse_version(b)
+
+
+def latest_stable(releases: list) -> dict | None:
+    """Top-1 stable release: skip draft/prerelease, max by version
+    (reference update_routes.py:222-236 iterates newest-first and takes
+    the first; we select max explicitly so input order is irrelevant)."""
+    stable = [r for r in releases if not r.get("draft") and not r.get("prerelease")]
+    if not stable:
+        return None
+    return max(stable, key=lambda r: parse_version(r.get("tag_name", "0")))
+
+
+def pick_asset(release: dict, platform_suffix: str) -> dict | None:
+    """Platform asset lookup by filename suffix (reference
+    update_routes.py:251-263)."""
+    for a in release.get("assets", []):
+        if a.get("name", "").lower().endswith(platform_suffix.lower()):
+            return a
+    return None
+
+
+# --- anchored period windows (reference models.py:183-224) -------------------
+
+def anchored_period(now_ts: np.datetime64, anchor_day: int) -> tuple:
+    """[period_start, period_end) anchored on a subscription start
+    day-of-month, with month rollover and Jan/Dec edge cases.
+
+    Vector-friendly scalar; used by tests and the metrics bucketing.
+    """
+    ts = np.datetime64(now_ts, "s").astype("datetime64[D]").astype(object)
+    y, m, d = ts.year, ts.month, ts.day
+    import calendar
+    import datetime as dt
+
+    def clamp(yy: int, mm: int, dd: int) -> dt.date:
+        return dt.date(yy, mm, min(dd, calendar.monthrange(yy, mm)[1]))
+
+    if d >= anchor_day:
+        start = clamp(y, m, anchor_day)
+        ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+        end = clamp(ny, nm, anchor_day)
+    else:
+        py, pm = (y - 1, 12) if m == 1 else (y, m - 1)
+        start = clamp(py, pm, anchor_day)
+        end = clamp(y, m, anchor_day)
+    return np.datetime64(start), np.datetime64(end)
+
+
+def month_bucket(ts_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Assign rows to calendar-month buckets, 'YYYY-MM' (the reference's
+    monthly-usage window, models.py:127-160, as a groupable column)."""
+    return pc.strftime(ts_col, format="%Y-%m")
+
+
+def date_bucket(ts_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Daily bucket 'YYYY-MM-DD' (usage_stats (user_id, date) key,
+    reference create_tables.sql:37-47)."""
+    return pc.strftime(ts_col, format="%Y-%m-%d")
+
+
+# --- urls / strings ----------------------------------------------------------
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+def url_host(url_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Extract the host from a url column (vectorized; used for
+    groupby-host locality)."""
+    return pc.replace_substring_regex(url_col, pattern=_HOST_RE + r".*$", replacement=r"\1")
+
+
+EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+
+def is_valid_email(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized analogue of the reference's email regex validator
+    (auth_routes.py:83-86)."""
+    return pc.match_substring_regex(col, EMAIL_RE)
+
+
+def password_strength_flags(col: pa.ChunkedArray | pa.Array) -> pa.Table:
+    """Multi-predicate validator (reference auth_routes.py:52-81):
+    length>=8, has upper, lower, digit, special — returned as boolean
+    columns so callers can combine/report per-predicate."""
+    return pa.table(
+        {
+            "len_ok": pc.greater_equal(pc.utf8_length(col), 8),
+            "has_upper": pc.match_substring_regex(col, "[A-Z]"),
+            "has_lower": pc.match_substring_regex(col, "[a-z]"),
+            "has_digit": pc.match_substring_regex(col, "[0-9]"),
+            "has_special": pc.match_substring_regex(col, r"[^A-Za-z0-9]"),
+        }
+    )

@@ -1,0 +1,235 @@
+"""Text-analysis + dedup primitives for training-data pipelines.
+
+Language-ID (marker-n-gram heuristic), quality scoring, token counting,
+document fingerprinting, shingling, MinHash, SimHash. All kernels are
+batch-level (Arrow/pandas/numpy in, Arrow out) so they drop into
+``map_batches``; hashing uses stable hash functions only (blake2b /
+crc32 / md5) — never Python's salted ``hash()`` — so results are
+identical across Ray worker processes (the byte-identity discipline of
+the extraction oracle applied to sketches).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- token counting ----------------------------------------------------------
+
+def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count, fully vectorized in Arrow."""
+    return pc.list_value_length(pc.utf8_split_whitespace(col))
+
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+def bpeish_token_count(texts: list) -> np.ndarray:
+    """BPE-ish token proxy: letter runs + single digits + punctuation
+    marks each count once (a public GPT-2-style pre-tokenizer shape)."""
+    return np.fromiter(
+        (len(_BPE_ISH.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+    )
+
+
+# --- fingerprints ------------------------------------------------------------
+
+def md5_hex(texts: list) -> list:
+    """Content fingerprint as hex md5 — byte-parity with DuckDB md5()."""
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+def rolling_fingerprint(texts: list, window: int = 4, base: int = 1_000_003) -> np.ndarray:
+    """Rolling polynomial hash over whitespace tokens: the min of all
+    ``window``-gram hashes (a winnowing-style document fingerprint,
+    Schleimer et al. SIGMOD 2003). Stable across processes (crc32)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    mod = np.uint64((1 << 61) - 1)
+    b = np.uint64(base)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        hs = np.array(
+            [zlib.crc32(w.encode("utf-8")) for w in toks], dtype=np.uint64
+        )
+        if len(hs) == 0:
+            out[i] = 0
+            continue
+        if len(hs) < window:
+            acc = np.uint64(0)
+            for h in hs:
+                acc = (acc * b + h) % mod
+            out[i] = acc
+            continue
+        # vectorized windowed polynomial hash
+        acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
+        for k in range(window):
+            acc = (acc * b + hs[k : k + len(acc)]) % mod
+        out[i] = acc.min()
+    return out
+
+
+# --- language ID (marker-word / script heuristic) ----------------------------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|für)\b|[äöüß]",
+    "fr": r"\b(le|la|les|et|est|une?|des|du|dans|pour|que)\b|[éèêàçù]",
+    "es": r"\b(el|la|los|las|y|es|una?|del|en|que|por|para)\b|[ñ¿¡]|ción\b",
+}
+_CJK = r"[一-鿿]"
+
+
+def lang_id(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Heuristic language ID: vectorized marker-pattern counts per
+    language, CJK-script override, argmax; 'und' when nothing matches.
+    One Arrow regex pass per language — no per-row Python."""
+    lower = pc.utf8_lower(col)
+    n = len(lower)
+    scores = np.zeros((len(_LANG_MARKERS), n), dtype=np.int64)
+    langs = list(_LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        scores[i] = pc.count_substring_regex(lower, _LANG_MARKERS[lang]).to_numpy(
+            zero_copy_only=False
+        )
+    cjk = pc.count_substring_regex(col, _CJK).to_numpy(zero_copy_only=False)
+    best = scores.argmax(axis=0)
+    best_score = scores.max(axis=0)
+    out = np.array(langs, dtype=object)[best]
+    out[best_score == 0] = "und"
+    out[cjk > (best_score * 2)] = "zh"
+    return pa.array(out, pa.string())
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_STOPWORDS_RE = r"\b(the|and|of|to|in|a|is|that|for|with)\b"
+
+def quality_features(col: pa.ChunkedArray | pa.Array) -> pa.Table:
+    """Gopher/C4-style quality signals, fully vectorized:
+    n_chars, n_tokens, mean_token_len, stop_ratio, punct_ratio,
+    upper_ratio, and a composite quality_score in [0, 1]."""
+    n_chars = pc.utf8_length(col).cast(pa.float64())
+    toks = pc.utf8_split_whitespace(col)
+    n_tokens = pc.list_value_length(toks).cast(pa.float64())
+    safe_tokens = pc.max_element_wise(n_tokens, 1.0)
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    # mean token length = (chars - spaces) / tokens
+    n_spaces = pc.count_substring_regex(col, r"\s").cast(pa.float64())
+    mean_tok = pc.divide(pc.subtract(n_chars, n_spaces), safe_tokens)
+    stop = pc.count_substring_regex(pc.utf8_lower(col), _STOPWORDS_RE).cast(pa.float64())
+    stop_ratio = pc.divide(stop, safe_tokens)
+    punct = pc.count_substring_regex(col, r"[^\w\s]").cast(pa.float64())
+    punct_ratio = pc.divide(punct, safe_chars)
+    upper = pc.count_substring_regex(col, r"[A-Z]").cast(pa.float64())
+    upper_ratio = pc.divide(upper, safe_chars)
+
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    mt = mean_tok.to_numpy(zero_copy_only=False)
+    sr = stop_ratio.to_numpy(zero_copy_only=False)
+    pr = punct_ratio.to_numpy(zero_copy_only=False)
+    ur = upper_ratio.to_numpy(zero_copy_only=False)
+    score = (
+        np.clip(nc / 500.0, 0, 1) * 0.25              # enough text
+        + ((mt >= 3) & (mt <= 10)).astype(np.float64) * 0.25  # plausible word lengths
+        + np.clip(sr / 0.2, 0, 1) * 0.25               # natural-language stopword rate
+        + (1.0 - np.clip(pr / 0.3, 0, 1)) * 0.15       # not symbol soup
+        + (1.0 - np.clip(ur / 0.3, 0, 1)) * 0.10       # not shouting
+    )
+    return pa.table(
+        {
+            "n_chars": n_chars.cast(pa.int64()),
+            "n_tokens": n_tokens.cast(pa.int64()),
+            "mean_token_len": mean_tok,
+            "stop_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "upper_ratio": upper_ratio,
+            "quality_score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+# --- shingles / MinHash / SimHash -------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _stable_hash64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingles → stable 64-bit hashes (uint64)."""
+    toks = (text or "").split()
+    if len(toks) < k:
+        sh = [" ".join(toks)] if toks else []
+    else:
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
+
+
+def minhash_params(num_perm: int = 64, seed: int = 7) -> tuple:
+    """Deterministic (a, b) permutation parameters (universal hashing)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (Broder 1997): min over (a*h + b) mod p per
+    permutation. Vectorized perms × shingles."""
+    if len(hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    h = hashes % _MERSENNE
+    vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
+    """Split a signature into bands; one stable hex key per band.
+    Docs sharing any (band_id, key) are near-dup candidates
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3)."""
+    rows = len(sig) // bands
+    keys = []
+    for bi in range(bands):
+        chunk = sig[bi * rows : (bi + 1) * rows]
+        keys.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+    return keys
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash (Charikar 2002) over whitespace tokens."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hs = np.array([_stable_hash64(t) for t in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    v = (bits * 2 - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 lacks
+    bitwise_count): byte-table lookup over the little-endian view."""
+    bytes_view = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POP8[bytes_view].reshape(*x.shape, 8).sum(axis=-1).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: int) -> np.ndarray:
+    """Vectorized Hamming distance of a uint64 array against one value."""
+    return popcount64(a ^ np.uint64(b))
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))

@@ -1,0 +1,164 @@
+"""The flagship pipeline: pages → validate → extract → dedup → commit.
+
+Lifecycle mapping (SURVEY.md §3.4): read_parquet(shards) [the request
+queue] → annotate/validate (M1/M7) → actor-pool extract (M4/A1) →
+exact dedup by url (D2, the one true shuffle) → partitioned write with
+manifest commit (S3/D1/S8 rename idiom) → counters aggregation
+(G1-G6) → driver-side report join (J2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import read_pages
+from ..stages.extract import extract_pages
+from ..stages.metrics import aggregate_counters, counters_report
+from ..stages.validate import annotate_batch
+from ..state import checkpoint
+
+
+def extract_dataset(
+    pages_ds,
+    *,
+    batch_size: int = 256,
+    concurrency=(2, 8),
+    giant_threshold: int | None = None,
+    dedup: bool = True,
+):
+    """pages Dataset -> extracted Dataset, optionally url-deduped."""
+    annotated = pages_ds.map_batches(
+        annotate_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    extracted = extract_pages(
+        annotated,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        giant_threshold=giant_threshold,
+    )
+    if dedup:
+        extracted = dedup_by_url(extracted)
+    return extracted
+
+
+def dedup_by_url(extracted_ds):
+    """Exact dedup by url: hash-partition + per-group first.
+
+    The extractor is a pure function of the bytes, so duplicate urls
+    carry identical rows and ANY group member is a valid winner; rows
+    are still ordered deterministically (by extracted_text) so the
+    choice never depends on block arrival order.
+    """
+
+    def take_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("extracted_text").head(1)
+
+    return extracted_ds.groupby("url").map_groups(take_first, batch_format="pandas")
+
+
+def run_job(
+    shard_files: list,
+    out_dir: str,
+    *,
+    shards_per_partition: int = 4,
+    batch_size: int = 256,
+    concurrency=(2, 8),
+    giant_threshold: int | None = 4 * 1024 * 1024,
+    fail_at_partition: int | None = None,
+) -> pd.DataFrame:
+    """Resumable extraction job over Parquet shards.
+
+    Partition = a contiguous group of input shards; each partition is
+    extracted, written under ``out_dir/part-{pid:05d}/``, then committed
+    via an atomic manifest (lineage: shard list + counters). On re-run,
+    committed partitions (same extractor version) are SKIPPED and
+    partial uncommitted output is deleted first — exactly-once output.
+
+    ``fail_at_partition`` is the fault-injection hook for the
+    kill-and-resume test (FIXTURES.md §5).
+
+    Scale note: partitions are sized (shards_per_partition) so one
+    partition saturates the cluster under streaming execution; the
+    driver loop adds one manifest fsync per partition, not per row.
+    Returns the per-partition counters report.
+    """
+    partitions = [
+        shard_files[i : i + shards_per_partition]
+        for i in range(0, len(shard_files), shards_per_partition)
+    ]
+    rows = []
+    for pid, shards in enumerate(partitions):
+        if checkpoint.is_committed(out_dir, pid):
+            m = [x for x in checkpoint.load_manifests(out_dir) if x["partition_id"] == pid]
+            rows.append({"partition_id": pid, **m[0]["counters"]})
+            continue
+        if fail_at_partition is not None and pid >= fail_at_partition:
+            raise RuntimeError(f"fault injection: killed before partition {pid}")
+        checkpoint.clean_uncommitted(out_dir, pid)
+        ds = read_pages(shards)
+        extracted = extract_dataset(
+            ds,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            giant_threshold=giant_threshold,
+            dedup=True,
+        )
+        pdir = checkpoint.partition_dir(out_dir, pid)
+        extracted.write_parquet(pdir)
+        written = read_pages(pdir)  # write-verify (clipboard read-back idiom S3)
+        counters = aggregate_counters(written, pid)
+        checkpoint.commit_partition(
+            out_dir, pid, input_shards=shards, row_range=None, counters=counters
+        )
+        rows.append(counters)
+    return counters_report(rows)
+
+
+# --- SQL-checkable extraction queries over the documents table ---------------
+
+def _documents_as_pages(sf_dir: str):
+    """documents → synthetic boilerplate-laden pages (deterministic;
+    main content == document text, so extraction is SQL-checkable)."""
+    from ..datagen import documents_to_pages
+    from ..sources import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return docs.map_batches(documents_to_pages, batch_format="pyarrow")
+
+
+def extract_documents(sf_dir: str):
+    """Flagship extraction over pages synthesized from documents:
+    read → annotate → actor-pool extract. The DuckDB oracle asserts
+    extracted_text == the original document text, byte-for-byte —
+    the north_rule invariant expressed as SQL."""
+    extracted = extract_dataset(_documents_as_pages(sf_dir), dedup=False)
+    df = extracted.to_pandas()[["url", "extracted_text", "status"]]
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def extract_spans(sf_dir: str):
+    """Span offsets of the extraction (first/only span per synthesized
+    page): start, end in characters of the extracted text."""
+    extracted = extract_dataset(_documents_as_pages(sf_dir), dedup=False)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        df = batch.select(["url", "spans"]).to_pandas()
+        rows = {"url": [], "span_start": [], "span_end": [], "span_kind": []}
+        for url, spans in zip(df["url"], df["spans"]):
+            for s in spans:
+                rows["url"].append(url)
+                rows["span_start"].append(int(s["start"]))
+                rows["span_end"].append(int(s["end"]))
+                rows["span_kind"].append(s["kind"])
+        return pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "span_start": pa.array(rows["span_start"], pa.int64()),
+                "span_end": pa.array(rows["span_end"], pa.int64()),
+                "span_kind": pa.array(rows["span_kind"], pa.string()),
+            }
+        )
+
+    out = extracted.map_batches(flatten, batch_format="pyarrow")
+    return out.to_pandas().sort_values("url").reset_index(drop=True)

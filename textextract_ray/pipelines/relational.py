@@ -1,0 +1,415 @@
+"""Relational operator library over the driver test tables.
+
+Each function here re-expresses one operator family from the reference
+(SURVEY.md §2 inventory — grouped aggregates G1-G6, sorts/limits O1-O3,
+broadcast joins J1-J2, window bucketing M11, validators M6, dedup D2)
+as an idiomatic Ray Data pipeline, with a matching ANSI-SQL oracle in
+``__ray_entry__.oracle_sql``. Column names match the SQL exactly.
+
+Scale discipline: aggregates pre-combine inside map_batches before any
+groupby (shuffle carries partials, not rows); small sides broadcast via
+ray.put; sorts happen after aggregation (small data) or as top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.scalar import date_bucket, month_bucket
+from ..sources import read_table
+
+
+# --- G1/G5: grouped aggregate with partial pre-aggregation (TPC-H Q1 shape) --
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped sums/means over lineitem (the usage_stats daily-upsert
+    shape G1 at analytic scale). Partial per-batch combine → tiny final
+    groupby: the shuffle moves O(batches × groups) rows."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("disc_price", disc_price)
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="_sum_disc"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    out["avg_disc"] = out["_sum_disc"] / out["count_order"]
+    out = out.drop(columns=["_sum_disc"]).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+    return out
+
+
+# --- J1 + top-k: broadcast join + grouped sum + sort/limit (Q3 shape) --------
+
+def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top-k.
+
+    customer is the small side → broadcast semi-join via ray.put key-set
+    (reference J1: quota-path lookup is a broadcast dimension probe).
+    orders⋈lineitem is big-big → Dataset.join hash-partitioned on the
+    key. Top-k after aggregation (small)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.filter(lambda r: r["c_mktsegment"] == segment)
+        .to_pandas()["c_custkey"]
+        .tolist()
+    )
+    keys_ref = ray.put(cust_keys)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(
+            batch["o_custkey"], value_set=pa.array(sorted(keys), pa.int64())
+        )
+        return batch.filter(mask)
+
+    orders_f = orders.map_batches(semi, batch_format="pyarrow")
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+
+    li_r = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    joined = li_r.join(
+        orders_f,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    out = agg.to_pandas().sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+    return out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True)
+
+
+# --- G1: daily usage counters over events ------------------------------------
+
+def usage_daily(sf_dir: str):
+    """Per (user_id, day) request counters — the usage_stats upsert
+    (G1) as a grouped aggregate. Day bucketing is vectorized strftime
+    (M11 analogue)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        day = date_bucket(batch["ts"])
+        err = pc.equal(batch["event_type"], "error").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": day,
+                "value": batch["value"],
+                "is_error": err,
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(
+            Count(alias_name="requests_count"),
+            Sum("value", alias_name="total_value"),
+            Sum("is_error", alias_name="error_count"),
+        )
+    )
+    return out.to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+# --- G2/M11: monthly window sum ---------------------------------------------
+
+def usage_monthly(sf_dir: str):
+    """Month-bucketed event counts per user (reference monthly-usage
+    query G2/models.py:127-160)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"], "month": month_bucket(batch["ts"])})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "month"])
+        .aggregate(Count(alias_name="requests_count"))
+    )
+    return out.to_pandas().sort_values(["user_id", "month"]).reset_index(drop=True)
+
+
+# --- G4/G6: quota predicate + remaining quota --------------------------------
+
+def remaining_quota(sf_dir: str, *, max_requests: int = 40):
+    """Per-user remaining quota + can_make_request flag (reference
+    G4 models.py:247-308, G6 api_routes.py:130): count per user →
+    derived columns. The admission decision is driver-side over the
+    aggregated counters (never per-row)."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="used_requests"))
+    df = agg.to_pandas()
+    df["remaining_requests"] = np.maximum(0, max_requests - df["used_requests"]).astype(
+        "int64"
+    )
+    df["can_make_request"] = df["used_requests"] < max_requests
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+# --- O1: order-desc + limit (request history) --------------------------------
+
+def recent_events(sf_dir: str, *, limit: int = 100):
+    """Latest-k events (reference request-history O1
+    user_routes.py:127-152 with its limit clamp 1..100). Ray-side top-k:
+    sort + limit (the executor prunes blocks under the limit)."""
+    limit = max(1, min(100, limit))
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    out = ds.sort(["ts", "event_id"], descending=[True, True]).limit(limit)
+    return out.to_pandas()
+
+
+# --- O3/O4: latest-stable-version selection ----------------------------------
+
+def latest_release_per_user(sf_dir: str):
+    """Top-1-by-order-date per customer (the latest-stable-release
+    selection O3 applied per key): groupby + within-group max.
+    Implemented as per-batch partial max → final aggregate max on the
+    (o_orderdate, o_orderkey) pair — no global sort."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_orderdate", "o_orderkey"], ascending=[False, False]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False).head(1), preserve_index=False
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
+        return g.head(1)
+
+    out = partials.groupby("o_custkey").map_groups(final, batch_format="pandas")
+    return (
+        out.to_pandas()[["o_custkey", "o_orderkey", "o_orderdate"]]
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+
+
+# --- M6: regex filter + grouped count ----------------------------------------
+
+def filter_regex_count(sf_dir: str, *, pattern: str = "(spark|vector)"):
+    """Vectorized regex predicate (the email-validator family M6) +
+    grouped count by lang."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(batch["text"], pattern)
+        return batch.filter(m)
+
+    out = (
+        ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+# --- D2: exact dedup ---------------------------------------------------------
+
+def dedup_exact_documents(sf_dir: str):
+    """Exact dedup of documents by text content: min doc_id per
+    distinct text (D2: hash-partition + per-group first)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return (
+        out.to_pandas()[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+# --- distinct ----------------------------------------------------------------
+
+def distinct_langs(sf_dir: str):
+    """Distinct values of one column (Dataset.unique → shuffle)."""
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+# --- J1 full shape: multi-way broadcast join ---------------------------------
+
+def customer_nation_region(sf_dir: str):
+    """customer ⋈ nation ⋈ region grouped count — the reference's
+    user⋈subscription⋈plan assembly (J1) with both dimensions broadcast
+    (region: 5 rows, nation: 25 rows — ray.put once, probed per batch)."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    dim_ref = ray.put(dim)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        return batch.merge(d, left_on="c_nationkey", right_on="n_nationkey")[
+            ["r_name", "n_name", "c_acctbal"]
+        ]
+
+    out = (
+        cust.map_batches(probe, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="total_acctbal"),
+        )
+    )
+    return out.to_pandas().sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+# --- G3: anchored-period windowed sum ----------------------------------------
+
+def period_usage(sf_dir: str, *, anchor_day: int = 15):
+    """Anchored-period window sums (reference G3/M11
+    models.py:163-244): each event lands in the billing period anchored
+    at day-of-month ``anchor_day``; period start is computed vectorized
+    from the timestamp."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"]
+        day = ts.dt.day
+        start_month = ts.dt.to_period("M").where(day >= anchor_day, ts.dt.to_period("M") - 1)
+        period_start = start_month.dt.to_timestamp() + pd.Timedelta(days=anchor_day - 1)
+        df["period_start"] = period_start
+        return pa.Table.from_pandas(
+            df[["user_id", "period_start", "value"]], preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "period_start"])
+        .aggregate(Count(alias_name="requests_count"), Sum("value", alias_name="total_value"))
+    )
+    return (
+        out.to_pandas().sort_values(["user_id", "period_start"]).reset_index(drop=True)
+    )
+
+
+# --- O2-ish: range filter + sort ---------------------------------------------
+
+def events_in_range(sf_dir: str, *, lo: str = "2024-01-10", hi: str = "2024-02-10"):
+    """Date-range filter + ordered output (reference usage query O2):
+    predicate pushed down to the parquet read."""
+    import pyarrow.dataset as pads
+
+    ds = read_table(
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "value"],
+        filter=(pads.field("ts") >= pa.scalar(pd.Timestamp(lo)))
+        & (pads.field("ts") < pa.scalar(pd.Timestamp(hi))),
+    )
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="requests_count"), Sum("value", alias_name="total_value")
+    )
+    return agg.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --- streaming-shaped: tumbling window ---------------------------------------
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour event-time window per event_type (Ray Data has
+    no watermarks — SURVEY.md §2.9: bounded replay, so a window is just
+    a truncated-timestamp group key)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {"event_type": batch["event_type"], "window_start": hour, "value": batch["value"]}
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    return (
+        out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+
+
+# --- streaming-shaped: session windows ---------------------------------------
+
+def session_counts(sf_dir: str, *, gap_minutes: int = 30):
+    """Session-window count per user: events sorted by ts within each
+    user; a gap > gap_minutes opens a new session. Partition-by-key +
+    in-group order — the ordering assumption is per-group only (the
+    groupby shuffle co-locates each user's events)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values()
+        n = int((ts.diff() > gap).sum()) + 1
+        return pd.DataFrame({"user_id": [group["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)

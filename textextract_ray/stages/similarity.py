@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast via
+``ray.put`` ONCE and read per actor (never re-shipped per batch); each
+batch does one numpy matmul and emits only its local top-k per query, so
+the final exact merge shuffles k·num_queries·num_blocks rows, not the
+corpus. Scale path: IVF — coarse centroids (trained on a deterministic
+sample) bucket the corpus; queries probe the nearest nprobe buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    # float64: match the SQL oracle's double arithmetic closely enough
+    # that 6-decimal-rounded scores agree
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class BatchTopK:
+    """Actor-pool stage: local cosine top-k of each batch against the
+    broadcast query matrix. Queries are fetched once per actor."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # {"query_id": int64[nq], "mat": float32[nq, d]}
+        self.qids = q["query_id"]
+        self.qmat = _unit(q["mat"].astype(np.float64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(_as_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ vecs.T  # [nq, nb]
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = idx[qi]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(sims[qi, sel].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10):
+    """Exact cosine top-k: per-batch partial top-k, then a small
+    per-query merge. ``queries`` = {"query_id": int64 array,
+    "mat": float32 [nq, d]}. Returns (query_id, vec_id, score) rows,
+    exactly k per query, ties broken by smaller vec_id (deterministic).
+    """
+    import ray
+
+    qref = ray.put(queries)
+    partial = ds.map_batches(
+        BatchTopK,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(queries_ref=qref, vec_col=vec_col, id_col=id_col, k=k),
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --- IVF (scale path) --------------------------------------------------------
+
+def train_centroids(ds, *, vec_col="embedding", n_centroids=16, sample_frac=0.2,
+                    iters=10, seed=13) -> np.ndarray:
+    """Deterministic mini k-means on a sampled subset (driver-side on
+    the SAMPLE only — the corpus itself is never materialized)."""
+    sample = ds.random_sample(sample_frac, seed=seed).take_all()
+    mat = _unit(np.array([r[vec_col] for r in sample], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10,
+             n_centroids=16, nprobe=4, seed=13):
+    """IVF approximate top-k: assign rows to their nearest centroid,
+    keep only rows whose centroid is among the query's nprobe nearest,
+    then exact cosine within the probed subset. Centroids broadcast
+    once; assignment is one matmul per batch."""
+    import ray
+
+    cents = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids, seed=seed)
+    qmat = _unit(queries["mat"].astype(np.float32))
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # [nq, nprobe]
+    probed_sets = [set(row.tolist()) for row in probe]
+    state = {"cents": cents, "queries": queries, "probed": probed_sets, "k": k}
+    sref = ray.put(state)
+
+    class ProbedTopK:
+        def __init__(self):
+            s = ray.get(sref)
+            self.cents = s["cents"]
+            self.qids = s["queries"]["query_id"]
+            self.qmat = _unit(s["queries"]["mat"].astype(np.float32))
+            self.probed = s["probed"]
+            self.k = s["k"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _unit(_as_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            assign = (vecs @ self.cents.T).argmax(axis=1)
+            out_q, out_id, out_s = [], [], []
+            sims = self.qmat @ vecs.T
+            for qi in range(len(self.qids)):
+                mask = np.isin(assign, list(self.probed[qi]))
+                if not mask.any():
+                    continue
+                s = sims[qi][mask]
+                sel_ids = ids[mask]
+                k = min(self.k, len(s))
+                idx = np.argpartition(-s, kth=k - 1)[:k]
+                out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+                out_id.append(sel_ids[idx])
+                out_s.append(s[idx].astype(np.float64))
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=(1, 8))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,56 @@
+"""Input validation / normalization stage (SURVEY.md M1/M3/M6/M7).
+
+The reference rejects selections < 5x5 px before ever calling the
+extractor (src/ocr.py:129-141) and records failures instead of raising
+(api_routes.py:134-152). Here: a stateless, fully vectorized
+``map_batches`` kernel that annotates each page row with its size and a
+pre-classification — rows are FLAGGED, never dropped, so the output
+table always accounts for every input row (status-column policy).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..oracle import MIN_HTML_BYTES
+
+# large-doc routing threshold: docs above this go to the skew pool
+GIANT_HTML_BYTES = 4 * 1024 * 1024
+
+
+def annotate_batch(batch: pa.Table) -> pa.Table:
+    """Add ``html_size`` (bytes) and ``precheck`` columns.
+
+    precheck ∈ {ok, invalid}: 'invalid' = empty/undersized html (the
+    5x5-px analogue). Non-HTML magic numbers are cheap to detect but are
+    left to the extractor so the policy lives in exactly one place.
+    """
+    size = pc.binary_length(batch["html"]).cast(pa.int64())
+    invalid = pc.less(size, MIN_HTML_BYTES)
+    precheck = pc.if_else(invalid, pa.scalar("invalid"), pa.scalar("ok"))
+    out = batch.append_column("html_size", size)
+    return out.append_column("precheck", precheck)
+
+
+def split_by_size(ds, threshold: int = GIANT_HTML_BYTES):
+    """Route pathological giant docs to a dedicated pool (skew-aware
+    splitting per the north_rule): returns (small_ds, giant_ds), both
+    filtered with vectorized Arrow predicates (no per-row Python).
+
+    Both branches re-scan the lazy upstream; callers apply this AFTER
+    the (cheap) read+annotate so the double scan costs IO, not compute.
+    At cluster scale, prefer a size-partitioned input layout when the
+    corpus is known to carry heavy tails.
+    """
+    small = ds.map_batches(
+        lambda t, th=threshold: t.filter(pc.less_equal(t["html_size"], th)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    giant = ds.map_batches(
+        lambda t, th=threshold: t.filter(pc.greater(t["html_size"], th)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return small, giant

@@ -1,0 +1,99 @@
+"""Per-partition checkpoint manifests: lineage + counters + atomic commit.
+
+Rebuilds the reference's exactly-once idioms as a partition-commit
+protocol (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics"):
+
+  * write-temp-then-rename atomic commit — the installer-download idiom
+    (reference src/updater.py:548,667-679: stream to ``.downloading``,
+    rename on complete);
+  * manifest-presence == committed — the single-instance-lock /
+    cache-file-fallback pattern (reference src/main.py:100-109,
+    update_routes.py:103-133);
+  * extractor-version check on resume — the version tuple-compare
+    (reference update_routes.py:167-183): a manifest written by a
+    different extractor version is NOT reused.
+
+Layout under ``out_dir``:
+    part-{pid:05d}/ *.parquet          (data, only after commit)
+    _manifests/part-{pid:05d}.json     (lineage + counters)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from .. import EXTRACTOR_VERSION
+
+
+def manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "_manifests", f"part-{pid:05d}.json")
+
+
+def partition_dir(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}")
+
+
+def is_committed(out_dir: str, pid: int, *, extractor_version: str = EXTRACTOR_VERSION) -> bool:
+    """Committed iff the manifest exists AND was written by the same
+    extractor version; stale-version manifests force a re-run."""
+    path = manifest_path(out_dir, pid)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return m.get("extractor_version") == extractor_version
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def clean_uncommitted(out_dir: str, pid: int) -> None:
+    """Partial output without a manifest is deleted before re-run
+    (consume-once semantics, D1/D3)."""
+    pdir = partition_dir(out_dir, pid)
+    if os.path.exists(pdir) and not is_committed(out_dir, pid):
+        shutil.rmtree(pdir)
+
+
+def commit_partition(
+    out_dir: str,
+    pid: int,
+    *,
+    input_shards: list,
+    row_range: tuple | None,
+    counters: dict,
+    extractor_version: str = EXTRACTOR_VERSION,
+) -> dict:
+    """Atomically write the manifest (tmp + rename). The data directory
+    must already be fully written; the rename is the commit point."""
+    manifest = {
+        "partition_id": pid,
+        "input_shards": list(input_shards),
+        "row_range": list(row_range) if row_range else None,
+        "extractor_version": extractor_version,
+        "counters": counters,
+    }
+    mdir = os.path.join(out_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = manifest_path(out_dir, pid) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, manifest_path(out_dir, pid))
+    return manifest
+
+
+def load_manifests(out_dir: str) -> list:
+    mdir = os.path.join(out_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
