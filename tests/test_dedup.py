@@ -1,0 +1,107 @@
+"""Dedup ladder tests: exact, MinHash-LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def doc_ds(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup of 0
+        {"doc_id": 2, "text": base + " extra"},  # near dup of 0
+        {"doc_id": 3, "text": "completely different text about databases and airplanes"},
+        {"doc_id": 4, "text": base},  # exact dup of 0
+        {"doc_id": 5, "text": "another unrelated document mentioning space travel topics"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_keeps_min_id(doc_ds):
+    from textextract_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(doc_ds, "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 5]
+
+
+def test_minhash_finds_near_dups(doc_ds):
+    from textextract_ray.stages.dedup import minhash_duplicate_assignments
+
+    pairs = minhash_duplicate_assignments(
+        doc_ds, "text", "doc_id", threshold=0.5
+    ).to_pandas()
+    assignments = dict(zip(pairs["id"], pairs["keep_id"]))
+    assert assignments[1] == 0
+    assert assignments[4] == 0
+    assert assignments.get(2) == 0  # near dup caught
+    assert 3 not in assignments
+    assert 5 not in assignments
+
+
+def test_minhash_dedup_filters(doc_ds):
+    from textextract_ray.stages.dedup import minhash_dedup
+
+    out = minhash_dedup(doc_ds, "text", "doc_id", threshold=0.5).to_pandas()
+    assert set(out["doc_id"]) == {0, 3, 5}
+
+
+def test_simhash_assignments(doc_ds):
+    from textextract_ray.stages.dedup import simhash_duplicate_assignments
+
+    pairs = simhash_duplicate_assignments(
+        doc_ds, "text", "doc_id", max_hamming=3
+    ).to_pandas()
+    assignments = dict(zip(pairs["id"], pairs["keep_id"]))
+    assert assignments[1] == 0 and assignments[4] == 0
+    assert 3 not in assignments and 5 not in assignments
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base * 2.0).tolist()},  # same direction
+        {"vec_id": 2, "embedding": (base + rng.randn(8).astype(np.float32) * 0.01).tolist()},
+        {"vec_id": 3, "embedding": rng.randn(8).astype(np.float32).tolist()},
+    ]
+    from textextract_ray.stages.dedup import embedding_duplicate_assignments
+
+    pairs = embedding_duplicate_assignments(
+        rd.from_items(rows), "embedding", "vec_id", threshold=0.99
+    ).to_pandas()
+    assignments = dict(zip(pairs["id"], pairs["keep_id"]))
+    assert assignments.get(1) == 0
+    assert assignments.get(2) == 0
+    assert 3 not in assignments
+
+
+def test_ngram_jaccard_pairs(doc_ds):
+    from textextract_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(doc_ds, "text", "doc_id", threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_dedup_is_partitioning_invariant(doc_ds):
+    from textextract_ray.stages.dedup import minhash_duplicate_assignments
+
+    a = minhash_duplicate_assignments(doc_ds, "text", "doc_id", threshold=0.5).to_pandas()
+    b = minhash_duplicate_assignments(
+        doc_ds.repartition(5), "text", "doc_id", threshold=0.5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True),
+    )

@@ -1,0 +1,133 @@
+"""Unit tests for the scalar/text kernels (no Ray)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from textextract_ray.functions import scalar, text
+
+
+def test_parse_version():
+    assert scalar.parse_version("v1.2.3") == (1, 2, 3)
+    assert scalar.parse_version("2.0") == (2, 0, 0)
+    assert scalar.parse_version("1.10.0") > scalar.parse_version("1.9.9")
+    assert scalar.version_gt("v1.0.1", "1.0.0")
+    assert not scalar.version_gt("1.0.0", "1.0.0")
+
+
+def test_latest_stable_skips_draft_prerelease():
+    releases = [
+        {"tag_name": "v2.0.0", "draft": True},
+        {"tag_name": "v1.9.0", "prerelease": True},
+        {"tag_name": "v1.5.0"},
+        {"tag_name": "v1.4.0"},
+    ]
+    assert scalar.latest_stable(releases)["tag_name"] == "v1.5.0"
+    assert scalar.latest_stable([]) is None
+
+
+def test_pick_asset_by_suffix():
+    rel = {"assets": [{"name": "App.dmg"}, {"name": "App-Setup.EXE"}]}
+    assert scalar.pick_asset(rel, ".exe")["name"] == "App-Setup.EXE"
+    assert scalar.pick_asset(rel, ".msi") is None
+
+
+def test_anchored_period_rollover():
+    # Jan 10 with anchor day 15 -> period started Dec 15
+    start, end = scalar.anchored_period(np.datetime64("2024-01-10"), 15)
+    assert start == np.datetime64("2023-12-15")
+    assert end == np.datetime64("2024-01-15")
+    # Dec 20 anchor 15 -> ends Jan 15 next year
+    start, end = scalar.anchored_period(np.datetime64("2024-12-20"), 15)
+    assert start == np.datetime64("2024-12-15")
+    assert end == np.datetime64("2025-01-15")
+    # anchor day 31 in a 30-day month clamps
+    start, end = scalar.anchored_period(np.datetime64("2024-04-30"), 31)
+    assert start == np.datetime64("2024-04-30")
+
+
+def test_url_host():
+    col = pa.array(["https://hostA.example/x/1", "http://b.c/", "https://h:8080/p?q#f"])
+    assert scalar.url_host(col).to_pylist() == ["hostA.example", "b.c", "h:8080"]
+
+
+def test_email_validator():
+    col = pa.array(["a@b.co", "bad@", "x.y+z@example.org", "no"])
+    assert scalar.is_valid_email(col).to_pylist() == [True, False, True, False]
+
+
+def test_password_strength():
+    t = scalar.password_strength_flags(pa.array(["Str0ng!pass", "weak"]))
+    assert t["len_ok"].to_pylist() == [True, False]
+    assert t["has_digit"].to_pylist() == [True, False]
+
+
+def test_token_count():
+    col = pa.array(["a b  c", "", "one"])
+    assert text.token_count(col).to_pylist() == [3, 0, 1]
+
+
+def test_md5_matches_hashlib():
+    import hashlib
+
+    assert text.md5_hex(["abc"]) == [hashlib.md5(b"abc").hexdigest()]
+
+
+def test_minhash_similarity_estimates_jaccard():
+    a, b = text.minhash_params(128)
+    s1 = "the quick brown fox jumps over the lazy dog and runs away fast"
+    s2 = "the quick brown fox jumps over the lazy dog and runs away slowly"
+    s3 = "completely different words with nothing shared at all here now"
+    sig1 = text.minhash_signature(text.shingle_hashes(s1), a, b)
+    sig2 = text.minhash_signature(text.shingle_hashes(s2), a, b)
+    sig3 = text.minhash_signature(text.shingle_hashes(s3), a, b)
+    sim12 = (sig1 == sig2).mean()
+    sim13 = (sig1 == sig3).mean()
+    assert sim12 > 0.5
+    assert sim13 < 0.2
+    # deterministic across calls
+    assert (sig1 == text.minhash_signature(text.shingle_hashes(s1), a, b)).all()
+
+
+def test_simhash_near_for_near_texts():
+    s1 = "the quick brown fox jumps over the lazy dog " * 4
+    s2 = s1 + "extra token"
+    h1, h2 = text.simhash64(s1), text.simhash64(s2)
+    d = text.hamming64(np.array([h2], dtype=np.uint64), h1)[0]
+    assert d <= 10
+    far = text.simhash64("totally unrelated content about databases and airplanes")
+    assert text.hamming64(np.array([far], dtype=np.uint64), h1)[0] > 10
+
+
+def test_popcount64():
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    assert text.popcount64(x).tolist() == [0, 1, 2, 64]
+
+
+def test_lang_id_markers():
+    col = pa.array(
+        [
+            "the cat and the dog sat in the house",
+            "der Hund und die Katze ist nicht für mich",
+            "le chat est dans la maison pour le dîner",
+            "el gato y la casa es una del pueblo",
+            "xyzzy qwerty",
+        ]
+    )
+    out = text.lang_id(col).to_pylist()
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_quality_features_shapes():
+    t = text.quality_features(pa.array(["The quick brown fox is one of the best.", "!!!"]))
+    score = t["quality_score"].to_pylist()
+    assert score[0] > score[1]
+    assert t["n_tokens"].to_pylist() == [9, 1]
+
+
+def test_rolling_fingerprint_deterministic():
+    a = text.rolling_fingerprint(["one two three four five six"])
+    b = text.rolling_fingerprint(["one two three four five six"])
+    assert a[0] == b[0] != 0
+    assert text.rolling_fingerprint([""])[0] == 0

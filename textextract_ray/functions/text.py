@@ -22,8 +22,9 @@ import pyarrow.compute as pc
 # --- token counting ----------------------------------------------------------
 
 def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Whitespace token count, fully vectorized in Arrow."""
-    return pc.list_value_length(pc.utf8_split_whitespace(col))
+    """Whitespace token count (count of non-whitespace runs), fully
+    vectorized in Arrow; 0 for empty/whitespace-only strings."""
+    return pc.count_substring_regex(col, r"\S+")
 
 
 _BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")

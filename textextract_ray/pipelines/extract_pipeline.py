@@ -46,15 +46,16 @@ def dedup_by_url(extracted_ds):
     """Exact dedup by url: hash-partition + per-group first.
 
     The extractor is a pure function of the bytes, so duplicate urls
-    carry identical rows and ANY group member is a valid winner; rows
-    are still ordered deterministically (by extracted_text) so the
-    choice never depends on block arrival order.
+    carry rows identical in every content column (only the timing
+    column varies) and ANY group member is a valid winner — content
+    determinism does not depend on block arrival order. Stays in Arrow
+    (pandas would mangle the ``spans`` list column into object arrays).
     """
 
-    def take_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("extracted_text").head(1)
+    def take_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
 
-    return extracted_ds.groupby("url").map_groups(take_first, batch_format="pandas")
+    return extracted_ds.groupby("url").map_groups(take_first, batch_format="pyarrow")
 
 
 def run_job(

@@ -34,4 +34,20 @@ def read_pages(paths, columns=None) -> rd.Dataset:
     kwargs = {}
     if columns is not None:
         kwargs["columns"] = list(columns)
+    if isinstance(paths, (list, tuple)):
+        # expand directories: read_parquet accepts one directory fine,
+        # but a LIST mixing directories and files does not
+        expanded = []
+        for p in paths:
+            if os.path.isdir(p):
+                expanded.extend(
+                    sorted(
+                        os.path.join(p, f)
+                        for f in os.listdir(p)
+                        if f.endswith(".parquet")
+                    )
+                )
+            else:
+                expanded.append(p)
+        paths = expanded
     return rd.read_parquet(paths, **kwargs)

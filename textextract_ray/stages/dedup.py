@@ -344,7 +344,7 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),
-                "anchor": pa.array(out_key, pa.int64()),
+                "anchor": pa.array(out_key, pa.uint64()),
                 "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
             }
         )
