@@ -1,0 +1,203 @@
+"""Benchmark harness.
+
+Runs the headline extraction pipeline over a deterministic synthetic
+pages corpus (FIXTURES.md class mix) plus the query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), and prints ONE JSON
+line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "extract": {"docs": ..., "docs_per_s": ..., "mb_per_s": ...}}
+
+``python bench.py --scaling`` runs the headline extraction twice in
+fresh processes (num_cpus=8 then 32 — the sandbox stand-in for N vs 4N
+nodes) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "24000"))
+BENCH_SHARDS = int(os.environ.get("BENCH_SHARDS", "64"))
+GIANT_BYTES = int(os.environ.get("BENCH_GIANT_BYTES", str(512 * 1024)))
+PAGES_DIR = f"/tmp/textextract_bench/pages_{BENCH_ROWS}_{BENCH_SHARDS}_{GIANT_BYTES}"
+
+
+def ensure_corpus() -> list:
+    """Generate (once) the bench pages corpus; idempotent + cached."""
+    import glob
+
+    from textextract_ray.datagen import generate_pages
+
+    files = sorted(glob.glob(os.path.join(PAGES_DIR, "pages-*.parquet")))
+    if len(files) == BENCH_SHARDS:
+        return files
+    return generate_pages(PAGES_DIR, BENCH_ROWS, BENCH_SHARDS, giant_bytes=GIANT_BYTES)
+
+
+def bench_extract(files: list) -> dict:
+    """The headline: full extraction pipeline, write to parquet."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.extract_pipeline import extract_dataset
+    from textextract_ray.sources import read_pages
+
+    out_dir = "/tmp/textextract_bench/out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ds = read_pages(files)
+    extracted = extract_dataset(
+        ds, batch_size=64, giant_threshold=None
+    )
+    extracted.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+
+    out_files = [
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ]
+    docs = 0
+    html_in = 0  # raw (uncompressed) html bytes actually parsed
+    for f in out_files:
+        t = pq.read_table(f, columns=["request_size_bytes"])
+        docs += t.num_rows
+        html_in += sum(t["request_size_bytes"].to_pylist())
+    return {
+        "sec": dt,
+        "docs": docs,
+        "docs_per_s": docs / dt,
+        "mb_per_s": html_in / dt / 1e6,
+        "input_mb": html_in / 1e6,
+    }
+
+
+def bench_queries(sf_dir: str, names: list) -> dict:
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    times = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # force execution for lazy results
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    files = ensure_corpus()
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    for f in files:
+        with open(f, "rb") as fh:
+            fh.read()
+
+    ext = bench_extract(files)
+    queries = {"extract": round(ext["sec"], 3)}
+
+    only_extract = os.environ.get("BENCH_ONLY") == "extract"
+    if not only_extract:
+        queries.update(
+            bench_queries(
+                sf_dir,
+                [
+                    "q1_pricing_summary",
+                    "q3_top_orders",
+                    "usage_daily",
+                    "dedup_exact",
+                    "token_stats",
+                    "minhash_near_dups",
+                    "ann_topk",
+                ],
+            )
+        )
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+query-suite wall seconds (docs/s + MB/s in extract)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": 0.1,
+                "num_cpus": ncpu,
+                "extract": {
+                    "docs": ext["docs"],
+                    "docs_per_s": round(ext["docs_per_s"], 1),
+                    "mb_per_s": round(ext["mb_per_s"], 1),
+                    "input_mb": round(ext["input_mb"], 1),
+                },
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="extract"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["extract"]
+    t_hi = r_hi["queries"]["extract"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, extraction pipeline, num_cpus 8 vs 32",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_s_8": r_lo["extract"]["docs_per_s"],
+                "docs_per_s_32": r_hi["extract"]["docs_per_s"],
+                "mb_per_s_8": r_lo["extract"]["mb_per_s"],
+                "mb_per_s_32": r_hi["extract"]["mb_per_s"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

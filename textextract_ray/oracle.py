@@ -82,6 +82,10 @@ _META_CHARSET_RE = re.compile(
 )
 _XML_ENC_RE = re.compile(rb"""<\?xml[^>]+encoding\s*=\s*["']([a-zA-Z0-9_\-]+)""", re.IGNORECASE)
 
+_CLOSE_RES = {
+    tag: re.compile(r"</\s*" + re.escape(tag) + r"\s*>", re.IGNORECASE)
+    for tag in _SKIP_CONTENT_TAGS
+}
 _WS_RUN_RE = re.compile(r"\s+")
 _SPACE_RUN_RE = re.compile(r"[ \t\f\v\xa0]+")
 _NL_TRIM_RE = re.compile(r" *\n *")
@@ -176,7 +180,8 @@ def _parse_blocks(doc: str) -> list:
     block. Never raises on any byte string that decodes.
     """
     blocks: list = []
-    stack: list = []  # open tag names
+    stack: list = []       # open tag names
+    kind_stack: list = []  # incremental block-kind (nearest special tag wins)
     skip_depth = 0    # inside script/style/template/noscript/svg/head
     link_depth = 0
     pre_depth = 0
@@ -190,18 +195,20 @@ def _parse_blocks(doc: str) -> list:
         cur = None
 
     def block_kind() -> str:
-        for t in reversed(stack):
-            if t in _HEADING_TAGS:
-                return "heading"
-            if t == "pre":
-                return "pre"
-            if t == "li":
-                return "li"
-            if t in ("td", "th"):
-                return "cell"
-            if t in _BLOCK_TAGS:
-                return "text"
-        return "text"
+        return kind_stack[-1] if kind_stack else "text"
+
+    def kind_of(tag: str) -> str:
+        if tag in _HEADING_TAGS:
+            return "heading"
+        if tag == "pre":
+            return "pre"
+        if tag == "li":
+            return "li"
+        if tag in ("td", "th"):
+            return "cell"
+        if tag in _BLOCK_TAGS:
+            return "text"
+        return kind_stack[-1] if kind_stack else "text"
 
     pos = 0
     n = len(doc)
@@ -235,23 +242,23 @@ def _parse_blocks(doc: str) -> list:
         if m is None:
             pos = lt + 1
             continue
-        if m.group(2) is None:
+        g1, g2, g4 = m.group(1, 2, 4)
+        if g2 is None:
             # comment / doctype / PI / stray '<'
-            if m.group(0) == "<" and skip_depth == 0:
+            if m.end() - lt == 1 and skip_depth == 0:
                 if cur is None:
                     cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
                 cur.parts.append("<")
             pos = m.end()
             continue
-        closing = m.group(1) == "/"
-        tag = m.group(2).lower()
-        self_closing = m.group(4) == "/" or tag in _VOID_TAGS
+        closing = g1 == "/"
+        tag = g2.lower()
+        self_closing = g4 == "/" or tag in _VOID_TAGS
         pos = m.end()
 
         if not closing and tag in _SKIP_CONTENT_TAGS and not self_closing:
             # consume to the matching close tag (or EOF) verbatim
-            close_re = re.compile(r"</\s*" + re.escape(tag) + r"\s*>", re.IGNORECASE)
-            mm = close_re.search(doc, pos)
+            mm = _CLOSE_RES[tag].search(doc, pos)
             pos = mm.end() if mm else n
             continue
 
@@ -269,6 +276,7 @@ def _parse_blocks(doc: str) -> list:
             if tag in _BLOCK_TAGS:
                 flush()
             stack.append(tag)
+            kind_stack.append(kind_of(tag))
             if tag == "a":
                 link_depth += 1
             elif tag == "pre":
@@ -282,6 +290,7 @@ def _parse_blocks(doc: str) -> list:
             if tag in stack:
                 while stack:
                     t = stack.pop()
+                    kind_stack.pop()
                     if t == "a":
                         link_depth = max(0, link_depth - 1)
                     elif t == "pre":

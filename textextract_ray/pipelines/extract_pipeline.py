@@ -23,7 +23,7 @@ def extract_dataset(
     pages_ds,
     *,
     batch_size: int = 256,
-    concurrency=(2, 8),
+    concurrency=None,
     giant_threshold: int | None = None,
     dedup: bool = True,
 ):
@@ -42,20 +42,46 @@ def extract_dataset(
     return extracted
 
 
-def dedup_by_url(extracted_ds):
-    """Exact dedup by url: hash-partition + per-group first.
+def dedup_by_url(extracted_ds, *, num_buckets: int = 256):
+    """Exact dedup by url: hash-bucket partition + first-per-url.
+
+    Rows are bucketed by ``crc32(url) % num_buckets`` and shuffled once
+    (the pipeline's one true shuffle, D2); every row of a url lands in
+    the same bucket, so a vectorized first-occurrence pass inside the
+    bucket is globally correct. Bucketing instead of per-url groups
+    cuts the group-dispatch overhead from O(urls) to O(buckets).
 
     The extractor is a pure function of the bytes, so duplicate urls
     carry rows identical in every content column (only the timing
-    column varies) and ANY group member is a valid winner — content
+    column varies) and ANY occurrence is a valid winner — content
     determinism does not depend on block arrival order. Stays in Arrow
-    (pandas would mangle the ``spans`` list column into object arrays).
+    end-to-end (pandas would mangle the ``spans`` list column).
+
+    At cluster scale, raise num_buckets so one bucket's rows fit a
+    worker's heap (buckets ≈ total_rows / 2M is a good start).
     """
+    import zlib
 
-    def take_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    import numpy as np
 
-    return extracted_ds.groupby("url").map_groups(take_first, batch_format="pyarrow")
+    def bucketize(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        b = np.fromiter(
+            (zlib.crc32(u.encode()) % num_buckets for u in urls),
+            dtype=np.int32,
+            count=len(urls),
+        )
+        return batch.append_column("url_bucket", pa.array(b, pa.int32()))
+
+    def first_per_url(bucket: pa.Table) -> pa.Table:
+        urls = np.asarray(bucket["url"].to_pylist(), dtype=object)
+        _, first_idx = np.unique(urls, return_index=True)
+        return bucket.take(np.sort(first_idx)).drop_columns(["url_bucket"])
+
+    bucketed = extracted_ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("url_bucket").map_groups(
+        first_per_url, batch_format="pyarrow"
+    )
 
 
 def run_job(
@@ -64,7 +90,7 @@ def run_job(
     *,
     shards_per_partition: int = 4,
     batch_size: int = 256,
-    concurrency=(2, 8),
+    concurrency=None,
     giant_threshold: int | None = 4 * 1024 * 1024,
     fail_at_partition: int | None = None,
 ) -> pd.DataFrame:

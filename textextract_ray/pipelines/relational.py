@@ -87,34 +87,79 @@ def q1_pricing_summary(sf_dir: str):
 def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     """customer ⋈ orders ⋈ lineitem, revenue per order, top-k.
 
-    customer is the small side → broadcast semi-join via ray.put key-set
-    (reference J1: quota-path lookup is a broadcast dimension probe).
-    orders⋈lineitem is big-big → Dataset.join hash-partitioned on the
-    key. Top-k after aggregation (small)."""
+    Both join levels are broadcast semi-joins (reference J1: the
+    quota-path lookup is a broadcast dimension probe): the segment's
+    customer keys filter orders, the surviving order keys filter
+    lineitem — each key set is collected once (it is proportional to
+    dimension selectivity, never to fact-table size), shipped via
+    ray.put, and probed with a vectorized Arrow is_in per batch. No
+    all-to-all shuffle touches lineitem; the only shuffle is the final
+    tiny groupby on pre-filtered rows. A hash-partitioned Dataset.join
+    variant is exercised in tests (q3_top_orders_hashjoin)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        cust.filter(lambda r: r["c_mktsegment"] == segment)
-        .to_pandas()["c_custkey"]
-        .tolist()
+    cust_tbl = cust.to_pandas()
+    cust_keys = pa.array(
+        sorted(cust_tbl[cust_tbl.c_mktsegment == segment]["c_custkey"]), pa.int64()
     )
-    keys_ref = ray.put(cust_keys)
+    ckeys_ref = ray.put(cust_keys)
 
-    orders = read_table(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def semi(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pc.is_in(
-            batch["o_custkey"], value_set=pa.array(sorted(keys), pa.int64())
-        )
+    def semi_orders(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
         return batch.filter(mask)
 
-    orders_f = orders.map_batches(semi, batch_format="pyarrow")
+    order_keys = pa.array(
+        sorted(
+            orders.map_batches(semi_orders, batch_format="pyarrow")
+            .to_pandas()["o_orderkey"]
+            .tolist()
+        ),
+        pa.int64(),
+    )
+    okeys_ref = ray.put(order_keys)
+
     li = read_table(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=ray.get(okeys_ref)))
+        r = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+
+    li_r = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    agg = li_r.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    out = agg.to_pandas().sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+    return out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True)
+
+
+def q3_top_orders_hashjoin(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
+    """The same query via a hash-partitioned ``Dataset.join`` — the
+    big-big join path (both sides shuffled on the key). Kept as the
+    scale-path demonstration; the broadcast variant above wins whenever
+    the filtered dimension fits in the object store."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_tbl = cust.to_pandas()
+    cust_keys = pa.array(
+        sorted(cust_tbl[cust_tbl.c_mktsegment == segment]["c_custkey"]), pa.int64()
+    )
+    ckeys_ref = ray.put(cust_keys)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref)))
+
+    orders_f = orders.map_batches(semi, batch_format="pyarrow")
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
     def rev(batch: pa.Table) -> pa.Table:

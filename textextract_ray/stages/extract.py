@@ -78,11 +78,26 @@ class ExtractBatch:
         )
 
 
+def _auto_pools() -> tuple:
+    """Size the two extraction pools from the cluster CPU budget:
+    ~5/8 of CPUs to the small-doc pool, ~1/4 to the giant-doc pool,
+    the rest left for read/write tasks. Fixed-size pools (ints) start
+    every actor immediately — an autoscaling pool ramps too slowly for
+    a batch job, and two fixed pools must never sum past the CPU
+    budget or the second pool deadlocks waiting for actors."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    small = max(2, (ncpu * 5) // 8)
+    giant = max(1, ncpu // 4)
+    return small, giant
+
+
 def extract_pages(
     pages_ds,
     *,
     batch_size: int = 256,
-    concurrency=(2, 8),
+    concurrency=None,
     num_cpus: float = 1,
     giant_threshold: int | None = None,
     max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES,
@@ -94,7 +109,10 @@ def extract_pages(
     20 MB doc shouldn't ride in a 256-row batch next to 2 KB docs —
     the north_rule's "skew-aware block splitting"). Requires the
     validate.annotate_batch stage upstream for ``html_size``.
+
+    ``concurrency=None`` auto-sizes both pools from the cluster CPUs.
     """
+    auto_small, auto_giant = _auto_pools()
     common = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -103,15 +121,28 @@ def extract_pages(
     )
     if giant_threshold is None:
         return pages_ds.map_batches(
-            ExtractBatch, batch_size=batch_size, concurrency=concurrency, **common
+            ExtractBatch,
+            batch_size=batch_size,
+            concurrency=concurrency or (auto_small + auto_giant),
+            **common,
         )
     from .validate import split_by_size
 
     small, giant = split_by_size(pages_ds, giant_threshold)
     small_out = small.map_batches(
-        ExtractBatch, batch_size=batch_size, concurrency=concurrency, **common
+        ExtractBatch,
+        batch_size=batch_size,
+        concurrency=concurrency or auto_small,
+        **common,
     )
+    # the giant pool runs a real share of the cluster (a heavy-tailed
+    # corpus can be mostly-giant by bytes; an undersized giant pool
+    # serializes the whole pipeline) with a tiny batch_size so one
+    # batch never holds more than a few multi-MB payloads
     giant_out = giant.map_batches(
-        ExtractBatch, batch_size=4, concurrency=(1, 4), **common
+        ExtractBatch,
+        batch_size=4,
+        concurrency=concurrency or auto_giant,
+        **common,
     )
     return small_out.union(giant_out)
