@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_range": rel.events_in_range,
         "events_hourly_window": rel.events_hourly_window,
         "session_counts": rel.session_counts,
+        "props_extract": rel.props_extract,
         # text analysis / training-data ops
         "token_stats": tx.token_stats,
         "fingerprints": tx.fingerprints,
@@ -67,6 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": tx.ann_topk,
         "ann_topk_ivf": tx.ann_topk_ivf,
+        # multimodal plumbing (stubbed codecs, real Ray stages)
+        "image_metadata": tx.image_metadata,
+        "media_features": tx.media_features,
+        "frame_samples": tx.frame_samples,
     }
 
 
@@ -197,6 +202,20 @@ def oracle_sql() -> dict[str, str]:
                        WHERE gap IS NULL OR gap > INTERVAL 30 MINUTE
                    ) AS n_sessions
             FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "props_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS total_k,
+                   avg(CAST(json_extract(props, '$.k') AS INTEGER)) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "image_metadata": """
+            SELECT doc_id AS media_id, 'png' AS format,
+                   (strlen(text) + 8) * 7 % 1024 + 16 AS width,
+                   (strlen(text) + 8) * 13 % 1024 + 16 AS height,
+                   strlen(text) + 8 AS n_bytes,
+                   'ok' AS status
+            FROM documents ORDER BY media_id
         """,
         "token_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,81 @@
+"""Stage registry / job-spec assembly / error-capture middleware."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_build_pipeline_from_spec(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import build_pipeline
+
+    ds = rd.from_items(
+        [{"text": "the quick brown fox and the lazy dog sat in the house"}] * 10
+    )
+    out = build_pipeline(
+        ds,
+        [
+            {"stage": "content_hash"},
+            {"stage": "quality"},
+            {"stage": "lang_id"},
+        ],
+    ).to_pandas()
+    assert "content_hash" in out.columns
+    assert "quality_score" in out.columns
+    assert (out["pred_lang"] == "en").all()
+
+
+def test_unknown_stage_fails_at_submit(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import build_pipeline
+
+    with pytest.raises(KeyError, match="unknown stage"):
+        build_pipeline(rd.from_items([{"x": 1}]), [{"stage": "nope"}])
+
+
+def test_json_spec_accepted(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import build_pipeline
+
+    out = build_pipeline(
+        rd.from_items([{"text": "hello world"}]), '[{"stage": "content_hash"}]'
+    ).to_pandas()
+    assert "content_hash" in out.columns
+
+
+def test_error_capture_middleware(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import with_error_capture
+
+    def boom(batch: pa.Table) -> pa.Table:
+        raise ValueError("kaboom")
+
+    ds = rd.from_items([{"x": 1}, {"x": 2}]).map_batches(
+        with_error_capture(boom), batch_format="pyarrow"
+    )
+    df = ds.to_pandas()
+    assert len(df) == 2  # rows passed through, not lost
+    assert df["_stage_error"].str.contains("kaboom").all()
+    assert (df["_stage_ms"] >= 0).all()
+
+
+def test_extract_stage_via_registry(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.datagen import page_row
+    from textextract_ray.pipelines.registry import build_pipeline
+    from textextract_ray.schemas import PAGES_SCHEMA
+    import pyarrow as pa
+
+    rows = [page_row(i, 1 << 16) for i in range(12)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    out = build_pipeline(
+        ds, [{"stage": "annotate"}, {"stage": "extract", "options": {"concurrency": 2}}]
+    ).to_pandas()
+    assert len(out) == 12
+    assert "extracted_text" in out.columns

@@ -1,0 +1,159 @@
+"""Stage registry + pipeline assembly from a job spec.
+
+The reference's extension surface (SURVEY.md §2.10) is blueprint
+registration (`backend/routes/__init__.py:11-18`) plus cross-cutting
+decorators (`backend/auth.py:134-179`, `src/utils/api_utils.py:27-99`)
+plus a JSON config store (`src/config.py:62-138`). The Ray-native
+equivalents:
+
+  * ``register`` / ``STAGE_REGISTRY``: named, composable stages a user
+    can slot into a pipeline by name;
+  * ``build_pipeline(ds, spec)``: assemble read → N×transform from a
+    declarative job-spec (the ``ray job submit`` payload);
+  * ``with_error_capture``: stage middleware wrapping any batch kernel
+    with error capture → ``_stage_error`` column instead of a raised
+    exception (the catch-and-record policy, api_routes.py:134-152) and
+    per-batch timing.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+STAGE_REGISTRY: dict = {}
+
+
+@dataclass
+class StageSpec:
+    """One pipeline step: a registered kernel name + its options."""
+
+    name: str
+    options: dict = field(default_factory=dict)
+
+
+def register(name: str):
+    """Decorator: register a stage factory. The factory receives the
+    spec options and returns either a batch fn or a (callable class,
+    map_batches kwargs) pair."""
+
+    def deco(factory):
+        STAGE_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def with_error_capture(fn):
+    """Middleware: never let a stage kill the job — failures become a
+    ``_stage_error`` string column on an otherwise-passed-through
+    batch, and every batch gets ``_stage_ms`` timing (the decorator
+    chain's timing/error capture as columns)."""
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        try:
+            out = fn(batch)
+            err = ""
+        except Exception as exc:
+            out = batch
+            err = f"{type(exc).__name__}: {exc}"
+        ms = int((time.perf_counter() - t0) * 1000)
+        n = out.num_rows
+        if "_stage_error" in out.column_names:
+            out = out.drop_columns(["_stage_error", "_stage_ms"])
+        out = out.append_column("_stage_error", pa.array([err] * n, pa.string()))
+        return out.append_column("_stage_ms", pa.array([ms] * n, pa.int64()))
+
+    wrapped.__name__ = getattr(fn, "__name__", "stage")
+    return wrapped
+
+
+def build_pipeline(ds, spec: list | str, *, capture_errors: bool = False):
+    """Assemble a Dataset pipeline from a job spec.
+
+    ``spec`` is a list of {"stage": name, "options": {...}} dicts (or a
+    JSON string of one — the config-file S4 analogue). Unknown stage
+    names raise immediately (fail at submit, not mid-job)."""
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    for step in spec:
+        name = step["stage"]
+        if name not in STAGE_REGISTRY:
+            raise KeyError(
+                f"unknown stage {name!r}; registered: {sorted(STAGE_REGISTRY)}"
+            )
+    for step in spec:
+        factory = STAGE_REGISTRY[step["stage"]]
+        built = factory(**step.get("options", {}))
+        if isinstance(built, tuple):
+            cls, kwargs = built
+            ds = ds.map_batches(cls, batch_format="pyarrow", **kwargs)
+        else:
+            fn = with_error_capture(built) if capture_errors else built
+            ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
+
+
+# --- built-in registrations --------------------------------------------------
+
+
+@register("annotate")
+def _annotate_factory():
+    from ..stages.validate import annotate_batch
+
+    return annotate_batch
+
+
+@register("extract")
+def _extract_factory(batch_size: int = 64, concurrency=None, max_output_bytes=None):
+    from ..oracle import DEFAULT_MAX_OUTPUT_BYTES
+    from ..stages.extract import ExtractBatch, _auto_pools
+
+    if concurrency is None:
+        small, giant = _auto_pools()
+        concurrency = small + giant
+    return (
+        ExtractBatch,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "max_output_bytes": max_output_bytes or DEFAULT_MAX_OUTPUT_BYTES
+            },
+        ),
+    )
+
+
+@register("content_hash")
+def _content_hash_factory(text_col: str = "text"):
+    from ..stages.dedup import add_content_hash
+
+    return add_content_hash(text_col)
+
+
+@register("quality")
+def _quality_factory(text_col: str = "text"):
+    from ..functions.text import quality_features
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        f = quality_features(batch[text_col])
+        for c in f.column_names:
+            batch = batch.append_column(c, f[c])
+        return batch
+
+    return kernel
+
+
+@register("lang_id")
+def _langid_factory(text_col: str = "text"):
+    from ..functions.text import lang_id
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pred_lang", lang_id(batch[text_col]))
+
+    return kernel

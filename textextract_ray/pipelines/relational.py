@@ -458,3 +458,31 @@ def session_counts(sf_dir: str, *, gap_minutes: int = 30):
 
     out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --- M8: JSON props parsing (device_info JSONB analogue) ---------------------
+
+def props_extract(sf_dir: str):
+    """Parse the JSON ``props`` column (the reference's JSONB
+    device_info, backend/auth.py:181-218) and aggregate the extracted
+    field per event_type. Extraction is a vectorized Arrow regex over
+    the single-key payload — at scale swap for pyarrow's JSON reader or
+    a struct column at ingest; the point is the parse happens inside
+    map_batches, never on the driver."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        kvals = pc.struct_field(k, "k").cast(pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": kvals})
+
+    out = (
+        ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="total_k"),
+            Mean("k", alias_name="avg_k"),
+        )
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)

@@ -166,3 +166,71 @@ def ann_topk_ivf(sf_dir: str, *, nq: int = 5, k: int = 10):
     return out.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True]).reset_index(
         drop=True
     )
+
+
+# --- multimodal plumbing over synthesized media ------------------------------
+
+def _documents_as_media(sf_dir: str):
+    """documents → synthetic media table: payload = PNG magic + the
+    UTF-8 text bytes (deterministic, so the stub decode's metadata is
+    SQL-checkable)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media": pa.array(
+                    [b"\x89PNG\r\n\x1a\n" + t.encode("utf-8") for t in texts],
+                    pa.binary(),
+                ),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def image_metadata(sf_dir: str):
+    """Stubbed image decode over the synthesized media table — the
+    plumbing (schema, actor pool, batch flow) is real; dims come from
+    the deterministic fake decode (width = n*7%1024+16 etc., which the
+    DuckDB oracle recomputes from strlen(text)+8)."""
+    from ..stages.multimodal import decode_images
+
+    out = decode_images(_documents_as_media(sf_dir))
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def media_features(sf_dir: str):
+    """Stub feature-extraction → 8-dim embedding per media payload
+    (deterministic; feeds the ANN/dedup stages end-to-end)."""
+    from ..stages.multimodal import extract_features
+
+    out = extract_features(_documents_as_media(sf_dir)).to_pandas()
+    out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 4) for x in v])
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def frame_samples(sf_dir: str):
+    """Stub frame sampling (1→N flat-map over binary payloads):
+    returns per-frame byte counts."""
+    from ..stages.multimodal import sample_frames
+
+    out = sample_frames(_documents_as_media(sf_dir))
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_index": batch["frame_index"],
+                "frame_bytes": pc.binary_length(batch["frame"]).cast(pa.int64()),
+            }
+        )
+
+    df = out.map_batches(sizes, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)

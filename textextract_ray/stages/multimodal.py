@@ -1,0 +1,225 @@
+"""Multimodal (image/audio/video) stage plumbing.
+
+Media travels as opaque ``binary`` columns with typed metadata — the
+Arrow-native analogue of the reference's base64-PNG payload
+(reference src/ocr.py:62-67) without the wire encoding. Decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages shaped exactly like production ones (state in ``__init__``,
+small batch sizes for large payloads, Arrow in/out, fixed output
+schemas).
+
+STUB NOTICE: this container has no image/audio codecs (no PIL, no
+ffmpeg), so the codec call inside each stage is stubbed. Each stage
+first tries the real library; without it, it either (a) raises
+``NotImplementedError`` when ``strict=True``, or (b) runs a
+DETERMINISTIC FAKE decode — metadata derived purely from the payload
+bytes (magic number, length) — so schemas, batch flow, and output
+layout are fully real and testable. Swap ``_fake_*`` for the codec
+calls on a machine that has them.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("media", pa.binary()),
+        pa.field("media_type", pa.string()),  # image|audio|video|unknown
+    ]
+)
+
+IMAGE_META_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("format", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+_MAGIC_FORMATS = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),  # wav/webp container
+    (b"%PDF-", "pdf"),
+)
+
+
+def sniff_format(payload: bytes) -> str:
+    for magic, name in _MAGIC_FORMATS:
+        if payload.startswith(magic):
+            return name
+    return "unknown"
+
+
+def _fake_dims(payload: bytes) -> tuple:
+    """Deterministic fake decode: dimensions derived from byte length
+    only (SQL-expressible so the driver gate can oracle-check the
+    plumbing): width = n*7 % 1024 + 16, height = n*13 % 1024 + 16."""
+    n = len(payload)
+    return (n * 7) % 1024 + 16, (n * 13) % 1024 + 16
+
+
+class DecodeImage:
+    """Actor-pool stage: binary payload -> typed image metadata.
+
+    Real path (PIL present): ``Image.open(BytesIO(payload))``.
+    Stub path: magic sniff + deterministic fake dims. ``strict=True``
+    raises NotImplementedError instead of faking — use in production.
+    """
+
+    def __init__(self, *, strict: bool = False):
+        self.strict = strict
+        try:
+            from PIL import Image  # noqa: F401  (absent in this container)
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, payload: bytes) -> tuple:
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                return im.format.lower(), im.width, im.height, "ok"
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires PIL; not available in this container "
+                "(stub path: DecodeImage(strict=False))"
+            )
+        fmt = sniff_format(payload)
+        w, h = _fake_dims(payload)
+        return fmt, w, h, "ok" if fmt != "unknown" else "unsupported"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        fmts, ws, hs, sts = [], [], [], []
+        for p in payloads:
+            try:
+                f, w, h, s = self._decode(p or b"")
+            except NotImplementedError:
+                raise
+            except Exception as exc:  # decode failure -> status row
+                f, w, h, s = "unknown", 0, 0, f"decode_error: {type(exc).__name__}"
+            fmts.append(f)
+            ws.append(w)
+            hs.append(h)
+            sts.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fmts, pa.string()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array([len(p or b"") for p in payloads], pa.int64()),
+                pa.array(sts, pa.string()),
+            ],
+            schema=IMAGE_META_SCHEMA,
+        )
+
+
+class ImageFeatures:
+    """Actor-pool stage: payload -> fixed-dim feature vector.
+
+    Real path would run a vision model loaded once in __init__; the stub
+    derives a deterministic 8-dim float vector from stable byte hashes
+    (crc32 of 8 strided views) so downstream ANN / dedup stages can be
+    exercised end-to-end."""
+
+    DIM = 8
+
+    def __init__(self):
+        self.dim = self.DIM  # model handle would load here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        vecs = []
+        for p in payloads:
+            p = p or b"\x00"
+            feats = [
+                (zlib.crc32(p[i :: self.dim]) % 10_000) / 10_000.0
+                for i in range(self.dim)
+            ]
+            vecs.append(feats)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool stage: "video" payload -> N frame rows (a flat-map:
+    output rows > input rows). Real path: ffmpeg keyframe extraction in
+    __call__, handle opened per actor. Stub: deterministic byte-slice
+    "frames". Demonstrates the 1->N batch contract and small batch
+    sizing for multi-MB payloads."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for mid, p in zip(ids, payloads):
+            p = p or b""
+            step = max(1, len(p) // self.n_frames)
+            for fi in range(self.n_frames):
+                out_id.append(mid)
+                out_idx.append(fi)
+                out_frame.append(p[fi * step : fi * step + min(step, 4096)])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_idx, pa.int32()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+
+def decode_images(media_ds, *, batch_size: int = 32, concurrency=(1, 8), strict: bool = False):
+    """media Dataset -> image metadata Dataset. Small batch_size: a
+    batch × concurrency of multi-MB payloads must fit worker heaps."""
+    return media_ds.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"strict": strict},
+    )
+
+
+def extract_features(media_ds, *, batch_size: int = 32, concurrency=(1, 8)):
+    return media_ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(media_ds, *, n_frames: int = 4, batch_size: int = 8, concurrency=(1, 4)):
+    return media_ds.map_batches(
+        FrameSample,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"n_frames": n_frames},
+    )
