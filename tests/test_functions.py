@@ -131,3 +131,27 @@ def test_rolling_fingerprint_deterministic():
     b = text.rolling_fingerprint(["one two three four five six"])
     assert a[0] == b[0] != 0
     assert text.rolling_fingerprint([""])[0] == 0
+
+
+def test_iso_parse_z_fixup():
+    out = scalar.iso_parse(pa.array(["2024-03-01T12:00:00Z", "2024-03-01T12:00:00+00:00"]))
+    assert out[0].as_py() == out[1].as_py()
+
+
+def test_epoch_to_ts():
+    out = scalar.epoch_to_ts(pa.array([0, 1700000000]))
+    assert str(out[0].as_py().date()) == "1970-01-01"
+    assert out[1].as_py().year == 2023
+
+
+def test_bytes_to_mb_and_percent():
+    assert scalar.bytes_to_mb(pa.array([1024 * 1024])).to_pylist() == [1.0]
+    assert scalar.percent(pa.array([25]), pa.array([50])).to_pylist() == [50.0]
+    assert scalar.percent(pa.array([1]), pa.array([0])).to_pylist() == [100.0]
+
+
+def test_price_tier():
+    out = scalar.price_tier(
+        pa.array([5.0, 15.0, 150.0]), [(10.0, "basic"), (100.0, "advance")]
+    )
+    assert out.to_pylist() == ["basic", "advance", "over"]

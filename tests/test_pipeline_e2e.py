@@ -68,3 +68,29 @@ def test_repartitioning_invariance(ray_session, fixture_pages, golden):
     assert set(df["url"]) == set(golden)
     for _, row in df.iterrows():
         assert row["extracted_text"] == golden[row["url"]].text
+
+
+def test_denylist_filter(ray_session, fixture_pages):
+    from textextract_ray.sources import read_pages
+    from textextract_ray.stages.validate import denylist_filter
+
+    ds = read_pages(fixture_pages)
+    kept = denylist_filter(ds, ["host0.example", "host1.example"]).to_pandas()
+    assert len(kept) > 0
+    assert not kept["url"].str.contains("host0.example|host1.example").any()
+
+
+def test_metrics_sink_written(ray_session, fixture_pages, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.extract_pipeline import run_job
+
+    out = str(tmp_path / "mjob")
+    run_job(fixture_pages, out, shards_per_partition=2, giant_threshold=1 << 17)
+    path = os.path.join(out, "_metrics", "counters.parquet")
+    assert os.path.exists(path)
+    t = pq.read_table(path)
+    assert t.num_rows == 2  # 4 shards / 2 per partition
+    assert "parse_failures" in t.column_names

@@ -125,3 +125,42 @@ def password_strength_flags(col: pa.ChunkedArray | pa.Array) -> pa.Table:
             "has_special": pc.match_substring_regex(col, r"[^A-Za-z0-9]"),
         }
     )
+
+
+# --- misc scalar kernels (SURVEY.md §2.8) ------------------------------------
+
+def iso_parse(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """ISO-8601 parse with the Z→+00:00 fixup (reference
+    api_routes.py:48, models.py:186) — vectorized; returns
+    timestamp[us, UTC]."""
+    fixed = pc.replace_substring_regex(col, pattern="Z$", replacement="+00:00")
+    return pc.strptime(fixed, format="%Y-%m-%dT%H:%M:%S%z", unit="us")
+
+
+def epoch_to_ts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Epoch seconds → timestamp (reference stripe_routes.py:134-135)."""
+    return pc.multiply(col.cast(pa.int64()), 1_000_000).cast(pa.timestamp("us", tz="UTC"))
+
+
+def bytes_to_mb(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Size math MB (reference updater.py:589)."""
+    return pc.divide(col.cast(pa.float64()), 1024.0 * 1024.0)
+
+
+def percent(done, total) -> pa.Array:
+    """Percent progress with zero-guard (reference updater.py:614)."""
+    t = pc.max_element_wise(total.cast(pa.float64()), 1.0)
+    return pc.multiply(pc.divide(done.cast(pa.float64()), t), 100.0)
+
+
+def price_tier(amount_col: pa.ChunkedArray | pa.Array, tiers: list) -> pa.Array:
+    """and/or-chain price-tier ladder (reference stripe_routes.py:79)
+    as a vectorized bucket lookup: tiers = [(threshold, label), ...]
+    sorted ascending; first tier whose threshold >= amount wins."""
+    import numpy as np
+
+    amounts = amount_col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    thresholds = np.array([t for t, _ in tiers], dtype=np.float64)
+    labels = np.array([l for _, l in tiers] + ["over"], dtype=object)
+    idx = np.searchsorted(thresholds, amounts, side="left")
+    return pa.array(labels[idx], pa.string())

@@ -139,7 +139,25 @@ def run_job(
             out_dir, pid, input_shards=shards, row_range=None, counters=counters
         )
         rows.append(counters)
-    return counters_report(rows)
+    report = counters_report(rows)
+    # S6 metrics sink: the counters table rides next to the manifests
+    # (reference update-track event sink, update_routes.py:287-313)
+    if len(report):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..schemas import COUNTERS_SCHEMA
+
+        metrics_dir = os.path.join(out_dir, "_metrics")
+        os.makedirs(metrics_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                report[[f.name for f in COUNTERS_SCHEMA]], preserve_index=False
+            ).cast(COUNTERS_SCHEMA),
+            os.path.join(metrics_dir, "counters.parquet"),
+        )
+    return report
 
 
 # --- SQL-checkable extraction queries over the documents table ---------------

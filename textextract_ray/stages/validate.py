@@ -54,3 +54,23 @@ def split_by_size(ds, threshold: int = GIANT_HTML_BYTES):
         zero_copy_batch=True,
     )
     return small, giant
+
+
+def denylist_filter(ds, denied_hosts):
+    """Broadcast-blocklist filter (A4: the revoked-token set,
+    backend/auth.py:33, as a url-host denylist): the set is put in the
+    object store ONCE and probed per batch with a vectorized is_in on
+    the parsed host — never re-shipped per batch, no shuffle."""
+    import ray
+
+    from ..functions.scalar import url_host
+
+    denied = pa.array(sorted(set(denied_hosts)), pa.string())
+    ref = ray.put(denied)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hosts = url_host(batch["url"])
+        mask = pc.invert(pc.is_in(hosts, value_set=ray.get(ref)))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
