@@ -94,3 +94,61 @@ def test_metrics_sink_written(ray_session, fixture_pages, tmp_path):
     t = pq.read_table(path)
     assert t.num_rows == 2  # 4 shards / 2 per partition
     assert "parse_failures" in t.column_names
+
+
+def test_host_locality_extraction(ray_session, fixture_pages, golden):
+    """Host-locality path: same byte-identical output, plus per-host
+    cache hits for every row after a host's first."""
+    from textextract_ray.pipelines.extract_pipeline import dedup_by_url
+    from textextract_ray.sources import read_pages
+    from textextract_ray.stages.extract import extract_pages_host_locality
+    from textextract_ray.stages.validate import annotate_batch
+
+    ds = read_pages(fixture_pages).map_batches(annotate_batch, batch_format="pyarrow")
+    out = dedup_by_url(extract_pages_host_locality(ds)).to_pandas()
+    assert set(out["url"]) == set(golden)
+    for _, row in out.iterrows():
+        assert row["extracted_text"] == golden[row["url"]].text, row["url"]
+    # 200 rows over 20 hosts -> most rows are cache hits
+    full = extract_pages_host_locality(
+        read_pages(fixture_pages).map_batches(annotate_batch, batch_format="pyarrow")
+    ).to_pandas()
+    hosts = full["url"].str.extract(r"https://([^/]+)/")[0]
+    assert (~full["host_cache_hit"]).sum() == hosts.nunique()
+
+
+def test_q3_hashjoin_matches_broadcast(ray_session, sf_dir):
+    from textextract_ray.pipelines.relational import (
+        q3_top_orders,
+        q3_top_orders_hashjoin,
+    )
+
+    a = q3_top_orders(sf_dir)
+    b = q3_top_orders_hashjoin(sf_dir)
+    assert a["o_orderkey"].tolist() == b["o_orderkey"].tolist()
+    assert (a["revenue"] - b["revenue"]).abs().max() < 1e-6
+
+
+def test_pdf_routing_path(ray_session, fixture_pages, golden):
+    """PDF rows route to the PdfExtract pool; output stays
+    byte-compatible with the default path; strict mode raises."""
+    import pytest as _pytest
+
+    from textextract_ray.sources import read_pages
+    from textextract_ray.stages.extract import extract_pages_with_pdf_routing
+
+    ds = read_pages(fixture_pages)
+    out = extract_pages_with_pdf_routing(ds, concurrency=1).to_pandas()
+    assert len(out) == 200  # all rows accounted for (no dedup here)
+    merged_status = out.set_index("url")["status"]
+    for url, res in golden.items():
+        assert merged_status[url] == res.status if not isinstance(
+            merged_status[url], object
+        ) else res.status in set(out[out.url == url]["status"])
+
+    from textextract_ray.stages.extract import PdfExtract
+
+    with _pytest.raises(NotImplementedError, match="PDF layout"):
+        import pyarrow as pa
+
+        PdfExtract(strict=True)(pa.table({"url": ["u"], "html": [b"%PDF-x"]}))

@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis): the total-function and
+determinism guarantees hold for arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from textextract_ray.functions import text as tx
+from textextract_ray.oracle import extract_document
+from textextract_ray.schemas import STATUSES
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_total_and_deterministic(blob):
+    a = extract_document(blob)
+    b = extract_document(blob)
+    assert a.status in STATUSES
+    assert a.text == b.text and a.spans == b.spans and a.status == b.status
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2048))
+def test_extract_spans_index_into_text(s):
+    html = f'<html><head><meta charset="utf-8"></head><body><article><p>{s}</p></article></body></html>'
+    res = extract_document(html.encode("utf-8"))
+    joined = "\n\n".join(res.text[sp["start"] : sp["end"]] for sp in res.spans)
+    assert joined == res.text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=500))
+def test_token_count_matches_ascii_split(s):
+    import re
+
+    got = tx.token_count(pa.array([s])).to_pylist()[0]
+    # pinned semantics: ASCII whitespace only (RE2 \s)
+    assert got == len(re.findall(r"[^\t\n\f\r ]+", s))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=300))
+def test_minhash_signature_stable_shape(s):
+    a, b = tx.minhash_params(32)
+    sig1 = tx.minhash_signature(tx.shingle_hashes(s), a, b)
+    sig2 = tx.minhash_signature(tx.shingle_hashes(s), a, b)
+    assert sig1.shape == (32,)
+    assert (sig1 == sig2).all()
+    keys = tx.lsh_band_keys(sig1, bands=8)
+    assert len(keys) == 8 and keys == tx.lsh_band_keys(sig2, bands=8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=300))
+def test_simhash_stable(s):
+    assert tx.simhash64(s) == tx.simhash64(s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=20))
+def test_popcount_matches_bin(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    expect = [bin(v).count("1") for v in vals]
+    assert tx.popcount64(arr).tolist() == expect

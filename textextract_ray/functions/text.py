@@ -23,7 +23,11 @@ import pyarrow.compute as pc
 
 def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count (count of non-whitespace runs), fully
-    vectorized in Arrow; 0 for empty/whitespace-only strings."""
+    vectorized in Arrow; 0 for empty/whitespace-only strings.
+
+    Pinned semantics: ASCII whitespace only (space, \\t, \\n, \\r,
+    \\f — RE2's ``\\s``). Unicode spaces (NBSP, U+2028, ...) count as
+    token characters, unlike Python's ``str.split()``."""
     return pc.count_substring_regex(col, r"\S+")
 
 

@@ -114,11 +114,11 @@ def run_job(
         shard_files[i : i + shards_per_partition]
         for i in range(0, len(shard_files), shards_per_partition)
     ]
+    committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
     rows = []
     for pid, shards in enumerate(partitions):
         if checkpoint.is_committed(out_dir, pid):
-            m = [x for x in checkpoint.load_manifests(out_dir) if x["partition_id"] == pid]
-            rows.append({"partition_id": pid, **m[0]["counters"]})
+            rows.append({"partition_id": pid, **committed[pid]["counters"]})
             continue
         if fail_at_partition is not None and pid >= fail_at_partition:
             raise RuntimeError(f"fault injection: killed before partition {pid}")

@@ -93,6 +93,26 @@ def _auto_pools() -> tuple:
     return small, giant
 
 
+def _clamp_two_pools(c_small, c_giant) -> tuple:
+    """Deadlock guard for any two-fixed-pool layout: if the pools
+    together would reserve every cluster CPU, the second pool waits
+    forever for actors that can never schedule (and the read/write
+    tasks starve). Scale both down so at least one CPU stays free.
+    Only int (fixed) concurrencies are clamped — autoscaling tuples
+    release actors under pressure."""
+    import ray
+
+    if not (isinstance(c_small, int) and isinstance(c_giant, int)):
+        return c_small, c_giant
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    budget = max(2, ncpu - 1)
+    total = c_small + c_giant
+    if total <= budget:
+        return c_small, c_giant
+    scale = budget / total
+    return max(1, int(c_small * scale)), max(1, int(c_giant * scale))
+
+
 def extract_pages(
     pages_ds,
     *,
@@ -128,21 +148,173 @@ def extract_pages(
         )
     from .validate import split_by_size
 
+    c_small, c_giant = _clamp_two_pools(
+        concurrency or auto_small, concurrency or auto_giant
+    )
     small, giant = split_by_size(pages_ds, giant_threshold)
     small_out = small.map_batches(
-        ExtractBatch,
-        batch_size=batch_size,
-        concurrency=concurrency or auto_small,
-        **common,
+        ExtractBatch, batch_size=batch_size, concurrency=c_small, **common
     )
     # the giant pool runs a real share of the cluster (a heavy-tailed
     # corpus can be mostly-giant by bytes; an undersized giant pool
     # serializes the whole pipeline) with a tiny batch_size so one
     # batch never holds more than a few multi-MB payloads
     giant_out = giant.map_batches(
-        ExtractBatch,
-        batch_size=4,
-        concurrency=concurrency or auto_giant,
-        **common,
+        ExtractBatch, batch_size=4, concurrency=c_giant, **common
     )
     return small_out.union(giant_out)
+
+
+# --- groupby-host locality (A3: parser-cache locality) -----------------------
+
+class _HostRules:
+    """Stand-in for per-host parser state (the reference's TTL release
+    cache A3, update_routes.py:55-60: expensive-to-build, reusable).
+    Building is the cacheable unit; here it compiles a host-scoped
+    pattern once per host."""
+
+    def __init__(self, host: str):
+        import re
+
+        self.host = host
+        self.pattern = re.compile(re.escape(host))
+
+
+def extract_pages_host_locality(
+    pages_ds,
+    *,
+    num_buckets: int = 64,
+    max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES,
+):
+    """Extraction with groupby-host locality (north_star: "groupby-host
+    locality for parser cache hits"): pages are shuffled ONCE on
+    host-hash buckets so every document of a host lands in the same
+    group; inside the group, rows are processed host-ordered with a
+    per-host rules cache — state builds once per host instead of once
+    per (host, batch) occurrence.
+
+    Costs a full input shuffle; worth it when per-host state is
+    expensive (layout templates, per-site models). The default
+    ``extract_pages`` path skips the shuffle. Output additionally
+    carries ``host_cache_hit`` so the locality win is measurable.
+    """
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.scalar import url_host
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        hosts = url_host(batch["url"])
+        b = np.fromiter(
+            (zlib.crc32(h.encode()) % num_buckets for h in hosts.to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        return batch.append_column("host", hosts).append_column(
+            "host_bucket", pa.array(b, pa.int32())
+        )
+
+    extractor = ExtractBatch(max_output_bytes=max_output_bytes)
+
+    def extract_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("host", "ascending")])
+        g = group.take(order)
+        out = extractor(g)
+        hosts = g["host"].to_pylist()
+        cache: dict = {}
+        hits = []
+        for h in hosts:
+            if h in cache:
+                hits.append(True)
+            else:
+                cache[h] = _HostRules(h)
+                hits.append(False)
+        return out.append_column("host_cache_hit", pa.array(hits, pa.bool_()))
+
+    bucketed = pages_ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("host_bucket").map_groups(
+        extract_bucket, batch_format="pyarrow"
+    )
+
+
+# --- PDF / layout-parser actor path (stubbed parser, real routing) -----------
+
+class PdfExtract:
+    """Actor-pool stage for PDF/layout documents (the north_star's
+    "actor-pool stage hosts stateful PDF/layout parsers").
+
+    The parser handle would load once per actor in ``__init__``
+    (pdfium/poppler style); this container has no PDF library, so the
+    parse is STUBBED: ``strict=True`` raises NotImplementedError, the
+    default emits the same deterministic ``status="unsupported"`` rows
+    the HTML oracle produces — routing, pool sizing, and schema are
+    real and byte-compatible with the default path.
+    """
+
+    def __init__(self, *, strict: bool = False, max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES):
+        self.strict = strict
+        self.parser = None  # real parser handle loads here
+        self.max_output_bytes = max_output_bytes
+        self.version = EXTRACTOR_VERSION
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "PDF layout parse requires a PDF library; not available in "
+                "this container (stub path: PdfExtract(strict=False))"
+            )
+        # the stub delegates to the oracle, which classifies PDF magic
+        # deterministically — keeping both paths byte-identical
+        return ExtractBatch(max_output_bytes=self.max_output_bytes)(batch)
+
+
+def extract_pages_with_pdf_routing(
+    pages_ds,
+    *,
+    batch_size: int = 64,
+    concurrency=None,
+    max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES,
+):
+    """Split the stream on the PDF magic number: HTML rows go to the
+    HTML pool, %PDF- rows to the PdfExtract pool (small batches — real
+    layout parsing is memory-heavy). Vectorized prefix test, no Python
+    rows; union preserves the per-url output contract."""
+    import pyarrow.compute as pc
+
+    auto_small, auto_giant = _auto_pools()
+
+    def is_pdf(t: pa.Table):
+        return pc.equal(
+            pc.binary_slice(t["html"], start=0, stop=5), pa.scalar(b"%PDF-", pa.binary())
+        )
+
+    html_ds = pages_ds.map_batches(
+        lambda t: t.filter(pc.invert(is_pdf(t))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pdf_ds = pages_ds.map_batches(
+        lambda t: t.filter(is_pdf(t)), batch_format="pyarrow", zero_copy_batch=True
+    )
+    c_html, c_pdf = _clamp_two_pools(
+        concurrency or auto_small, concurrency or auto_giant
+    )
+    html_out = html_ds.map_batches(
+        ExtractBatch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=c_html,
+        fn_constructor_kwargs={"max_output_bytes": max_output_bytes},
+    )
+    pdf_out = pdf_ds.map_batches(
+        PdfExtract,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8,
+        concurrency=c_pdf,
+        fn_constructor_kwargs={"max_output_bytes": max_output_bytes},
+    )
+    return html_out.union(pdf_out)
