@@ -56,6 +56,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "session_counts": rel.session_counts,
         "props_extract": rel.props_extract,
+        "running_user_totals": rel.running_user_totals,
+        "recent_events_per_user": rel.recent_events_per_user,
+        "value_median": rel.value_median,
+        "parts_by_brand": rel.parts_by_brand,
+        "supplier_by_nation": rel.supplier_by_nation,
         # text analysis / training-data ops
         "token_stats": tx.token_stats,
         "fingerprints": tx.fingerprints,
@@ -202,6 +207,43 @@ def oracle_sql() -> dict[str, str]:
                        WHERE gap IS NULL OR gap > INTERVAL 30 MINUTE
                    ) AS n_sessions
             FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "running_user_totals": """
+            SELECT user_id, ts, event_id, running_value FROM (
+                SELECT user_id, ts, event_id,
+                       sum(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS running_value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "recent_events_per_user": """
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 3 ORDER BY user_id, ts DESC, event_id DESC
+        """,
+        "value_median": """
+            SELECT event_type, median(value) AS median_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   avg(p_retailprice) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "supplier_by_nation": """
+            SELECT n.n_name, count(*) AS n_suppliers,
+                   sum(s.s_acctbal) AS total_acctbal
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "props_extract": """
             SELECT event_type, count(*) AS n_events,

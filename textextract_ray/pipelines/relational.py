@@ -486,3 +486,107 @@ def props_extract(sf_dir: str):
         )
     )
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+# --- running aggregate over an ordered log (§2.9 replay shape) ---------------
+
+def running_user_totals(sf_dir: str):
+    """Cumulative per-user value over ts-ordered events — the ordered-
+    log replay shape (§2.9): groupby co-locates each user's events, the
+    in-group sort + cumsum is the stateful scan. Returns the final
+    cumulative row per user (deterministic tail)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"])
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum()
+        return g.tail(1)[["user_id", "ts", "event_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(scan, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --- top-k per group (O1 per key) --------------------------------------------
+
+def recent_events_per_user(sf_dir: str, *, k: int = 3):
+    """Latest k events per user (request-history O1 applied per key):
+    per-batch partial top-k, then in-group final top-k — no global
+    sort."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["ts", "event_id"], ascending=False)
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).head(k), preserve_index=False
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["ts", "event_id"], ascending=False).head(k)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], ascending=[True, False, False])
+        .reset_index(drop=True)
+    )
+
+
+# --- exact median per group --------------------------------------------------
+
+def value_median(sf_dir: str):
+    """Exact per-group median (the only aggregate here that cannot
+    pre-combine — medians need the group's values co-located, which is
+    what groupby provides; for approximate at 10^12 rows swap in a
+    mergeable KLL/t-digest sketch per batch)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "median_value": [float(group["value"].median())],
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+# --- part / supplier dimension queries ---------------------------------------
+
+def parts_by_brand(sf_dir: str):
+    """Grouped stats over part (completes table coverage): count, avg
+    retail price, max size per brand."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+    )
+    return out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+
+
+def supplier_by_nation(sf_dir: str):
+    """supplier ⋈ nation broadcast join → per-nation account balance
+    (J1 with the 25-row nation dim broadcast via ray.put)."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(nation)
+    sup = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            ray.get(ref), left_on="s_nationkey", right_on="n_nationkey"
+        )[["n_name", "s_acctbal"]]
+
+    out = (
+        sup.map_batches(probe, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
+        )
+    )
+    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
