@@ -210,51 +210,52 @@ def _parse_blocks(doc: str) -> list:
             return "text"
         return kind_stack[-1] if kind_stack else "text"
 
+    def add_text(text: str):
+        nonlocal cur
+        if pre_depth > 0:
+            if cur is None:
+                cur = _Block(block_kind(), True, chrome_depth > 0)
+            cur.parts.append(_htmllib.unescape(text))
+        elif text.isspace():
+            # word-separating whitespace across inline tags: keep a
+            # single space only if a block is already open
+            if cur is not None:
+                cur.parts.append(" ")
+        else:
+            unescaped = _WS_RUN_RE.sub(" ", _htmllib.unescape(text))
+            if unescaped:
+                if cur is None:
+                    cur = _Block(block_kind(), False, chrome_depth > 0)
+                cur.parts.append(unescaped)
+                if link_depth > 0:
+                    cur.link_chars += len(unescaped.strip())
+
+    # finditer drives the scan in C (every pattern alternative starts
+    # with '<', so matches occur exactly at tag positions and the gaps
+    # between them are text runs); `pos` only jumps AHEAD of the
+    # iterator when a skip-content element swallows its body, and
+    # matches behind `pos` are discarded.
     pos = 0
     n = len(doc)
-    while pos < n:
-        lt = doc.find("<", pos)
-        if lt == -1:
-            lt = n
-        if lt > pos:
-            if skip_depth == 0:
-                text = doc[pos:lt]
-                if pre_depth > 0:
-                    if cur is None:
-                        cur = _Block(block_kind(), True, chrome_depth > 0)
-                    cur.parts.append(_htmllib.unescape(text))
-                elif text.isspace():
-                    # word-separating whitespace across inline tags: keep a
-                    # single space only if a block is already open
-                    if cur is not None:
-                        cur.parts.append(" ")
-                elif text:
-                    unescaped = _WS_RUN_RE.sub(" ", _htmllib.unescape(text))
-                    if unescaped:
-                        if cur is None:
-                            cur = _Block(block_kind(), False, chrome_depth > 0)
-                        cur.parts.append(unescaped)
-                        if link_depth > 0:
-                            cur.link_chars += len(unescaped.strip())
-            pos = lt
-            continue
-        m = _TOKEN_RE.match(doc, lt)
-        if m is None:
-            pos = lt + 1
-            continue
-        g1, g2, g4 = m.group(1, 2, 4)
-        if g2 is None:
+    block_tags = _BLOCK_TAGS
+    for m in _TOKEN_RE.finditer(doc):
+        start = m.start()
+        if start < pos:
+            continue  # inside a consumed script/style/template body
+        if start > pos:
+            add_text(doc[pos:start])
+        pos = m.end()
+        g1, tag, g4 = m.group(1, 2, 4)
+        if tag is None:
             # comment / doctype / PI / stray '<'
-            if m.end() - lt == 1 and skip_depth == 0:
+            if pos - start == 1:
                 if cur is None:
                     cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
                 cur.parts.append("<")
-            pos = m.end()
             continue
         closing = g1 == "/"
-        tag = g2.lower()
+        tag = tag.lower()
         self_closing = g4 == "/" or tag in _VOID_TAGS
-        pos = m.end()
 
         if not closing and tag in _SKIP_CONTENT_TAGS and not self_closing:
             # consume to the matching close tag (or EOF) verbatim
@@ -263,17 +264,16 @@ def _parse_blocks(doc: str) -> list:
             continue
 
         if tag == "br":
-            if skip_depth == 0:
-                if cur is None:
-                    cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
-                cur.parts.append("\n")
+            if cur is None:
+                cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
+            cur.parts.append("\n")
             continue
         if self_closing:
-            if tag in _BLOCK_TAGS:
+            if tag in block_tags:
                 flush()
             continue
         if not closing:
-            if tag in _BLOCK_TAGS:
+            if tag in block_tags:
                 flush()
             stack.append(tag)
             kind_stack.append(kind_of(tag))
@@ -284,7 +284,7 @@ def _parse_blocks(doc: str) -> list:
             elif tag in _CHROME_TAGS:
                 chrome_depth += 1
         else:
-            if tag in _BLOCK_TAGS:
+            if tag in block_tags:
                 flush()
             # pop to the nearest matching open tag; ignore unmatched closes
             if tag in stack:
@@ -299,6 +299,8 @@ def _parse_blocks(doc: str) -> list:
                         chrome_depth = max(0, chrome_depth - 1)
                     if t == tag:
                         break
+    if pos < n:
+        add_text(doc[pos:n])
     flush()
     return blocks
 
