@@ -129,3 +129,13 @@ def test_never_raises_on_garbage():
 def test_min_html_bytes_boundary():
     just_under = b"x" * (MIN_HTML_BYTES - 1)
     assert extract_document(just_under).status == "invalid"
+
+
+def test_datagen_idempotent(tmp_path):
+    """FIXTURES.md §6: regenerating produces byte-identical Parquet."""
+    from textextract_ray.datagen import generate_pages
+
+    a = generate_pages(str(tmp_path / "a"), 60, 3, giant_bytes=1 << 16)
+    b = generate_pages(str(tmp_path / "b"), 60, 3, giant_bytes=1 << 16)
+    for fa, fb in zip(a, b):
+        assert open(fa, "rb").read() == open(fb, "rb").read()
