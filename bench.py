@@ -163,14 +163,14 @@ def scaling() -> None:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        # 2x the default corpus: the scaling measurement needs enough
+        # 3x the default corpus: the scaling measurement needs enough
         # work per CPU that pool ramp-up + the dedup shuffle barrier
         # amortize (same input at both levels; generated once, cached)
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_ONLY="extract",
-            BENCH_ROWS=os.environ.get("BENCH_SCALING_ROWS", "48000"),
+            BENCH_ROWS=os.environ.get("BENCH_SCALING_ROWS", "72000"),
             BENCH_SHARDS="128",
         )
         out = subprocess.run(
