@@ -83,3 +83,31 @@ def test_counters_in_manifest(ray_session, fixture_pages, tmp_path):
         "unsupported_count"
     ] + row["parse_failures"] <= row["docs"] + 1
     assert row["parse_failures"] == 0
+
+
+def test_url_partitioned_layout_global_dedup(ray_session, fixture_pages, tmp_path):
+    """Layout pass + partition-local dedup is GLOBALLY exact: F9
+    cross-shard duplicates collapse even though extraction never does a
+    corpus-wide shuffle."""
+    from textextract_ray.pipelines.extract_pipeline import (
+        partition_pages_by_url,
+        run_job_partitioned,
+    )
+    from textextract_ray.sources import read_pages
+
+    buckets, stats = partition_pages_by_url(
+        fixture_pages, str(tmp_path / "layout"), num_buckets=5
+    )
+    assert len(buckets) == 5
+    assert stats["rows"].sum() == 200
+
+    report = run_job_partitioned(
+        buckets, str(tmp_path / "out"), giant_threshold=1 << 17
+    )
+    assert len(report) == 5
+    full = read_pages(
+        [str(tmp_path / "out" / f"part-{i:05d}") for i in range(5)]
+    ).to_pandas()
+    # global exactness: one output row per unique url across ALL partitions
+    assert full["url"].is_unique
+    assert full["url"].nunique() == 184  # 200 rows - 16 F9 duplicates

@@ -207,3 +207,86 @@ def extract_spans(sf_dir: str):
 
     out = extracted.map_batches(flatten, batch_format="pyarrow")
     return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+# --- url-hash input layout (the 100-TB dedup answer) -------------------------
+
+def partition_pages_by_url(shard_files: list, out_dir: str, *, num_buckets: int = 16):
+    """One-time layout pass: rewrite pages shards into url-hash buckets
+    (``bucket-{b:05d}.parquet``), the crawl-store layout the north_rule
+    assumes ("repartition by url-hash").
+
+    After this pass every occurrence of a url lives in exactly one
+    bucket, so ``run_job_partitioned`` can dedup LOCALLY per partition
+    and still be globally exact — extraction output never needs a
+    corpus-wide shuffle. The layout shuffle itself moves raw pages
+    once; at 100 TB it is amortized across every downstream run (and
+    is exactly the shuffle a crawl ingest already performs).
+    """
+    import os
+    import zlib
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_pages(shard_files)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        b = np.fromiter(
+            (zlib.crc32(u.encode()) % num_buckets for u in urls),
+            dtype=np.int32,
+            count=len(urls),
+        )
+        return batch.append_column("url_bucket", pa.array(b, pa.int32()))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bid = group["url_bucket"][0].as_py()
+        table = group.drop_columns(["url_bucket"])
+        # deterministic row order within the bucket (url is unique per
+        # row up to exact duplicates; warc_ts tie-breaks)
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            table, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        pq.write_table(
+            table.take(order),
+            os.path.join(out_dir, f"bucket-{bid:05d}.parquet"),
+            compression="zstd",
+        )
+        return pa.table({"bucket": pa.array([bid], pa.int32()),
+                         "rows": pa.array([table.num_rows], pa.int64())})
+
+    stats = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("url_bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ), stats
+
+
+def run_job_partitioned(
+    bucket_files: list,
+    out_dir: str,
+    *,
+    batch_size: int = 64,
+    giant_threshold: int | None = 4 * 1024 * 1024,
+) -> pd.DataFrame:
+    """Resumable extraction over a url-hash-partitioned layout
+    (one bucket file per partition): dedup happens inside each
+    partition only, which the layout makes globally exact. This is the
+    configuration that holds at 10^12 documents — no corpus-wide
+    all-to-all at extraction time."""
+    return run_job(
+        bucket_files,
+        out_dir,
+        shards_per_partition=1,
+        batch_size=batch_size,
+        giant_threshold=giant_threshold,
+    )
