@@ -139,3 +139,86 @@ def test_datagen_idempotent(tmp_path):
     b = generate_pages(str(tmp_path / "b"), 60, 3, giant_bytes=1 << 16)
     for fa, fb in zip(a, b):
         assert open(fa, "rb").read() == open(fb, "rb").read()
+
+
+def test_attribute_quoting_edge_cases():
+    """'>' inside quoted attributes must not terminate the tag."""
+    html = (
+        b'<html><meta charset="utf-8"><body><article>'
+        b'<p data-x="a>b" title=\'c>d\'>quoted attribute text survives here intact</p>'
+        b"</article></body></html>"
+    )
+    res = extract_document(html)
+    assert res.status == "ok"
+    assert res.text == "quoted attribute text survives here intact"
+    assert "a>b" not in res.text
+
+
+def test_stray_lt_in_text():
+    """'<' followed by a non-letter is text; '<b' is a tag (browser
+    behavior — it swallows up to the next '>')."""
+    html = (
+        b'<html><meta charset="utf-8"><body><article>'
+        b"<p>math like 1 < 2 stays readable in the output text of this paragraph</p>"
+        b"</article></body></html>"
+    )
+    res = extract_document(html)
+    assert res.status == "ok"
+    assert "1 < 2" in res.text
+    # the a<b case: parsed as an open tag exactly like a browser does
+    html2 = (
+        b'<html><meta charset="utf-8"><body><article>'
+        b"<p>this paragraph is long enough to survive pruning a<b and the tag eats to the next gt sign> tail text</p>"
+        b"</article></body></html>"
+    )
+    res2 = extract_document(html2)
+    assert "a tail text" in res2.text.replace("pruning tail", "pruning  tail") or "tail text" in res2.text
+
+
+def test_unclosed_script_swallows_to_eof():
+    html = (
+        b'<html><meta charset="utf-8"><body><article>'
+        b"<p>real content paragraph before the broken script tag here</p>"
+        b"<script>var x = 'never closed"
+    )
+    res = extract_document(html)
+    assert res.status == "ok"
+    assert "never closed" not in res.text
+    assert "real content" in res.text
+
+
+def test_deep_nesting_no_recursion_error():
+    html = (
+        b'<html><meta charset="utf-8"><body>'
+        + b"<div>" * 5000
+        + b"<p>deeply nested content paragraph that must still be found</p>"
+        + b"</div>" * 5000
+        + b"</body></html>"
+    )
+    res = extract_document(html)
+    assert res.status == "ok"
+    assert "deeply nested" in res.text
+
+
+def test_case_insensitive_tags():
+    html = (
+        b'<HTML><META CHARSET="utf-8"><BODY><ARTICLE>'
+        b"<P>upper case tags are the same as lower case tags here</P>"
+        b"</ARTICLE></BODY></HTML>"
+    )
+    res = extract_document(html)
+    assert res.status == "ok"
+    assert res.text == "upper case tags are the same as lower case tags here"
+
+
+def test_cdata_and_comments_stripped():
+    html = (
+        b'<html><meta charset="utf-8"><body><article>'
+        b"<p>before the markers comes some visible text</p>"
+        b"<!-- comment leak --><![CDATA[cdata leak]]>"
+        b"<p>after the markers comes more visible text</p></article></body></html>"
+    )
+    res = extract_document(html)
+    assert "comment leak" not in res.text
+    assert "cdata leak" not in res.text
+    assert "before the markers" in res.text and "after the markers" in res.text
