@@ -66,25 +66,64 @@ def exact_dedup(ds, text_col: str, id_col: str):
 
 
 
-def _min_keep_per_id(pairs):
-    """Final assignment: smallest keep_id per id. Guards the empty case
-    (zero candidate pairs → map_groups yields a schemaless dataset that
-    a further groupby would reject). Pairs are materialized — they are
-    O(duplicates), tiny relative to the corpus."""
-    import pandas as pd
+def _bucketed_group_apply(ds, group_cols, fn, *, num_buckets: int = 64):
+    """Apply ``fn`` per (group_cols) group WITHOUT paying per-group Ray
+    dispatch: groups are first coarsened into ``num_buckets`` hash
+    buckets (one shuffle, O(buckets) dispatch), then a vectorized
+    pandas groupby inside each bucket applies ``fn`` to real groups.
+    LSH keys are mostly singletons — per-key map_groups costs ~2 ms of
+    dispatch per key, which at millions of keys dwarfs the actual work;
+    this keeps the same shuffle volume with O(num_buckets) dispatch."""
+    import zlib
 
-    pairs = pairs.materialize()
-    if pairs.count() == 0:
-        import ray.data as rd
+    cols = list(group_cols)
 
-        return rd.from_pandas(
-            pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = zip(*(batch[c].to_pylist() for c in cols))
+        b = np.fromiter(
+            (zlib.crc32(repr(k).encode()) % num_buckets for k in keys),
+            dtype=np.int32,
+            count=batch.num_rows,
         )
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
-    def min_keep(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, "keep_id")
+    def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(cols, sort=True):
+            if len(g) >= 2:
+                outs.append(fn(g))
+        if not outs:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
 
-    return pairs.groupby("id").map_groups(min_keep, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
+
+
+def _min_keep_per_id(pairs):
+    """Final assignment: smallest keep_id per id. The pair table is
+    O(duplicates) — tiny relative to the corpus — so the final
+    reduction runs driver-side in pandas instead of paying another
+    all-to-all shuffle (also covers the empty case, where a Ray
+    groupby over a schemaless empty dataset would raise)."""
+    import pandas as pd
+    import ray.data as rd
+
+    df = pairs.to_pandas()
+    if "id" not in df.columns or len(df) == 0:
+        df = pd.DataFrame(
+            {"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")}
+        )
+    else:
+        df = (
+            df.sort_values(["id", "keep_id"])
+            .groupby("id", as_index=False)
+            .first()[["id", "keep_id"]]
+        )
+    return rd.from_pandas(df)
 
 
 # --- MinHash + LSH near-dup --------------------------------------------------
@@ -172,9 +211,7 @@ def minhash_duplicate_assignments(
                 out_keep.append(ids[hits[0]])  # min id: rows sorted by id
         return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
 
-    pairs = sigs.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = _bucketed_group_apply(sigs, ["band_id", "band_key"], bucket_pairs)
     # a doc can appear in many buckets: keep the smallest keep_id per id
     return _min_keep_per_id(pairs)
 
@@ -258,9 +295,7 @@ def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: i
                 out_keep.append(ids[hits[0]])
         return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
 
-    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = _bucketed_group_apply(exploded, ["band_id", "band_key"], bucket_pairs)
     return _min_keep_per_id(pairs)
 
 
@@ -317,7 +352,7 @@ def embedding_duplicate_assignments(
                     out_keep.append(ids[i])
         return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _bucketed_group_apply(bucketed, ["bucket"], bucket_pairs)
     return _min_keep_per_id(pairs)
 
 
