@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": tx.ann_topk,
         "ann_topk_ivf": tx.ann_topk_ivf,
+        "clean_corpus": tx.clean_corpus,
         # multimodal plumbing (stubbed codecs, real Ray stages)
         "image_metadata": tx.image_metadata,
         "media_features": tx.media_features,
@@ -244,6 +245,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(s.s_acctbal) AS total_acctbal
             FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "clean_corpus": """
+            SELECT lang, count(*) AS n_docs FROM (
+                SELECT lang, text, min(doc_id)
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 40 AND length(text) >= 200
+                GROUP BY lang, text
+            ) GROUP BY lang ORDER BY lang
         """,
         "props_extract": """
             SELECT event_type, count(*) AS n_events,

@@ -234,3 +234,34 @@ def frame_samples(sf_dir: str):
 
     df = out.map_batches(sizes, batch_format="pyarrow").to_pandas()
     return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+
+
+def clean_corpus(sf_dir: str, *, min_tokens: int = 40, min_chars: int = 200):
+    """Composed C4-style cleaning pipeline: length filters → exact
+    dedup by content → per-lang survivor counts. Every step is a
+    Dataset op (vectorized filter, one dedup shuffle, partial-agg
+    groupby) and the whole composition is SQL-checkable."""
+    from ..stages.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = token_count(batch["text"])
+        chars = pc.utf8_length(batch["text"])
+        mask = pc.and_(
+            pc.greater_equal(toks, min_tokens), pc.greater_equal(chars, min_chars)
+        )
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = exact_dedup(filtered, "text", "doc_id")
+    out = (
+        deduped.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out
