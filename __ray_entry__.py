@@ -98,32 +98,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    count(*) AS count_order,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "q3_top_orders": """
             SELECT o.o_orderkey,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
             FROM customer c
             JOIN orders o ON o.o_custkey = c.c_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             WHERE c.c_mktsegment = 'BUILDING'
             GROUP BY o.o_orderkey
-            ORDER BY revenue DESC, o.o_orderkey
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
             LIMIT 10
         """,
         "usage_daily": """
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS requests_count,
-                   sum(value) AS total_value,
+                   round(sum(value), 4) AS total_value,
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
             FROM events GROUP BY user_id, day ORDER BY user_id, day
         """,
@@ -168,7 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation_region": """
             SELECT r.r_name, n.n_name,
                    count(*) AS n_customers,
-                   sum(c.c_acctbal) AS total_acctbal
+                   round(sum(c.c_acctbal), 4) AS total_acctbal
             FROM customer c
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -181,19 +181,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE date_trunc('month', ts - INTERVAL 1 MONTH) + INTERVAL 14 DAY
                    END AS period_start,
                    count(*) AS requests_count,
-                   sum(value) AS total_value
+                   round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id, period_start
             ORDER BY user_id, period_start
         """,
         "events_in_range": """
-            SELECT user_id, count(*) AS requests_count, sum(value) AS total_value
+            SELECT user_id, count(*) AS requests_count, round(sum(value), 4) AS total_value
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-02-10'
             GROUP BY user_id ORDER BY user_id
         """,
         "events_hourly_window": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   count(*) AS n_events, sum(value) AS total_value
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,
@@ -212,9 +212,9 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": """
             SELECT user_id, ts, event_id, running_value FROM (
                 SELECT user_id, ts, event_id,
-                       sum(value) OVER (
+                       round(sum(value) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS running_value,
+                       ), 4) AS running_value,
                        row_number() OVER (
                            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
                        ) AS rn
@@ -231,18 +231,18 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3 ORDER BY user_id, ts DESC, event_id DESC
         """,
         "value_median": """
-            SELECT event_type, median(value) AS median_value
+            SELECT event_type, round(median(value), 4) AS median_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
-                   avg(p_retailprice) AS avg_price,
+                   round(avg(p_retailprice), 4) AS avg_price,
                    max(p_size) AS max_size
             FROM part GROUP BY p_brand ORDER BY p_brand
         """,
         "supplier_by_nation": """
             SELECT n.n_name, count(*) AS n_suppliers,
-                   sum(s.s_acctbal) AS total_acctbal
+                   round(sum(s.s_acctbal), 4) AS total_acctbal
             FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
         """,
@@ -257,7 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": """
             SELECT event_type, count(*) AS n_events,
                    sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS total_k,
-                   avg(CAST(json_extract(props, '$.k') AS INTEGER)) AS avg_k
+                   round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "image_metadata": """
@@ -271,7 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT lang, count(*) AS n_docs,
                    sum(len(string_split(text, ' '))) AS total_tokens,
-                   avg(len(string_split(text, ' '))) AS avg_tokens
+                   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "fingerprints": """

@@ -25,6 +25,18 @@ from ..functions.scalar import date_bucket, month_bucket
 from ..sources import read_table
 
 
+def _round_floats(df: pd.DataFrame, ndigits: int = 4) -> pd.DataFrame:
+    """Symmetric float rounding applied to BOTH the Ray result and the
+    DuckDB oracle (round() in the SQL): float aggregates differ from
+    the oracle in the last ulp because addition order differs; rounding
+    both sides to the same grid makes the driver's exact value-hash
+    comparison robust to that."""
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(ndigits)
+    return df
+
+
 # --- G1/G5: grouped aggregate with partial pre-aggregation (TPC-H Q1 shape) --
 
 def q1_pricing_summary(sf_dir: str):
@@ -79,7 +91,7 @@ def q1_pricing_summary(sf_dir: str):
     out = out.drop(columns=["_sum_disc"]).sort_values(
         ["l_returnflag", "l_linestatus"]
     ).reset_index(drop=True)
-    return out
+    return _round_floats(out)
 
 
 # --- J1 + top-k: broadcast join + grouped sum + sort/limit (Q3 shape) --------
@@ -137,7 +149,7 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     out = agg.to_pandas().sort_values(
         ["revenue", "l_orderkey"], ascending=[False, True]
     ).head(k)
-    return out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True)
+    return _round_floats(out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True))
 
 
 def q3_top_orders_hashjoin(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
@@ -180,7 +192,7 @@ def q3_top_orders_hashjoin(sf_dir: str, *, segment: str = "BUILDING", k: int = 1
     out = agg.to_pandas().sort_values(
         ["revenue", "l_orderkey"], ascending=[False, True]
     ).head(k)
-    return out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True)
+    return _round_floats(out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True))
 
 
 # --- G1: daily usage counters over events ------------------------------------
@@ -212,7 +224,7 @@ def usage_daily(sf_dir: str):
             Sum("is_error", alias_name="error_count"),
         )
     )
-    return out.to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True))
 
 
 # --- G2/M11: monthly window sum ---------------------------------------------
@@ -364,7 +376,7 @@ def customer_nation_region(sf_dir: str):
             Sum("c_acctbal", alias_name="total_acctbal"),
         )
     )
-    return out.to_pandas().sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values(["r_name", "n_name"]).reset_index(drop=True))
 
 
 # --- G3: anchored-period windowed sum ----------------------------------------
@@ -392,7 +404,7 @@ def period_usage(sf_dir: str, *, anchor_day: int = 15):
         .groupby(["user_id", "period_start"])
         .aggregate(Count(alias_name="requests_count"), Sum("value", alias_name="total_value"))
     )
-    return (
+    return _round_floats(
         out.to_pandas().sort_values(["user_id", "period_start"]).reset_index(drop=True)
     )
 
@@ -414,7 +426,7 @@ def events_in_range(sf_dir: str, *, lo: str = "2024-01-10", hi: str = "2024-02-1
     agg = ds.groupby("user_id").aggregate(
         Count(alias_name="requests_count"), Sum("value", alias_name="total_value")
     )
-    return agg.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return _round_floats(agg.to_pandas().sort_values("user_id").reset_index(drop=True))
 
 
 # --- streaming-shaped: tumbling window ---------------------------------------
@@ -436,7 +448,7 @@ def events_hourly_window(sf_dir: str):
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     )
-    return (
+    return _round_floats(
         out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
     )
 
@@ -485,7 +497,7 @@ def props_extract(sf_dir: str):
             Mean("k", alias_name="avg_k"),
         )
     )
-    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values("event_type").reset_index(drop=True))
 
 
 # --- running aggregate over an ordered log (§2.9 replay shape) ---------------
@@ -503,7 +515,7 @@ def running_user_totals(sf_dir: str):
         return g.tail(1)[["user_id", "ts", "event_id", "running_value"]]
 
     out = ds.groupby("user_id").map_groups(scan, batch_format="pandas")
-    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values("user_id").reset_index(drop=True))
 
 
 # --- top-k per group (O1 per key) --------------------------------------------
@@ -553,7 +565,7 @@ def value_median(sf_dir: str):
         )
 
     out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
-    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values("event_type").reset_index(drop=True))
 
 
 # --- part / supplier dimension queries ---------------------------------------
@@ -567,7 +579,7 @@ def parts_by_brand(sf_dir: str):
         Mean("p_retailprice", alias_name="avg_price"),
         Max("p_size", alias_name="max_size"),
     )
-    return out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values("p_brand").reset_index(drop=True))
 
 
 def supplier_by_nation(sf_dir: str):
@@ -589,4 +601,4 @@ def supplier_by_nation(sf_dir: str):
             Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
         )
     )
-    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
+    return _round_floats(out.to_pandas().sort_values("n_name").reset_index(drop=True))

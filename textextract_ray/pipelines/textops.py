@@ -42,7 +42,9 @@ def token_stats(sf_dir: str):
             Mean("n_tokens", alias_name="avg_tokens"),
         )
     )
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["avg_tokens"] = df["avg_tokens"].round(4)
+    return df
 
 
 def fingerprints(sf_dir: str):
