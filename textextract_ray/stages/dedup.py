@@ -50,18 +50,40 @@ def add_content_hash(text_col: str):
     return kernel
 
 
-def exact_dedup(ds, text_col: str, id_col: str):
+def exact_dedup(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
     """Keep exactly one row per distinct ``text_col`` value — the row
     with the smallest ``id_col`` (deterministic winner; reference
-    uniqueness-check idiom D2). Hash-partition + per-group first:
-    the groupby on the md5 column is the one all-to-all shuffle."""
+    uniqueness-check idiom D2). Hash-partition + per-group first.
+
+    The shuffle key is a coarse bucket of the md5 (one all-to-all,
+    O(num_buckets) group dispatch); the min-id winner per exact hash is
+    a vectorized pandas pass inside each bucket — per-distinct-value
+    map_groups dispatch would dominate at corpus scale."""
+    import zlib
+
     hashed = ds.map_batches(add_content_hash(text_col), batch_format="pyarrow")
 
-    def take_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (
+                zlib.crc32(h.encode()) % num_buckets
+                for h in batch["content_hash"].to_pylist()
+            ),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
-    out = hashed.groupby("content_hash").map_groups(take_min, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    def min_per_hash(bucket: pd.DataFrame) -> pd.DataFrame:
+        idx = bucket.groupby("content_hash")[id_col].idxmin()
+        return bucket.loc[idx].drop(columns=["content_hash", "_bucket"])
+
+    out = (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(min_per_hash, batch_format="pandas")
+    )
+    return out
 
 
 
