@@ -293,11 +293,24 @@ def latest_release_per_user(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
-        return g.head(1)
+    # coarse-bucket the final reduction: per-custkey map_groups dispatch
+    # is O(customers); a vectorized pandas idxmax inside ~64 buckets is
+    # O(buckets) dispatch with identical output
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import numpy as np
 
-    out = partials.groupby("o_custkey").map_groups(final, batch_format="pandas")
+        b = (batch["o_custkey"].to_numpy(zero_copy_only=False) % 64).astype("int32")
+        return batch.append_column("_bucket", pa.array(b))
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
+        return g.groupby("o_custkey", as_index=False).head(1).drop(columns=["_bucket"])
+
+    out = (
+        partials.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )
     return (
         out.to_pandas()[["o_custkey", "o_orderkey", "o_orderdate"]]
         .sort_values("o_custkey")
