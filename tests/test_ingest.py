@@ -1,0 +1,42 @@
+"""Incremental ingest: cross-increment dedup + restart index rebuild."""
+
+from __future__ import annotations
+
+
+def test_incremental_ingest(ray_session, fixture_pages, tmp_path):
+    from textextract_ray.pipelines.ingest import run_ingest
+    from textextract_ray.sources import read_pages
+
+    out = str(tmp_path / "ingest")
+    # increment 0: shards 0-1; increment 1: shards 1-3 (shard 1 repeats!)
+    increments = [fixture_pages[0:2], fixture_pages[1:4]]
+    report = run_ingest(increments, out)
+    assert len(report) == 2
+
+    full = read_pages([str(tmp_path / "ingest" / f"part-{i:05d}") for i in range(2)]).to_pandas()
+    # every url extracted exactly once despite shard 1 arriving twice
+    assert full["url"].is_unique
+    # all unique urls across shards 0-3 are covered
+    all_urls = set(read_pages(fixture_pages[0:4]).to_pandas()["url"])
+    assert set(full["url"]) == all_urls
+
+
+def test_ingest_restart_rebuilds_index(ray_session, fixture_pages, tmp_path):
+    from textextract_ray.pipelines.ingest import (
+        SeenUrlIndex,
+        ingest_increment,
+        rebuild_index,
+    )
+    from textextract_ray.sources import read_pages
+
+    out = str(tmp_path / "ingest2")
+    idx1 = SeenUrlIndex(num_shards=4)
+    ingest_increment(fixture_pages[0:2], out, idx1, increment_id=0, giant_threshold=1 << 17)
+
+    # "process restart": fresh index, rebuilt from committed output
+    idx2 = SeenUrlIndex(num_shards=4)
+    n = rebuild_index(out, idx2)
+    assert n == 1
+    ingest_increment(fixture_pages[0:4], out, idx2, increment_id=1, giant_threshold=1 << 17)
+    full = read_pages([f"{out}/part-00000", f"{out}/part-00001"]).to_pandas()
+    assert full["url"].is_unique

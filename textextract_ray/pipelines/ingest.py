@@ -1,0 +1,88 @@
+"""Incremental ingest: extract only never-before-seen urls.
+
+The production shape for a recurring crawl drop: each increment
+(a batch of new WARC-derived shards) streams through the same
+validate → extract pipeline, but urls already extracted by ANY earlier
+increment are dropped up front via the sharded seen-url index
+(state/seen_index.py — the one raw-actor component). Each increment
+commits as its own checkpoint partition, so a killed ingest resumes
+and the index is rebuilt from committed output (never trusted blindly
+across process restarts).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..sources import read_pages
+from ..state import checkpoint
+from ..state.seen_index import SeenUrlIndex, streaming_dedup
+from ..stages.metrics import aggregate_counters, counters_report
+from .extract_pipeline import extract_dataset
+
+
+def rebuild_index(out_dir: str, index: SeenUrlIndex) -> int:
+    """Warm the index from already-committed partitions (restart path):
+    stream ONLY the url column of prior output through check_and_add."""
+    import ray
+
+    manifests = checkpoint.load_manifests(out_dir)
+    total = 0
+    for m in manifests:
+        pdir = checkpoint.partition_dir(out_dir, m["partition_id"])
+        urls_ds = read_pages(pdir, columns=["url"])
+        streaming_dedup(urls_ds, index, run_id=f"rebuild-{m['partition_id']}").count()  # populate shards
+        total += 1
+    return total
+
+
+def ingest_increment(
+    shard_files: list,
+    out_dir: str,
+    index: SeenUrlIndex,
+    *,
+    increment_id: int,
+    batch_size: int = 64,
+    giant_threshold: int | None = 4 * 1024 * 1024,
+) -> dict:
+    """Process one increment: drop seen urls, extract the rest, commit
+    as partition ``increment_id``. Returns the increment's counters."""
+    if checkpoint.is_committed(out_dir, increment_id):
+        m = [
+            x
+            for x in checkpoint.load_manifests(out_dir)
+            if x["partition_id"] == increment_id
+        ]
+        return m[0]["counters"]
+    checkpoint.clean_uncommitted(out_dir, increment_id)
+    ds = read_pages(shard_files)
+    fresh = streaming_dedup(ds, index, run_id=f"increment-{increment_id}")
+    extracted = extract_dataset(
+        fresh,
+        batch_size=batch_size,
+        giant_threshold=giant_threshold,
+        dedup=False,  # the index already guarantees per-url uniqueness
+    )
+    pdir = checkpoint.partition_dir(out_dir, increment_id)
+    extracted.write_parquet(pdir)
+    counters = aggregate_counters(read_pages(pdir), increment_id)
+    checkpoint.commit_partition(
+        out_dir,
+        increment_id,
+        input_shards=shard_files,
+        row_range=None,
+        counters=counters,
+    )
+    return counters
+
+
+def run_ingest(increments: list, out_dir: str, *, num_index_shards: int = 8) -> pd.DataFrame:
+    """Drive a sequence of increments (list of shard-file lists) through
+    one shared index; resumable per increment."""
+    index = SeenUrlIndex(num_shards=num_index_shards)
+    rebuild_index(out_dir, index)
+    rows = [
+        ingest_increment(files, out_dir, index, increment_id=i)
+        for i, files in enumerate(increments)
+    ]
+    return counters_report(rows)

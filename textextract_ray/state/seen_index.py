@@ -8,19 +8,27 @@ last week's output).
 
 Design: N index-shard actors, urls routed by crc32(url) % N (the same
 hash family as the layout pass, so one url always hits one shard).
-``check_and_add`` is atomic per shard — within a shard, the first
-caller to present a url wins, every later caller is told "dup". Batches
-probe their shards with one RPC per (batch, shard) pair, not per row.
+Shard methods execute serially per actor — that is the check-and-claim
+atomicity.
 
-Scale notes: per-shard memory is a Python set of url strings — swap for
-a Bloom filter / RocksDB-backed set per shard when the corpus outgrows
-RAM; the interface stays. Throughput scales with N shards. Within a
-single bounded run, prefer ``dedup_by_url`` (a shuffle beats N×RPC);
-the index earns its cost only across runs.
+IDEMPOTENCE (the subtle part): a Ray map task can run MORE THAN ONCE
+over the same rows — task retries, or plan fan-out re-executing a
+shared upstream. A naive seen-set would drop those rows on the second
+execution and silently lose data. Instead each url is CLAIMED by an
+owner token derived from the batch's content (hash of its sorted url
+list): re-executing the same batch presents the same owner and keeps
+its rows; any other batch presenting the url is told to drop it.
+
+Scale notes: per-shard memory is a Python dict url→owner — swap for a
+RocksDB-backed map per shard when the corpus outgrows RAM; the
+interface stays. Throughput scales with shard count. Within a single
+bounded run, prefer ``dedup_by_url`` (a shuffle beats N×RPC per batch);
+the index earns its cost only across runs/increments.
 """
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import pyarrow as pa
@@ -28,29 +36,29 @@ import pyarrow as pa
 import ray
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class SeenUrlShard:
-    """One shard of the index. Actor methods execute serially per
-    actor, which is exactly the atomicity the check-and-add needs."""
+    """One shard of the index. num_cpus=0: a memory cell doing dict
+    lookups must never compete with extraction pools / read tasks for
+    CPU slots (reserving even 0.1×shards can starve a small cluster
+    into deadlock)."""
 
     def __init__(self):
-        self._seen = set()
+        self._owner: dict = {}
 
-    def check_and_add(self, urls: list) -> list:
-        """For each url: True if it was already present (duplicate),
-        False if newly added by this call."""
-        seen = self._seen
+    def claim(self, urls: list, owner: str) -> list:
+        """For each url: True if this owner holds (or just acquired)
+        the claim — keep the row; False if another owner holds it —
+        drop. Idempotent for re-presentation by the same owner."""
+        table = self._owner
         out = []
         for u in urls:
-            if u in seen:
-                out.append(True)
-            else:
-                seen.add(u)
-                out.append(False)
+            holder = table.setdefault(u, owner)
+            out.append(holder == owner)
         return out
 
     def size(self) -> int:
-        return len(self._seen)
+        return len(self._owner)
 
 
 class SeenUrlIndex:
@@ -64,33 +72,60 @@ class SeenUrlIndex:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
 
-def streaming_dedup(ds, index: SeenUrlIndex):
-    """Drop rows whose url was already seen by ANY prior run that used
-    the same index (and dedup within this run, first-wins per shard).
+def streaming_dedup(ds, index: SeenUrlIndex, run_id: str):
+    """Drop rows whose url is claimed by any other batch/run sharing
+    the same index; keep exactly one claimant per url. Within a batch,
+    later duplicates of a url are dropped locally.
 
-    Each batch makes one ``check_and_add`` RPC per touched shard.
-    Note: unlike ``dedup_by_url`` this is arrival-order dependent
-    across racing batches — fine for ingest (any single copy is
-    acceptable; rows for a url are identical), wrong for workloads
-    needing a value-deterministic winner.
+    Safe under task re-execution: the owner token hashes ``run_id``
+    PLUS the batch's url set, so a retried task (same run, same batch
+    content) reclaims its own rows, while a different run presenting
+    the same urls is refused. ``run_id`` must be stable for the run and
+    unique across runs (e.g. the increment id) — content alone is NOT
+    enough: two runs can produce identically-composed batches (think
+    single-row batches of the same url), which would collide and leak
+    duplicates through.
+
+    Unlike ``dedup_by_url`` the surviving copy is arrival-order
+    dependent across racing batches — fine for ingest (rows for a url
+    are identical), wrong when a value-deterministic winner is needed.
     """
     shards = index.shards
     n = index.num_shards
 
     def filter_seen(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        by_shard: dict = {}
+        # owner = run_id + full batch content (Arrow IPC bytes): a
+        # retried/re-executed task presents bit-identical content and
+        # reclaims; any other batch is refused. Residual caveat: two
+        # DISTINCT batches with bit-identical full content collide —
+        # but then their rows are identical too, so the failure mode is
+        # a redundant identical row (catchable by dedup_by_url), never
+        # data loss. Hashing cost is ~GB/s, negligible next to parsing.
+        import io
+
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_table(batch)
+        owner = hashlib.blake2b(
+            run_id.encode() + b"\x00" + sink.getbuffer(), digest_size=16
+        ).hexdigest()
+        # local first-occurrence wins within the batch
+        first_idx: dict = {}
         for i, u in enumerate(urls):
-            by_shard.setdefault(zlib.crc32(u.encode()) % n, []).append(i)
-        keep = [True] * len(urls)
+            first_idx.setdefault(u, i)
+        by_shard: dict = {}
+        for u, i in first_idx.items():
+            by_shard.setdefault(zlib.crc32(u.encode()) % n, []).append((u, i))
+        keep = [False] * len(urls)
         futures = {
-            sid: shards[sid].check_and_add.remote([urls[i] for i in idxs])
-            for sid, idxs in by_shard.items()
+            sid: shards[sid].claim.remote([u for u, _ in pairs], owner)
+            for sid, pairs in by_shard.items()
         }
-        for sid, idxs in by_shard.items():
-            dup_flags = ray.get(futures[sid])
-            for i, dup in zip(idxs, dup_flags):
-                keep[i] = not dup
+        for sid, pairs in by_shard.items():
+            flags = ray.get(futures[sid])
+            for (u, i), ok in zip(pairs, flags):
+                keep[i] = ok
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(filter_seen, batch_format="pyarrow")
