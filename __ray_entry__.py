@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_nation": rel.supplier_by_nation,
         # text analysis / training-data ops
         "token_stats": tx.token_stats,
+        "bpe_token_stats": tx.bpe_token_stats,
         "fingerprints": tx.fingerprints,
         "quality_scores": tx.quality_scores,
         "language_id": tx.language_id,
@@ -272,6 +273,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    sum(len(string_split(text, ' '))) AS total_tokens,
                    round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_stats": """
+            SELECT lang,
+                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]'))) AS total_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "fingerprints": """

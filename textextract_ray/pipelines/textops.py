@@ -47,6 +47,31 @@ def token_stats(sf_dir: str):
     return df
 
 
+def bpe_token_stats(sf_dir: str):
+    """BPE-ish token-count proxy per lang (GPT-2-style pre-tokenizer
+    shape: letter runs + single digits + punctuation marks)."""
+    from ..functions.text import bpeish_token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_bpe_tokens": pa.array(
+                    bpeish_token_count(batch["text"].to_pylist()), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n_bpe_tokens", alias_name="total_bpe_tokens"))
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
 def fingerprints(sf_dir: str):
     """md5 content fingerprint per document (the stable per-row
     identity M10 analogue; byte-parity with DuckDB md5())."""
