@@ -152,3 +152,16 @@ def test_pdf_routing_path(ray_session, fixture_pages, golden):
         import pyarrow as pa
 
         PdfExtract(strict=True)(pa.table({"url": ["u"], "html": [b"%PDF-x"]}))
+
+
+def test_schema_validation_fails_fast(ray_session):
+    """A malformed pages table (wrong column types) fails at the
+    boundary with a named stage, not deep inside an actor."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from textextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    bad = rd.from_items([{"url": 1, "bogus": "x"}])
+    with _pytest.raises(Exception, match="schema mismatch|KeyError|Field"):
+        extract_dataset(bad).to_pandas()

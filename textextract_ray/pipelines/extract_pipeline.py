@@ -26,8 +26,22 @@ def extract_dataset(
     concurrency=None,
     giant_threshold: int | None = None,
     dedup: bool = True,
+    validate_schema: bool = True,
 ):
-    """pages Dataset -> extracted Dataset, optionally url-deduped."""
+    """pages Dataset -> extracted Dataset, optionally url-deduped.
+
+    ``validate_schema`` casts every batch to PAGES_SCHEMA at the
+    pipeline boundary (explicit DDL-style validation — no inference at
+    10^12 rows; a wrong column type fails fast with the stage name,
+    not deep inside an actor)."""
+    if validate_schema:
+        from ..schemas import PAGES_SCHEMA, validate_table
+
+        pages_ds = pages_ds.map_batches(
+            lambda t: validate_table(t, PAGES_SCHEMA, where="extract_dataset input"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     annotated = pages_ds.map_batches(
         annotate_batch, batch_format="pyarrow", zero_copy_batch=True
     )
