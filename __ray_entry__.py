@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": tx.token_stats,
         "bpe_token_stats": tx.bpe_token_stats,
         "fingerprints": tx.fingerprints,
+        "normalized_fingerprints": tx.normalized_fingerprints,
+        "host_doc_counts": tx.host_doc_counts,
         "quality_scores": tx.quality_scores,
         "language_id": tx.language_id,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
@@ -300,6 +302,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id FROM scored WHERE rn <= 10
             ORDER BY query_id, vec_id
+        """,
+        "normalized_fingerprints": """
+            SELECT doc_id, md5(nfc_normalize(text)) AS norm_fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "host_doc_counts": """
+            SELECT concat('host', CAST(doc_id % 20 AS VARCHAR), '.example') AS host,
+                   count(*) AS n_pages
+            FROM documents GROUP BY host ORDER BY host
         """,
         # quality_scores / language_id / near-dup sketches / ANN-IVF:
         # non-SQL-expressible (heuristic + sketch ops) → rows-only check;

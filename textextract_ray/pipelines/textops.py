@@ -292,3 +292,43 @@ def clean_corpus(sf_dir: str, *, min_tokens: int = 40, min_chars: int = 200):
         .reset_index(drop=True)
     )
     return out
+
+
+def normalized_fingerprints(sf_dir: str):
+    """Unicode NFC normalization (the decode-canonicalization family
+    M3 as a standalone op) + md5 of the normalized text — parity with
+    DuckDB md5(nfc_normalize(text))."""
+    import unicodedata
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = [unicodedata.normalize("NFC", t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_fingerprint": pa.array(md5_hex(texts), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def host_doc_counts(sf_dir: str):
+    """Per-host page counts over the synthesized pages: the vectorized
+    url→host kernel (functions.scalar.url_host) + grouped count."""
+    from ..functions.scalar import url_host
+    from ..pipelines.extract_pipeline import _documents_as_pages
+
+    pages = _documents_as_pages(sf_dir)
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": url_host(batch["url"])})
+
+    out = (
+        pages.map_batches(hosts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(Count(alias_name="n_pages"))
+    )
+    return out.to_pandas().sort_values("host").reset_index(drop=True)
