@@ -37,13 +37,18 @@ def extract_dataset(
     if validate_schema:
         from ..schemas import PAGES_SCHEMA, validate_table
 
-        pages_ds = pages_ds.map_batches(
-            lambda t: validate_table(t, PAGES_SCHEMA, where="extract_dataset input"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        def validate_and_annotate(t: pa.Table) -> pa.Table:
+            # fused into one stage: an extra map pass just for the cast
+            # costs a full extra traversal of the html bytes
+            return annotate_batch(
+                validate_table(t, PAGES_SCHEMA, where="extract_dataset input")
+            )
+
+        stage_fn = validate_and_annotate
+    else:
+        stage_fn = annotate_batch
     annotated = pages_ds.map_batches(
-        annotate_batch, batch_format="pyarrow", zero_copy_batch=True
+        stage_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     extracted = extract_pages(
         annotated,
