@@ -40,3 +40,18 @@ def test_ingest_restart_rebuilds_index(ray_session, fixture_pages, tmp_path):
     ingest_increment(fixture_pages[0:4], out, idx2, increment_id=1, giant_threshold=1 << 17)
     full = read_pages([f"{out}/part-00000", f"{out}/part-00001"]).to_pandas()
     assert full["url"].is_unique
+
+
+def test_fully_duplicate_increment_commits_empty(ray_session, fixture_pages, tmp_path):
+    """An increment whose urls were ALL seen before must commit an
+    empty partition instead of crashing (the re-crawl scenario)."""
+    from textextract_ray.pipelines.ingest import SeenUrlIndex, ingest_increment
+    from textextract_ray.state.checkpoint import is_committed
+
+    out = str(tmp_path / "dupinc")
+    idx = SeenUrlIndex(num_shards=2)
+    ingest_increment(fixture_pages[0:2], out, idx, increment_id=0, giant_threshold=1 << 17)
+    # same shards again as increment 1: everything is a duplicate
+    c = ingest_increment(fixture_pages[0:2], out, idx, increment_id=1, giant_threshold=1 << 17)
+    assert is_committed(out, 1)
+    assert c["docs"] == 0

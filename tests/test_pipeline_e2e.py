@@ -165,3 +165,28 @@ def test_schema_validation_fails_fast(ray_session):
     bad = rd.from_items([{"url": 1, "bogus": "x"}])
     with _pytest.raises(Exception, match="schema mismatch|KeyError|Field"):
         extract_dataset(bad).to_pandas()
+
+
+def test_null_html_rows_not_dropped(ray_session):
+    """A null html row must flow through BOTH the size-split and the
+    pdf-routing paths as status='invalid' — never silently vanish."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.datagen import EPOCH_US
+    from textextract_ray.pipelines.extract_pipeline import extract_dataset
+    from textextract_ray.schemas import PAGES_SCHEMA
+    from textextract_ray.stages.extract import extract_pages_with_pdf_routing
+    from textextract_ray.stages.validate import annotate_batch
+
+    rows = [
+        {"url": "https://h/ok", "warc_ts": EPOCH_US, "html": b"x" * 100, "text": "", "lang": "en"},
+        {"url": "https://h/null", "warc_ts": EPOCH_US, "html": None, "text": "", "lang": "en"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    out = extract_dataset(ds, giant_threshold=64, dedup=False).to_pandas()
+    assert set(out["url"]) == {"https://h/ok", "https://h/null"}
+    assert out.set_index("url").loc["https://h/null", "status"] == "invalid"
+
+    out2 = extract_pages_with_pdf_routing(ds, concurrency=1).to_pandas()
+    assert set(out2["url"]) == {"https://h/ok", "https://h/null"}

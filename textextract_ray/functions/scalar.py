@@ -164,3 +164,23 @@ def price_tier(amount_col: pa.ChunkedArray | pa.Array, tiers: list) -> pa.Array:
     labels = np.array([l for _, l in tiers] + ["over"], dtype=object)
     idx = np.searchsorted(thresholds, amounts, side="left")
     return pa.array(labels[idx], pa.string())
+
+
+def crc32_bucket(values, num_buckets: int) -> "np.ndarray":
+    """THE bucket hash for every hash-partition step in this engine
+    (url dedup, layout pass, LSH coarse buckets, host locality):
+    crc32(utf-8 bytes) % num_buckets as int32. One shared definition —
+    the url-hash LAYOUT (partition_pages_by_url) and the url-hash DEDUP
+    (dedup_by_url) must agree on the hash family for partition-local
+    dedup to be globally exact, so neither may drift independently."""
+    import zlib
+
+    return np.fromiter(
+        (
+            zlib.crc32(v.encode() if isinstance(v, str) else repr(v).encode())
+            % num_buckets
+            for v in values
+        ),
+        dtype=np.int32,
+        count=len(values) if hasattr(values, "__len__") else -1,
+    )

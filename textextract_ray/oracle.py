@@ -379,11 +379,12 @@ def extract_document(
         budget = max_output_bytes
         for text, kind in kept:
             nbytes = len(text.encode("utf-8"))
-            if budget is not None and nbytes > budget:
+            sep = 2 if out_parts else 0  # the "\n\n" joiner is charged too
+            if budget is not None and nbytes + sep > budget:
                 status = "truncated"
                 break
             if out_parts:
-                offset += 2  # "\n\n" separator
+                offset += 2
                 if budget is not None:
                     budget -= 2
             out_parts.append(text)

@@ -79,17 +79,12 @@ def dedup_by_url(extracted_ds, *, num_buckets: int = 256):
     At cluster scale, raise num_buckets so one bucket's rows fit a
     worker's heap (buckets ≈ total_rows / 2M is a good start).
     """
-    import zlib
-
     import numpy as np
 
+    from ..functions.scalar import crc32_bucket
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        b = np.fromiter(
-            (zlib.crc32(u.encode()) % num_buckets for u in urls),
-            dtype=np.int32,
-            count=len(urls),
-        )
+        b = crc32_bucket(batch["url"].to_pylist(), num_buckets)
         return batch.append_column("url_bucket", pa.array(b, pa.int32()))
 
     def first_per_url(bucket: pa.Table) -> pa.Table:
@@ -101,6 +96,27 @@ def dedup_by_url(extracted_ds, *, num_buckets: int = 256):
     return bucketed.groupby("url_bucket").map_groups(
         first_per_url, batch_format="pyarrow"
     )
+
+
+def _ensure_partition_dir(pdir: str) -> None:
+    """write_parquet of an EMPTY dataset creates no directory at all
+    (verified on this Ray version) — an all-duplicate or all-filtered
+    partition would then crash the read-back verify. Materialize the
+    empty partition as one zero-row parquet file with the output
+    schema so downstream reads and counters see a real (empty) table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..schemas import EXTRACTED_SCHEMA
+
+    if not os.path.isdir(pdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(pdir)
+    ):
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            EXTRACTED_SCHEMA.empty_table(), os.path.join(pdir, "empty-0.parquet")
+        )
 
 
 def run_job(
@@ -152,6 +168,7 @@ def run_job(
         )
         pdir = checkpoint.partition_dir(out_dir, pid)
         extracted.write_parquet(pdir)
+        _ensure_partition_dir(pdir)
         written = read_pages(pdir)  # write-verify (clipboard read-back idiom S3)
         counters = aggregate_counters(written, pid)
         checkpoint.commit_partition(
@@ -243,20 +260,14 @@ def partition_pages_by_url(shard_files: list, out_dir: str, *, num_buckets: int 
     is exactly the shuffle a crawl ingest already performs).
     """
     import os
-    import zlib
 
-    import numpy as np
+    from ..functions.scalar import crc32_bucket
 
     os.makedirs(out_dir, exist_ok=True)
     ds = read_pages(shard_files)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        b = np.fromiter(
-            (zlib.crc32(u.encode()) % num_buckets for u in urls),
-            dtype=np.int32,
-            count=len(urls),
-        )
+        b = crc32_bucket(batch["url"].to_pylist(), num_buckets)
         return batch.append_column("url_bucket", pa.array(b, pa.int32()))
 
     def write_bucket(group: pa.Table) -> pa.Table:

@@ -56,7 +56,11 @@ def ingest_increment(
         return m[0]["counters"]
     checkpoint.clean_uncommitted(out_dir, increment_id)
     ds = read_pages(shard_files)
-    fresh = streaming_dedup(ds, index, run_id=f"increment-{increment_id}")
+    # materialize: the claim stage is side-effecting, and the giant-doc
+    # split downstream would re-execute it in each branch; pinning the
+    # deduped blocks in the object store makes the claims run exactly
+    # once per increment (blocks spill to disk if they outgrow memory)
+    fresh = streaming_dedup(ds, index, run_id=f"increment-{increment_id}").materialize()
     extracted = extract_dataset(
         fresh,
         batch_size=batch_size,
@@ -65,6 +69,9 @@ def ingest_increment(
     )
     pdir = checkpoint.partition_dir(out_dir, increment_id)
     extracted.write_parquet(pdir)
+    from .extract_pipeline import _ensure_partition_dir
+
+    _ensure_partition_dir(pdir)  # all-duplicate increment -> empty table
     counters = aggregate_counters(read_pages(pdir), increment_id)
     checkpoint.commit_partition(
         out_dir,

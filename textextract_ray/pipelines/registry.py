@@ -51,16 +51,34 @@ def with_error_capture(fn):
     """Middleware: never let a stage kill the job — failures become a
     ``_stage_error`` string column on an otherwise-passed-through
     batch, and every batch gets ``_stage_ms`` timing (the decorator
-    chain's timing/error capture as columns)."""
+    chain's timing/error capture as columns).
+
+    Schema contract: if ``fn`` ADDS columns, a failed batch is
+    null-filled to the schema of the first successful batch this worker
+    saw, so blocks stay union-compatible. A stage that fails on its
+    very first batch in every worker before any success still yields
+    the input schema — callers needing a hard guarantee should emit
+    their own columns inside ``fn``'s error path instead."""
+
+    seen_schema: dict = {}
 
     def wrapped(batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         try:
             out = fn(batch)
             err = ""
+            if "schema" not in seen_schema:
+                seen_schema["schema"] = out.schema
         except Exception as exc:
             out = batch
             err = f"{type(exc).__name__}: {exc}"
+            ref = seen_schema.get("schema")
+            if ref is not None:
+                for f in ref:
+                    if f.name not in out.column_names:
+                        out = out.append_column(
+                            f.name, pa.nulls(out.num_rows, f.type)
+                        )
         ms = int((time.perf_counter() - t0) * 1000)
         n = out.num_rows
         if "_stage_error" in out.column_names:

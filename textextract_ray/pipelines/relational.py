@@ -402,12 +402,24 @@ def period_usage(sf_dir: str, *, anchor_day: int = 15):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
+        # anchor clamps to each month's length (Jan 31 → Feb 28/29 …)
+        # exactly like functions.scalar.anchored_period — without the
+        # clamp an anchor_day >= 29 can compute a period_start AFTER
+        # the event itself
         df = batch.to_pandas()
         ts = df["ts"]
-        day = ts.dt.day
-        start_month = ts.dt.to_period("M").where(day >= anchor_day, ts.dt.to_period("M") - 1)
-        period_start = start_month.dt.to_timestamp() + pd.Timedelta(days=anchor_day - 1)
-        df["period_start"] = period_start
+        eff_anchor = pd.concat(
+            [ts.dt.days_in_month, pd.Series(anchor_day, index=ts.index)], axis=1
+        ).min(axis=1)
+        start_month = ts.dt.to_period("M").where(
+            ts.dt.day >= eff_anchor, ts.dt.to_period("M") - 1
+        )
+        sm_start = start_month.dt.to_timestamp()
+        sm_days = start_month.dt.days_in_month
+        clamped = pd.concat(
+            [sm_days, pd.Series(anchor_day, index=ts.index)], axis=1
+        ).min(axis=1)
+        df["period_start"] = sm_start + pd.to_timedelta(clamped - 1, unit="D")
         return pa.Table.from_pandas(
             df[["user_id", "period_start", "value"]], preserve_index=False
         )

@@ -59,19 +59,12 @@ def exact_dedup(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
     O(num_buckets) group dispatch); the min-id winner per exact hash is
     a vectorized pandas pass inside each bucket — per-distinct-value
     map_groups dispatch would dominate at corpus scale."""
-    import zlib
+    from ..functions.scalar import crc32_bucket
 
     hashed = ds.map_batches(add_content_hash(text_col), batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (
-                zlib.crc32(h.encode()) % num_buckets
-                for h in batch["content_hash"].to_pylist()
-            ),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
+        b = crc32_bucket(batch["content_hash"].to_pylist(), num_buckets)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def min_per_hash(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -96,17 +89,13 @@ def _bucketed_group_apply(ds, group_cols, fn, *, num_buckets: int = 64):
     LSH keys are mostly singletons — per-key map_groups costs ~2 ms of
     dispatch per key, which at millions of keys dwarfs the actual work;
     this keeps the same shuffle volume with O(num_buckets) dispatch."""
-    import zlib
+    from ..functions.scalar import crc32_bucket
 
     cols = list(group_cols)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = zip(*(batch[c].to_pylist() for c in cols))
-        b = np.fromiter(
-            (zlib.crc32(repr(k).encode()) % num_buckets for k in keys),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
+        keys = list(zip(*(batch[c].to_pylist() for c in cols)))
+        b = crc32_bucket(keys, num_buckets)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -169,7 +158,14 @@ class MinHashSignatures:
         texts = batch[self.text_col].to_pylist()
         out_ids, out_band, out_key, out_sig = [], [], [], []
         for i, text in zip(ids, texts):
-            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+            hashes = shingle_hashes(text, self.k)
+            if len(hashes) == 0:
+                # empty/whitespace-only docs all share the degenerate
+                # all-MAX signature and would flood every band bucket;
+                # they are not meaningful near-dups — exact dedup owns
+                # the empty-document case
+                continue
+            sig = minhash_signature(hashes, self.a, self.b)
             keys = lsh_band_keys(sig, self.bands)
             sig_list = sig.tolist()
             for bi, key in enumerate(keys):
@@ -216,8 +212,16 @@ def minhash_duplicate_assignments(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         # all-pairs signature agreement within the bucket (vectorized
-        # n² × num_perm); LSH keeps buckets small, and a deterministic
-        # cap guards adversarial buckets (logged via truncated flag).
+        # n² × num_perm); LSH keeps buckets small. A deterministic cap
+        # bounds adversarial buckets: candidates past the first 1024
+        # ids (sorted) are NOT compared — print() lands in the Ray task
+        # log so a capped bucket is visible, and zero-shingle docs are
+        # excluded upstream so the main degenerate source is gone.
+        if len(group) > 1024:
+            print(
+                f"minhash bucket capped: {len(group)} candidates in one "
+                f"LSH bucket, comparing first 1024 by id"
+            )
         if len(group) < 2:
             return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
         g = group.sort_values("id").drop_duplicates("id").head(1024)
@@ -426,9 +430,33 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
                     rj.append(jac)
         return pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj})
 
-    pairs = exploded.groupby("anchor").map_groups(bucket_pairs, batch_format="pandas")
+    def anchor_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("anchor", sort=True):
+            if len(g) >= 2:
+                outs.append(bucket_pairs(g))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.concat(outs, ignore_index=True)
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:  # same pair via many anchors
-        return group.head(1)
+    from ..functions.scalar import crc32_bucket
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = crc32_bucket(batch["anchor"].to_pylist(), 64)
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+    pairs = (
+        exploded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(anchor_pairs, batch_format="pandas")
+    )
+    # the same pair can surface via several anchors; the pair table is
+    # O(similar pairs) — small — so dedup it driver-side
+    import ray.data as rd
+
+    df = pairs.to_pandas()
+    if "id_a" not in df.columns or len(df) == 0:
+        df = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    else:
+        df = df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    return rd.from_pandas(df)

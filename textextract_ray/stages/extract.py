@@ -198,20 +198,13 @@ def extract_pages_host_locality(
     ``extract_pages`` path skips the shuffle. Output additionally
     carries ``host_cache_hit`` so the locality win is measurable.
     """
-    import zlib
-
-    import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions.scalar import url_host
+    from ..functions.scalar import crc32_bucket, url_host
 
     def bucketize(batch: pa.Table) -> pa.Table:
         hosts = url_host(batch["url"])
-        b = np.fromiter(
-            (zlib.crc32(h.encode()) % num_buckets for h in hosts.to_pylist()),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
+        b = crc32_bucket(hosts.to_pylist(), num_buckets)
         return batch.append_column("host", hosts).append_column(
             "host_bucket", pa.array(b, pa.int32())
         )
@@ -286,8 +279,15 @@ def extract_pages_with_pdf_routing(
     auto_small, auto_giant = _auto_pools()
 
     def is_pdf(t: pa.Table):
-        return pc.equal(
-            pc.binary_slice(t["html"], start=0, stop=5), pa.scalar(b"%PDF-", pa.binary())
+        # fill_null(False): null html is NOT pdf — it must stay in the
+        # html branch (where the extractor flags it invalid), not
+        # vanish from both branches via a null mask
+        return pc.fill_null(
+            pc.equal(
+                pc.binary_slice(t["html"], start=0, stop=5),
+                pa.scalar(b"%PDF-", pa.binary()),
+            ),
+            False,
         )
 
     html_ds = pages_ds.map_batches(

@@ -46,13 +46,15 @@ class BatchTopK:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.qmat @ vecs.T  # [nq, nb]
         k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            sel = idx[qi]
+            # lexsort (score desc, id asc): argpartition would discard
+            # score-TIED candidates at the local k-boundary arbitrarily,
+            # making the global result depend on block layout
+            order = np.lexsort((ids, -sims[qi]))[:k]
             out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-            out_id.append(ids[sel])
-            out_s.append(sims[qi, sel].astype(np.float64))
+            out_id.append(ids[order])
+            out_s.append(sims[qi, order].astype(np.float64))
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),

@@ -26,7 +26,10 @@ def annotate_batch(batch: pa.Table) -> pa.Table:
     5x5-px analogue). Non-HTML magic numbers are cheap to detect but are
     left to the extractor so the policy lives in exactly one place.
     """
-    size = pc.binary_length(batch["html"]).cast(pa.int64())
+    # fill_null(0): a null html must flow through as an invalid-sized
+    # row — a null size would otherwise null out downstream masks and
+    # silently DROP the row from both branches of split_by_size
+    size = pc.fill_null(pc.binary_length(batch["html"]).cast(pa.int64()), 0)
     invalid = pc.less(size, MIN_HTML_BYTES)
     precheck = pc.if_else(invalid, pa.scalar("invalid"), pa.scalar("ok"))
     out = batch.append_column("html_size", size)
