@@ -250,11 +250,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name ORDER BY n.n_name
         """,
         "clean_corpus": """
+            -- dedup is GLOBAL by text (winner = min doc_id, whose lang
+            -- is kept) to match exact_dedup; token count uses \S+ runs
+            -- to match functions.text.token_count exactly
             SELECT lang, count(*) AS n_docs FROM (
-                SELECT lang, text, min(doc_id)
+                SELECT arg_min(lang, doc_id) AS lang
                 FROM documents
-                WHERE len(string_split(text, ' ')) >= 40 AND length(text) >= 200
-                GROUP BY lang, text
+                WHERE len(regexp_extract_all(text, '\S+')) >= 40
+                  AND length(text) >= 200
+                GROUP BY text
             ) GROUP BY lang ORDER BY lang
         """,
         "props_extract": """
@@ -272,9 +276,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY media_id
         """,
         "token_stats": """
+            -- \S+ runs == the pipeline's token_count (string_split on
+            -- a single space would diverge on any doubled/leading
+            -- whitespace)
             SELECT lang, count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS total_tokens,
-                   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+                   sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+                   round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "bpe_token_stats": """

@@ -59,18 +59,26 @@ def bench_extract(files: list) -> dict:
     extracted.write_parquet(out_dir)
     dt = time.perf_counter() - t0
 
-    out_files = [
-        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
-    ]
+    # throughput counts the INPUT actually parsed (url-duplicate rows
+    # are parsed before dedup drops them); deduped output rows would
+    # undercount the work by the duplicate fraction
+    import pyarrow.compute as pc
+
     docs = 0
-    html_in = 0  # raw (uncompressed) html bytes actually parsed
-    for f in out_files:
-        t = pq.read_table(f, columns=["request_size_bytes"])
+    html_in = 0  # raw (uncompressed) html bytes parsed
+    for f in files:
+        t = pq.read_table(f, columns=["html"])
         docs += t.num_rows
-        html_in += sum(t["request_size_bytes"].to_pylist())
+        html_in += int(pc.sum(pc.binary_length(t["html"])).as_py() or 0)
+    out_rows = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
     return {
         "sec": dt,
         "docs": docs,
+        "out_rows": out_rows,
         "docs_per_s": docs / dt,
         "mb_per_s": html_in / dt / 1e6,
         "input_mb": html_in / 1e6,
@@ -145,7 +153,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": queries,
-                "sf": 0.1,
+                "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
                 "num_cpus": ncpu,
                 "extract": {
                     "docs": ext["docs"],
@@ -173,13 +181,17 @@ def scaling() -> None:
             BENCH_ROWS=os.environ.get("BENCH_SCALING_ROWS", "72000"),
             BENCH_SHARDS="128",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+        except subprocess.CalledProcessError as e:
+            sys.stderr.write(e.stderr or "")
+            raise
         return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N parallelism. 4/16 rather than 8/32: at 32 busy cores this

@@ -199,7 +199,9 @@ def generate_pages(
         rows = [page_row(i, giant_bytes) for i in range(lo, hi)]
         table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-        pq.write_table(table, path, compression="zstd", row_group_size=4096)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression="zstd", row_group_size=4096)
+        os.replace(tmp, path)  # a killed generation never leaves a torn shard
         files.append(path)
     return files
 

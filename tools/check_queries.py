@@ -64,6 +64,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query names: {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -91,7 +95,8 @@ def main() -> int:
             a, b = res[c], exp[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 eq = np.isclose(
-                    a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9
+                    a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9,
+                    equal_nan=True,
                 ).all()
             else:
                 eq = (a.astype(str) == b.astype(str)).all()
