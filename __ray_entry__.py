@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": tx.ann_topk,
         "ann_topk_ivf": tx.ann_topk_ivf,
         "clean_corpus": tx.clean_corpus,
+        "approx_distinct": tx.approx_distinct,
         # multimodal plumbing (stubbed codecs, real Ray stages)
         "image_metadata": tx.image_metadata,
         "media_features": tx.media_features,

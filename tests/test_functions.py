@@ -155,3 +155,28 @@ def test_price_tier():
         pa.array([5.0, 15.0, 150.0]), [(10.0, "basic"), (100.0, "advance")]
     )
     assert out.to_pylist() == ["basic", "advance", "over"]
+
+
+def test_hll_accuracy_and_merge():
+    from textextract_ray.functions.sketch import (
+        hll_add,
+        hll_count,
+        hll_create,
+        hll_merge,
+    )
+
+    r1, r2 = hll_create(), hll_create()
+    hll_add(r1, [f"u{i}" for i in range(25000)])
+    hll_add(r2, [f"u{i}" for i in range(15000, 50000)])
+    est = hll_count(hll_merge(r1, r2))
+    assert abs(est - 50000) / 50000 < 0.05
+    # merge == single-pass (mergeability)
+    r_all = hll_add(hll_create(), [f"u{i}" for i in range(50000)])
+    assert abs(hll_count(hll_merge(r1, r2)) - hll_count(r_all)) / 50000 < 0.05
+    # small-range linear counting
+    small = hll_count(hll_add(hll_create(), [f"x{i}" for i in range(200)]))
+    assert abs(small - 200) < 10
+    # deterministic
+    a = hll_add(hll_create(), ["p", "q", "r"])
+    b = hll_add(hll_create(), ["p", "q", "r"])
+    assert (a == b).all()

@@ -89,3 +89,15 @@ def test_entry_smoke(ray_session, entrymod):
     df = _to_pandas(ds)
     assert len(df) > 0
     assert "extracted_text" in df.columns
+
+
+def test_approx_distinct_close_to_exact(entrymod, sf_dir, ray_session, con):
+    df = entrymod.queries()["approx_distinct"](sf_dir)
+    exact = {
+        "documents.text": con.execute("SELECT count(DISTINCT text) FROM documents").fetchone()[0],
+        "events.user_id": con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0],
+        "orders.o_custkey": con.execute("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0],
+    }
+    for _, row in df.iterrows():
+        true = exact[row["table_col"]]
+        assert abs(row["approx_distinct"] - true) / max(true, 1) < 0.05, row["table_col"]

@@ -1,0 +1,74 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The reference keeps all counts exact (SURVEY.md §2.5: "no sketches
+anywhere"); at 10^12 rows a distinct-count over a high-cardinality key
+(urls, hosts, content hashes) needs a mergeable sketch: one HLL per
+batch inside ``map_batches``, one tiny merge reduce — the shuffle
+carries 2^p-byte registers instead of the key universe.
+
+Standard HyperLogLog (Flajolet et al. 2007) with the usual small-range
+linear-counting correction; stable hashing (blake2b) so sketches are
+deterministic across processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+DEFAULT_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _hash64(values) -> np.ndarray:
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for v in values
+        ],
+        dtype=np.uint64,
+    )
+
+
+def hll_create(p: int = DEFAULT_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add(registers: np.ndarray, values, p: int = DEFAULT_P) -> np.ndarray:
+    """Add values; vectorized register update via np.maximum.at."""
+    if len(values) == 0:
+        return registers
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+    ranks = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        bits = rest[nz]
+        lz = np.zeros(len(bits), dtype=np.uint8)
+        probe = np.uint64(1) << np.uint64(63)
+        cur = bits.copy()
+        # leading-zero count via float log2 (exact for uint64 here
+        # because we only need the top-bit position)
+        top = np.floor(np.log2(cur.astype(np.float64))).astype(np.int64)
+        lz = (63 - top).astype(np.uint8)
+        ranks[nz] = lz + 1
+    np.maximum.at(registers, idx, ranks)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_count(registers: np.ndarray, p: int = DEFAULT_P) -> float:
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting for small range
+    return float(est)

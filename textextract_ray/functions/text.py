@@ -90,8 +90,10 @@ _CJK = r"[一-鿿]"
 
 def lang_id(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Heuristic language ID: vectorized marker-pattern counts per
-    language, CJK-script override, argmax; 'und' when nothing matches.
-    One Arrow regex pass per language — no per-row Python."""
+    language, CJK-script override, argmax; 'und' when nothing matches
+    (nulls count as empty → 'und'). One Arrow regex pass per language —
+    no per-row Python."""
+    col = pc.fill_null(col, "")
     lower = pc.utf8_lower(col)
     n = len(lower)
     scores = np.zeros((len(_LANG_MARKERS), n), dtype=np.int64)

@@ -332,3 +332,32 @@ def host_doc_counts(sf_dir: str):
         .aggregate(Count(alias_name="n_pages"))
     )
     return out.to_pandas().sort_values("host").reset_index(drop=True)
+
+
+def approx_distinct(sf_dir: str):
+    """Approximate distinct counts via mergeable HyperLogLog sketches:
+    one 4 KiB register set per batch (map_batches partial), merged in a
+    tiny final reduce — the sketch pattern for distinct-count at
+    10^12 rows where exact distinct would shuffle the key universe.
+    Deterministic (stable hashing), ~1.6% standard error; checked
+    against exact counts in pytest (approximate → no SQL value oracle).
+    """
+    from ..functions.sketch import hll_add, hll_count, hll_create, hll_merge
+
+    rows = []
+    for table, col in (("documents", "text"), ("events", "user_id"), ("orders", "o_custkey")):
+        ds = read_table(sf_dir, table, columns=[col])
+
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            regs = hll_add(hll_create(), batch[col].to_pylist())
+            return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        merged = hll_create()
+        for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+            for blob in b["regs"].to_pylist():
+                merged = hll_merge(merged, np.frombuffer(blob, dtype=np.uint8))
+        rows.append(
+            {"table_col": f"{table}.{col}", "approx_distinct": int(round(hll_count(merged)))}
+        )
+    return pd.DataFrame(rows).sort_values("table_col").reset_index(drop=True)
