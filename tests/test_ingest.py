@@ -55,3 +55,48 @@ def test_fully_duplicate_increment_commits_empty(ray_session, fixture_pages, tmp
     c = ingest_increment(fixture_pages[0:2], out, idx, increment_id=1, giant_threshold=1 << 17)
     assert is_committed(out, 1)
     assert c["docs"] == 0
+
+
+def test_rebuild_skips_stale_version_manifests(ray_session, fixture_pages, tmp_path):
+    """A stale-version partition must NOT pre-claim its urls on restart
+    — otherwise its re-extraction would commit empty and lose the data."""
+    import json
+    import os
+
+    from textextract_ray.pipelines.ingest import (
+        SeenUrlIndex,
+        ingest_increment,
+        rebuild_index,
+    )
+    from textextract_ray.sources import read_pages
+
+    out = str(tmp_path / "verbump")
+    idx = SeenUrlIndex(num_shards=2)
+    ingest_increment(fixture_pages[0:2], out, idx, increment_id=0, giant_threshold=1 << 17)
+    n_rows_before = len(read_pages(f"{out}/part-00000").to_pandas())
+
+    # simulate an extractor version bump: doctor the manifest version
+    mpath = os.path.join(out, "_manifests", "part-00000.json")
+    m = json.load(open(mpath))
+    m["extractor_version"] = "0.9.0"
+    json.dump(m, open(mpath, "w"))
+
+    # restart: rebuild must claim NOTHING (stale partition re-runs)
+    idx2 = SeenUrlIndex(num_shards=2)
+    assert rebuild_index(out, idx2) == 0
+    assert idx2.total_size() == 0
+    # re-ingesting the same increment re-extracts the full data
+    ingest_increment(fixture_pages[0:2], out, idx2, increment_id=0, giant_threshold=1 << 17)
+    assert len(read_pages(f"{out}/part-00000").to_pandas()) == n_rows_before
+
+
+def test_ingest_refuses_shifted_increment_lineage(ray_session, fixture_pages, tmp_path):
+    import pytest as _pytest
+
+    from textextract_ray.pipelines.ingest import SeenUrlIndex, ingest_increment
+
+    out = str(tmp_path / "lineage")
+    idx = SeenUrlIndex(num_shards=2)
+    ingest_increment(fixture_pages[0:2], out, idx, increment_id=0, giant_threshold=1 << 17)
+    with _pytest.raises(ValueError, match="different input shards"):
+        ingest_increment(fixture_pages[2:4], out, idx, increment_id=0, giant_threshold=1 << 17)

@@ -222,3 +222,18 @@ def test_cdata_and_comments_stripped():
     assert "comment leak" not in res.text
     assert "cdata leak" not in res.text
     assert "before the markers" in res.text and "after the markers" in res.text
+
+
+def test_utf16_bom_decode():
+    body = (
+        '<html><body><article><p>utf sixteen little endian page body '
+        "with enough text to keep</p></article></body></html>"
+    )
+    payload = b"\xff\xfe" + body.encode("utf-16-le")
+    res = extract_document(payload)
+    assert res.status == "ok"
+    assert "utf sixteen little endian" in res.text
+    payload_be = b"\xfe\xff" + body.encode("utf-16-be")
+    res_be = extract_document(payload_be)
+    assert res_be.status == "ok"
+    assert res_be.text == res.text

@@ -22,12 +22,13 @@ def _init_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # respect RAY_ADDRESS (set by `ray job submit` on a cluster);
+        # fall back to a local instance for standalone runs
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if address == "local":
+            kwargs["num_cpus"] = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        ray.init(address=address, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -61,7 +62,7 @@ def cmd_extract(args) -> int:
         files,
         args.out,
         shards_per_partition=args.shards_per_partition,
-        giant_threshold=args.giant_threshold or None,
+        giant_threshold=args.giant_threshold if args.giant_threshold > 0 else None,
     )
     print(report.to_string(index=False))
     return 0
@@ -105,7 +106,13 @@ def main(argv=None) -> int:
     pe.add_argument("--input", required=True, help="shard glob, directory, or file")
     pe.add_argument("--out", required=True)
     pe.add_argument("--shards-per-partition", type=int, default=4)
-    pe.add_argument("--giant-threshold", type=int, default=4 * 1024 * 1024)
+    pe.add_argument(
+        "--giant-threshold",
+        type=int,
+        default=4 * 1024 * 1024,
+        help="route docs larger than this many bytes to the small-batch "
+        "giant pool; 0 disables routing (single pool)",
+    )
     pe.add_argument("--resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)
 

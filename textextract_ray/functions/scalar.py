@@ -179,7 +179,7 @@ def crc32_bucket(values, num_buckets: int) -> "np.ndarray":
         (
             zlib.crc32(v.encode() if isinstance(v, str) else repr(v).encode())
             % num_buckets
-            for v in values
+            for v in values  # None and other non-strings hash via repr()
         ),
         dtype=np.int32,
         count=len(values) if hasattr(values, "__len__") else -1,

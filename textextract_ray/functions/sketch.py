@@ -47,14 +47,14 @@ def hll_add(registers: np.ndarray, values, p: int = DEFAULT_P) -> np.ndarray:
     ranks = np.full(len(h), 64 - p + 1, dtype=np.uint8)
     nz = rest != 0
     if nz.any():
-        bits = rest[nz]
-        lz = np.zeros(len(bits), dtype=np.uint8)
-        probe = np.uint64(1) << np.uint64(63)
-        cur = bits.copy()
-        # leading-zero count via float log2 (exact for uint64 here
-        # because we only need the top-bit position)
-        top = np.floor(np.log2(cur.astype(np.float64))).astype(np.int64)
-        lz = (63 - top).astype(np.uint8)
+        # exact vectorized count-leading-zeros (binary descent) —
+        # float64 log2 misranks values adjacent to powers of two
+        v = rest[nz].copy()
+        lz = np.zeros(len(v), dtype=np.uint8)
+        for s_bits in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - s_bits))
+            lz[mask] += s_bits
+            v[mask] = v[mask] << np.uint64(s_bits)
         ranks[nz] = lz + 1
     np.maximum.at(registers, idx, ranks)
     return registers

@@ -23,17 +23,31 @@ from .extract_pipeline import extract_dataset
 
 def rebuild_index(out_dir: str, index: SeenUrlIndex) -> int:
     """Warm the index from already-committed partitions (restart path):
-    stream ONLY the url column of prior output through check_and_add."""
-    import ray
+    ONE streaming pass over the url columns of all valid prior output.
 
-    manifests = checkpoint.load_manifests(out_dir)
-    total = 0
-    for m in manifests:
-        pdir = checkpoint.partition_dir(out_dir, m["partition_id"])
-        urls_ds = read_pages(pdir, columns=["url"])
-        streaming_dedup(urls_ds, index, run_id=f"rebuild-{m['partition_id']}").count()  # populate shards
-        total += 1
-    return total
+    Only manifests whose extractor_version matches count — a stale-
+    version partition will be re-extracted by ingest_increment, so its
+    urls must NOT be pre-claimed (claiming them would make the re-run
+    commit an empty partition and silently lose the data). Partitions
+    whose data directory is missing (crash between clean_uncommitted
+    and commit) are skipped the same way — they re-run."""
+    import os
+
+    pdirs = []
+    n_valid = 0
+    for m in checkpoint.load_manifests(out_dir):
+        pid = m["partition_id"]
+        if not checkpoint.is_committed(out_dir, pid):
+            continue  # stale version -> will be re-extracted
+        pdir = checkpoint.partition_dir(out_dir, pid)
+        if not os.path.isdir(pdir):
+            continue  # crash window artifact -> will be re-extracted
+        pdirs.append(pdir)
+        n_valid += 1
+    if pdirs:
+        urls_ds = read_pages(pdirs, columns=["url"])
+        streaming_dedup(urls_ds, index, run_id="rebuild").count()  # populate shards
+    return n_valid
 
 
 def ingest_increment(
@@ -52,8 +66,15 @@ def ingest_increment(
             x
             for x in checkpoint.load_manifests(out_dir)
             if x["partition_id"] == increment_id
-        ]
-        return m[0]["counters"]
+        ][0]
+        if list(m["input_shards"]) != list(shard_files):
+            raise ValueError(
+                f"increment {increment_id} already committed from different "
+                f"input shards {m['input_shards']!r}; refusing to skip "
+                f"{shard_files!r} — pass a consistent increments list "
+                f"(ids are positional lineage)"
+            )
+        return m["counters"]
     checkpoint.clean_uncommitted(out_dir, increment_id)
     ds = read_pages(shard_files)
     # materialize: the claim stage is side-effecting, and the giant-doc

@@ -29,7 +29,6 @@ the index earns its cost only across runs/increments.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import pyarrow as pa
 
@@ -93,8 +92,11 @@ def streaming_dedup(ds, index: SeenUrlIndex, run_id: str):
     shards = index.shards
     n = index.num_shards
 
+    from ..functions.scalar import crc32_bucket
+
     def filter_seen(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
+        urls = batch["url"].to_pylist()  # may contain None: claimable
+        # exactly once like any other key; downstream validation flags it
         # owner = run_id + full batch content (Arrow IPC bytes): a
         # retried/re-executed task presents bit-identical content and
         # reclaims; any other batch is refused. Residual caveat: two
@@ -114,9 +116,10 @@ def streaming_dedup(ds, index: SeenUrlIndex, run_id: str):
         first_idx: dict = {}
         for i, u in enumerate(urls):
             first_idx.setdefault(u, i)
+        shard_of = crc32_bucket(list(first_idx.keys()), n)  # THE shared hash
         by_shard: dict = {}
-        for u, i in first_idx.items():
-            by_shard.setdefault(zlib.crc32(u.encode()) % n, []).append((u, i))
+        for (u, i), sid in zip(first_idx.items(), shard_of):
+            by_shard.setdefault(int(sid), []).append((u, i))
         keep = [False] * len(urls)
         futures = {
             sid: shards[sid].claim.remote([u for u, _ in pairs], owner)
@@ -126,6 +129,6 @@ def streaming_dedup(ds, index: SeenUrlIndex, run_id: str):
             flags = ray.get(futures[sid])
             for (u, i), ok in zip(pairs, flags):
                 keep[i] = ok
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(keep, type=pa.bool_()))
 
     return ds.map_batches(filter_seen, batch_format="pyarrow")
