@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "period_usage": rel.period_usage,
         "events_in_range": rel.events_in_range,
         "events_hourly_window": rel.events_hourly_window,
+        "events_sliding_window": rel.events_sliding_window,
+        "asof_latest_order": rel.asof_latest_order,
         "session_counts": rel.session_counts,
         "props_extract": rel.props_extract,
         "running_user_totals": rel.running_user_totals,
@@ -200,6 +202,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS total_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "events_sliding_window": """
+            SELECT event_type, window_start, count(*) AS n_events FROM (
+                SELECT event_type, date_trunc('hour', ts) AS window_start FROM events
+                UNION ALL
+                SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+            ) GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "asof_latest_order": """
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF JOIN (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "session_counts": """
             WITH gaps AS (

@@ -627,3 +627,154 @@ def supplier_by_nation(sf_dir: str):
         )
     )
     return _round_floats(out.to_pandas().sort_values("n_name").reset_index(drop=True))
+
+
+# --- streaming-shaped: sliding window ----------------------------------------
+
+def events_sliding_window(sf_dir: str):
+    """Sliding 2-hour window, 1-hour step, per event_type: each event
+    belongs to exactly two windows, so the window assignment is a
+    vectorized 1→2 flat-map (duplicate + shift) followed by one grouped
+    count — no window state, no watermarks (§2.9 bounded replay)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
+        types = batch["event_type"]
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [types.combine_chunks(), types.combine_chunks()]
+                ),
+                "window_start": pa.concat_arrays(
+                    [hour.combine_chunks(), prev.combine_chunks()]
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+    return (
+        out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+
+
+# --- as-of join (the operator Ray Data lacks) --------------------------------
+
+def asof_latest_order(sf_dir: str):
+    """For each event, the latest order of the same key at-or-before the
+    event time — a distributed AS-OF JOIN built from primitives:
+    tag-and-union both sides, hash-bucket by key (co-locating each
+    key's rows from BOTH tables in one group), then ``pd.merge_asof``
+    within the group. No broadcast: both sides stream through one
+    shuffle, so the pattern holds when both tables are large.
+
+    Determinism: orders are pre-reduced to one row per (key, ts) —
+    max o_orderkey wins — because the as-of contract is ambiguous when
+    several right rows share the match timestamp."""
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["user_id"].cast(pa.int64()),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "o_orderkey": pa.nulls(batch.num_rows, pa.int64()),
+                "src": pa.array(["e"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # one row per (key, ts): max orderkey wins (determinism)
+        df = (
+            df.sort_values("o_orderkey")
+            .groupby(["o_custkey", "o_orderdate"], as_index=False)
+            .last()
+        )
+        return pa.table(
+            {
+                "key": pa.array(df["o_custkey"].astype("int64")),
+                "ts": pa.array(df["o_orderdate"]),
+                "event_id": pa.nulls(len(df), pa.int64()),
+                "o_orderkey": pa.array(df["o_orderkey"].astype("int64")),
+                "src": pa.array(["o"] * len(df), pa.string()),
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.scalar import crc32_bucket
+
+        b = crc32_bucket(batch["key"].to_pylist(), 32)
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+    def asof_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["src"] == "e"].sort_values("ts", kind="mergesort")
+        right = df[df["src"] == "o"]
+        # cross-batch duplicates of (key, ts) can survive the per-batch
+        # reduce; repeat it on the co-located rows for global determinism
+        right = (
+            right.sort_values("o_orderkey")
+            .groupby(["key", "ts"], as_index=False)
+            .last()
+            .sort_values("ts", kind="mergesort")
+        )
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        m = pd.merge_asof(
+            left[["ts", "key", "event_id"]],
+            right[["ts", "key", "o_orderkey"]],
+            on="ts",
+            by="key",
+            direction="backward",
+            suffixes=("", "_o"),
+        )
+        # inner semantics: events with no order at-or-before drop out
+        m = m.dropna(subset=["o_orderkey"])
+        # recover the matched order date: backward match = max order ts <= event ts
+        m2 = pd.merge_asof(
+            left[["ts", "key", "event_id"]].rename(columns={"ts": "ets"}).sort_values("ets"),
+            right[["ts", "key"]].rename(columns={"ts": "ots"}).sort_values("ots"),
+            left_on="ets",
+            right_on="ots",
+            by="key",
+            direction="backward",
+        ).dropna(subset=["ots"])
+        out = m.merge(m2[["event_id", "ots"]], on="event_id")
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["key"].astype("int64"),
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "o_orderdate": out["ots"],
+            }
+        )
+
+    out = (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: asof_in_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
