@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": tx.minhash_near_dups,
         "simhash_near_dups": tx.simhash_near_dups,
         "embedding_near_dups": tx.embedding_near_dups,
+        "ngram_jaccard": tx.ngram_jaccard,
+        "rolling_fingerprints": tx.rolling_fingerprints,
         # similarity search
         "ann_topk": tx.ann_topk,
         "ann_topk_ivf": tx.ann_topk_ivf,

@@ -361,3 +361,36 @@ def approx_distinct(sf_dir: str):
             {"table_col": f"{table}.{col}", "approx_distinct": int(round(hll_count(merged)))}
         )
     return pd.DataFrame(rows).sort_values("table_col").reset_index(drop=True)
+
+
+def ngram_jaccard(sf_dir: str, *, threshold: float = 0.5):
+    """Exact n-gram Jaccard similar pairs over documents (anchor-
+    bucketed candidate generation, exact set verification)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=threshold).to_pandas()
+    if "id_a" not in df.columns:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    df["jaccard"] = df["jaccard"].round(4)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def rolling_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprint per document
+    (deterministic uint64; non-SQL — pytest pins determinism)."""
+    from ..functions.text import rolling_fingerprint
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        vals = rolling_fingerprint(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "rolling_fp": pa.array(vals.astype("int64") & 0x7FFFFFFFFFFFFFFF, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
