@@ -237,3 +237,26 @@ def test_utf16_bom_decode():
     res_be = extract_document(payload_be)
     assert res_be.status == "ok"
     assert res_be.text == res.text
+
+
+def test_frozen_behavior_digest():
+    """Golden digest over 600 fixture pages (all 12 classes × 50).
+
+    The e2e tests compare pipeline vs oracle — both sides MOVE TOGETHER
+    if the oracle's behavior drifts, so this digest is the only guard
+    that pins the extraction contract across rounds. An INTENTIONAL
+    behavior change must update this constant AND bump
+    EXTRACTOR_VERSION (checkpoint resume depends on it)."""
+    import hashlib
+    import json
+
+    h = hashlib.sha256()
+    for i in range(600):
+        r = extract_document(make_page(i, giant_bytes=1 << 17))
+        h.update(r.status.encode())
+        h.update(r.text.encode())
+        h.update(json.dumps(r.spans).encode())
+    assert (
+        h.hexdigest()
+        == "c6ed2c7d29653013328a2e3e19fe019cc81e8f13bf77d67149e950aae00fdfc8"
+    )
