@@ -132,7 +132,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS requests_count,
                    round(sum(value), 4) AS total_value,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
             FROM events GROUP BY user_id, day ORDER BY user_id, day
         """,
         "usage_monthly": """
@@ -284,7 +284,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_extract": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS total_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS total_k,
                    round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -301,13 +301,13 @@ def oracle_sql() -> dict[str, str]:
             -- a single space would diverge on any doubled/leading
             -- whitespace)
             SELECT lang, count(*) AS n_docs,
-                   sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
                    round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "bpe_token_stats": """
             SELECT lang,
-                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]'))) AS total_bpe_tokens
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]'))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "fingerprints": """

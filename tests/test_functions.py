@@ -182,10 +182,10 @@ def test_hll_accuracy_and_merge():
     assert (a == b).all()
 
 
-def test_crc32_bucket_shared_hash():
-    from textextract_ray.functions.scalar import crc32_bucket
+def test_stable_bucket_shared_hash():
+    from textextract_ray.functions.scalar import stable_bucket
 
-    out = crc32_bucket(["a", "b", None, ("x", 1)], 16)
+    out = stable_bucket(["a", "b", None, ("x", 1)], 16)
     assert len(out) == 4 and (out >= 0).all() and (out < 16).all()
     # deterministic
-    assert (crc32_bucket(["a", "b"], 16) == crc32_bucket(["a", "b"], 16)).all()
+    assert (stable_bucket(["a", "b"], 16) == stable_bucket(["a", "b"], 16)).all()

@@ -166,21 +166,43 @@ def price_tier(amount_col: pa.ChunkedArray | pa.Array, tiers: list) -> pa.Array:
     return pa.array(labels[idx], pa.string())
 
 
-def crc32_bucket(values, num_buckets: int) -> "np.ndarray":
+def stable_bucket(values, num_buckets: int) -> "np.ndarray":
     """THE bucket hash for every hash-partition step in this engine
     (url dedup, layout pass, LSH coarse buckets, host locality):
-    crc32(utf-8 bytes) % num_buckets as int32. One shared definition —
+    vectorized siphash (pandas hash_array, fixed key — stable across
+    processes and runs) % num_buckets as int32. One shared definition —
     the url-hash LAYOUT (partition_pages_by_url) and the url-hash DEDUP
     (dedup_by_url) must agree on the hash family for partition-local
-    dedup to be globally exact, so neither may drift independently."""
-    import zlib
+    dedup to be globally exact, so neither may drift independently.
 
-    return np.fromiter(
-        (
-            zlib.crc32(v.encode() if isinstance(v, str) else repr(v).encode())
-            % num_buckets
-            for v in values  # None and other non-strings hash via repr()
-        ),
-        dtype=np.int32,
-        count=len(values) if hasattr(values, "__len__") else -1,
-    )
+    Accepts a pyarrow Array/ChunkedArray (fast path: zero-copy
+    vectorized hash, no to_pylist) or any Python sequence. Both paths
+    use the SAME hash family — a key hashes identically either way, and
+    None hashes like the string 'None' in both — so mixed callers stay
+    partition-compatible.
+
+    Migration note (round 2): was per-row zlib.crc32; replaced with the
+    C-vectorized hash for the bucketing hot paths. Bucket ASSIGNMENTS
+    changed; no persisted state depends on them (the seen-url index is
+    rebuilt from manifests per session, layouts are per-run)."""
+    import polars as pl
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if len(values) == 0:
+            return np.empty(0, dtype=np.int32)
+        arr = values.cast(pa.string()) if values.type != pa.string() else values
+        arr = pc.fill_null(arr, "None")  # parity with repr(None) below
+    else:
+        vals = list(values)
+        if not vals:
+            return np.empty(0, dtype=np.int32)
+        # None / tuples / ints hash via repr(), like the crc32 original
+        arr = pa.array(
+            [v if isinstance(v, str) else repr(v) for v in vals], pa.string()
+        )
+    h = pl.from_arrow(arr).hash(seed=0).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+# Back-compat alias for the pre-round-2 name; same contract.
+crc32_bucket = stable_bucket

@@ -31,7 +31,9 @@ def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.count_substring_regex(col, r"\S+")
 
 
-_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+# re.ASCII pins \s to [ \t\n\r\f\v] so Unicode whitespace (NBSP, ...)
+# counts as punctuation here, matching the RE2 [:space:] oracle exactly.
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]", re.ASCII)
 
 def bpeish_token_count(texts: list) -> np.ndarray:
     """BPE-ish token proxy: letter runs + single digits + punctuation

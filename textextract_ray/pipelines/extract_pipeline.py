@@ -81,10 +81,10 @@ def dedup_by_url(extracted_ds, *, num_buckets: int = 256):
     """
     import numpy as np
 
-    from ..functions.scalar import crc32_bucket
+    from ..functions.scalar import stable_bucket
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        b = crc32_bucket(batch["url"].to_pylist(), num_buckets)
+        b = stable_bucket(batch["url"], num_buckets)
         return batch.append_column("url_bucket", pa.array(b, pa.int32()))
 
     def first_per_url(bucket: pa.Table) -> pa.Table:
@@ -261,13 +261,13 @@ def partition_pages_by_url(shard_files: list, out_dir: str, *, num_buckets: int 
     """
     import os
 
-    from ..functions.scalar import crc32_bucket
+    from ..functions.scalar import stable_bucket
 
     os.makedirs(out_dir, exist_ok=True)
     ds = read_pages(shard_files)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        b = crc32_bucket(batch["url"].to_pylist(), num_buckets)
+        b = stable_bucket(batch["url"], num_buckets)
         return batch.append_column("url_bucket", pa.array(b, pa.int32()))
 
     def write_bucket(group: pa.Table) -> pa.Table:

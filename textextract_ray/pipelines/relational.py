@@ -715,9 +715,9 @@ def asof_latest_order(sf_dir: str):
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        from ..functions.scalar import crc32_bucket
+        from ..functions.scalar import stable_bucket
 
-        b = crc32_bucket(batch["key"].to_pylist(), 32)
+        b = stable_bucket(batch["key"], 32)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def asof_in_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -135,7 +135,7 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
     return _pairs_df(minhash_duplicate_assignments(ds, "text", "doc_id", threshold=threshold))
 
 
-def simhash_near_dups(sf_dir: str, *, max_hamming: int = 10):
+def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3):
     """SimHash near-duplicate assignments over documents."""
     from ..stages.dedup import simhash_duplicate_assignments
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.text import (
     lsh_band_keys,
@@ -59,12 +60,12 @@ def exact_dedup(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
     O(num_buckets) group dispatch); the min-id winner per exact hash is
     a vectorized pandas pass inside each bucket — per-distinct-value
     map_groups dispatch would dominate at corpus scale."""
-    from ..functions.scalar import crc32_bucket
+    from ..functions.scalar import stable_bucket
 
     hashed = ds.map_batches(add_content_hash(text_col), batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = crc32_bucket(batch["content_hash"].to_pylist(), num_buckets)
+        b = stable_bucket(batch["content_hash"], num_buckets)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def min_per_hash(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -89,13 +90,13 @@ def _bucketed_group_apply(ds, group_cols, fn, *, num_buckets: int = 64):
     LSH keys are mostly singletons — per-key map_groups costs ~2 ms of
     dispatch per key, which at millions of keys dwarfs the actual work;
     this keeps the same shuffle volume with O(num_buckets) dispatch."""
-    from ..functions.scalar import crc32_bucket
+    from ..functions.scalar import stable_bucket
 
     cols = list(group_cols)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = list(zip(*(batch[c].to_pylist() for c in cols)))
-        b = crc32_bucket(keys, num_buckets)
+        b = stable_bucket(keys, num_buckets)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -252,14 +253,18 @@ def minhash_dedup(ds, text_col: str, id_col: str, **kwargs):
     import ray
 
     pairs = minhash_duplicate_assignments(ds, text_col, id_col, **kwargs)
-    drop_ids = set(pairs.to_pandas()["id"].tolist())  # small side: duplicates only
-    drop_ref = ray.put(drop_ids)
+    # small side: duplicates only; ship once as an Arrow array and probe
+    # each batch with the vectorized pc.is_in kernel (same pattern as
+    # the denylist filter in stages/validate.py)
+    drop_arr = pa.array(
+        pairs.to_pandas()["id"].to_numpy(np.int64, copy=False), pa.int64()
+    )
+    drop_ref = ray.put(drop_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         drops = ray.get(drop_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.array([i not in drops for i in ids], dtype=bool)
-        return batch.filter(pa.array(mask))
+        hit = pc.is_in(batch[id_col].cast(pa.int64()), value_set=drops)
+        return batch.filter(pc.invert(pc.fill_null(hit, False)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -276,18 +281,35 @@ def add_simhash(text_col: str):
 
 
 def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: int = 3):
-    """(id, keep_id) pairs via SimHash: 4 bands of 16 bits — two docs
-    within Hamming distance ≤3 of each other on 64 bits must agree on
-    at least one 16-bit band (pigeonhole), so bucketing by each band
-    finds all such pairs; Hamming distance verifies inside the bucket."""
+    """(id, keep_id) pairs via SimHash banding: two 64-bit hashes within
+    Hamming distance d must agree exactly on at least one of d+1
+    disjoint bit bands (pigeonhole), so bucketing by each band finds all
+    such pairs; Hamming distance verifies inside the bucket.
+
+    Band count is DERIVED from max_hamming (n_bands = max_hamming + 1)
+    so recall is complete for any accepted value. Bands narrower than
+    8 bits would make buckets collide randomly at corpus scale
+    (candidate blow-up), so max_hamming > 7 is rejected."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming={max_hamming}: banding needs max_hamming+1 bands of "
+            ">=8 bits over a 64-bit hash; use 0..7 (wider radii need a "
+            "different candidate scheme)"
+        )
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
     hashed = ds.map_batches(add_simhash(text_col), batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         out_id, out_band, out_key, out_sim = [], [], [], []
-        for bi in range(4):
-            key = (sh >> np.uint64(bi * 16)) & np.uint64(0xFFFF)
+        for bi in range(n_bands):
+            mask = np.uint64((1 << widths[bi]) - 1)
+            key = (sh >> np.uint64(offsets[bi])) & mask
             out_id.append(ids)
             out_band.append(np.full(len(ids), bi, dtype=np.int32))
             out_key.append(key.astype(np.int64))
@@ -439,10 +461,10 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         return pd.concat(outs, ignore_index=True)
 
-    from ..functions.scalar import crc32_bucket
+    from ..functions.scalar import stable_bucket
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = crc32_bucket(batch["anchor"].to_pylist(), 64)
+        b = stable_bucket(batch["anchor"], 64)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     pairs = (

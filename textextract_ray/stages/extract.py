@@ -200,11 +200,11 @@ def extract_pages_host_locality(
     """
     import pyarrow.compute as pc
 
-    from ..functions.scalar import crc32_bucket, url_host
+    from ..functions.scalar import stable_bucket, url_host
 
     def bucketize(batch: pa.Table) -> pa.Table:
         hosts = url_host(batch["url"])
-        b = crc32_bucket(hosts.to_pylist(), num_buckets)
+        b = stable_bucket(hosts, num_buckets)
         return batch.append_column("host", hosts).append_column(
             "host_bucket", pa.array(b, pa.int32())
         )

@@ -145,7 +145,9 @@ def ivf_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10,
                 s = sims[qi][mask]
                 sel_ids = ids[mask]
                 k = min(self.k, len(s))
-                idx = np.argpartition(-s, kth=k - 1)[:k]
+                # tie-stable like BatchTopK: score desc, then id asc, so
+                # block layout can't change which tied candidate survives
+                idx = np.lexsort((sel_ids, -s))[:k]
                 out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
                 out_id.append(sel_ids[idx])
                 out_s.append(s[idx].astype(np.float64))

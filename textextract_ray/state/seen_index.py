@@ -92,7 +92,7 @@ def streaming_dedup(ds, index: SeenUrlIndex, run_id: str):
     shards = index.shards
     n = index.num_shards
 
-    from ..functions.scalar import crc32_bucket
+    from ..functions.scalar import stable_bucket
 
     def filter_seen(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()  # may contain None: claimable
@@ -116,7 +116,7 @@ def streaming_dedup(ds, index: SeenUrlIndex, run_id: str):
         first_idx: dict = {}
         for i, u in enumerate(urls):
             first_idx.setdefault(u, i)
-        shard_of = crc32_bucket(list(first_idx.keys()), n)  # THE shared hash
+        shard_of = stable_bucket(list(first_idx.keys()), n)  # THE shared hash
         by_shard: dict = {}
         for (u, i), sid in zip(first_idx.items(), shard_of):
             by_shard.setdefault(int(sid), []).append((u, i))

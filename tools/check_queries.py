@@ -91,8 +91,15 @@ def main() -> int:
             failures += 1
             continue
         mismatch = None
+        dtype_bad = None
         for c in res.columns:
             a, b = res[c], exp[c]
+            # Driver parity: its value hash is dtype-sensitive (int64
+            # 99111 vs float64 99111.0 hash differently even when values
+            # match). Flag any kind mismatch instead of coercing it away.
+            if a.dtype.kind != b.dtype.kind:
+                dtype_bad = (c, a.dtype, b.dtype)
+                break
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 eq = np.isclose(
                     a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9,
@@ -103,6 +110,11 @@ def main() -> int:
             if not eq:
                 mismatch = c
                 break
+        if dtype_bad:
+            c, da, db = dtype_bad
+            print(f"FAIL {name}: column {c} dtype {da} != oracle dtype {db} (driver hash is dtype-sensitive)")
+            failures += 1
+            continue
         if mismatch:
             bad = (res[mismatch].astype(str) != exp[mismatch].astype(str)).idxmax()
             print(
