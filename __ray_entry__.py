@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the north_rule invariant, SQL-checkable)
         "extract_documents": ep.extract_documents,
+        "extract_pdf_documents": ep.extract_pdf_documents,
         "extract_spans": ep.extract_spans,
         # relational / metering operators (SURVEY.md §2.5-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -96,6 +97,10 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "extract_documents": f"""
+            SELECT {url_expr} AS url, text AS extracted_text, 'ok' AS status
+            FROM documents ORDER BY url
+        """,
+        "extract_pdf_documents": f"""
             SELECT {url_expr} AS url, text AS extracted_text, 'ok' AS status
             FROM documents ORDER BY url
         """,

@@ -148,10 +148,18 @@ def test_pdf_routing_path(ray_session, fixture_pages, golden):
 
     from textextract_ray.stages.extract import PdfExtract
 
-    with _pytest.raises(NotImplementedError, match="PDF layout"):
-        import pyarrow as pa
+    import pyarrow as pa
 
-        PdfExtract(strict=True)(pa.table({"url": ["u"], "html": [b"%PDF-x"]}))
+    # strict mode: garbage with PDF magic raises; a real PDF extracts
+    with _pytest.raises(ValueError, match="strict"):
+        PdfExtract(strict=True)(pa.table({"url": ["u"], "html": [b"%PDF-x" + b"\x00" * 64]}))
+    from textextract_ray.pdf import build_pdf
+
+    ok = PdfExtract(strict=True)(
+        pa.table({"url": ["u"], "html": [build_pdf("strict path works")]})
+    )
+    assert ok["extracted_text"].to_pylist() == ["strict path works"]
+    assert ok["status"].to_pylist() == ["ok"]
 
 
 def test_schema_validation_fails_fast(ray_session):

@@ -236,3 +236,27 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
         },
         schema=PAGES_SCHEMA,
     )
+
+
+def documents_to_pdf_pages(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: documents -> pages rows whose payload is a
+    REAL deterministic PDF carrying exactly the document text (the
+    build_pdf/extract_pdf round-trip guarantee makes extraction
+    SQL-checkable: extracted_text == documents.text)."""
+    from .pdf import build_pdf
+
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "url": [page_url(d) for d in doc_ids],
+            "warc_ts": pa.array(
+                [EPOCH_US + d * TS_STEP_US for d in doc_ids], pa.timestamp("us", tz="UTC")
+            ),
+            "html": [build_pdf(t or "") for t in texts],
+            "text": texts,
+            "lang": langs,
+        },
+        schema=PAGES_SCHEMA,
+    )

@@ -218,6 +218,31 @@ def extract_documents(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def extract_pdf_documents(sf_dir: str):
+    """PDF-arm of the flagship extraction: documents -> real
+    deterministic PDFs -> the PdfExtract actor pool (strict: any parse
+    failure raises instead of hiding in a status row). The DuckDB
+    oracle asserts extracted_text == the original document text —
+    the north_rule's "PDF/layout parse" requirement, SQL-checked."""
+    from ..datagen import documents_to_pdf_pages
+    from ..sources import read_table
+    from ..stages.extract import PdfExtract, _auto_pools
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pages = docs.map_batches(documents_to_pdf_pages, batch_format="pyarrow")
+    small, giant = _auto_pools()
+    extracted = pages.map_batches(
+        PdfExtract,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=small + giant,
+        fn_constructor_kwargs={"strict": True},
+    )
+    df = extracted.to_pandas()[["url", "extracted_text", "status"]]
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def extract_spans(sf_dir: str):
     """Span offsets of the extraction (first/only span per synthesized
     page): start, end in characters of the extracted text."""

@@ -235,32 +235,66 @@ def extract_pages_host_locality(
 # --- PDF / layout-parser actor path (stubbed parser, real routing) -----------
 
 class PdfExtract:
-    """Actor-pool stage for PDF/layout documents (the north_star's
-    "actor-pool stage hosts stateful PDF/layout parsers").
+    """Actor-pool stage hosting the stateful PDF/layout parser (the
+    north_star's "actor-pool stage hosts stateful PDF/layout parsers").
 
-    The parser handle would load once per actor in ``__init__``
-    (pdfium/poppler style); this container has no PDF library, so the
-    parse is STUBBED: ``strict=True`` raises NotImplementedError, the
-    default emits the same deterministic ``status="unsupported"`` rows
-    the HTML oracle produces — routing, pool sizing, and schema are
-    real and byte-compatible with the default path.
+    The parser is the stdlib-only implementation in
+    ``textextract_ray.pdf`` (FlateDecode + content-stream text
+    operators — public PDF 1.7 format knowledge, no PDF library
+    needed). Parser state (compiled token tables) loads once per actor
+    in ``__init__`` and amortizes across batches. Reference contract:
+    document bytes in -> text + provenance out (reference
+    backend/routes/api_routes.py:78-110).
+
+    ``strict=True`` raises on any row that fails to parse
+    (unsupported/ parse_error/invalid) instead of emitting a status
+    row — the fail-fast mode for corpora that must be all-PDF.
     """
 
     def __init__(self, *, strict: bool = False, max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES):
+        from ..pdf import extract_pdf  # parser state binds per actor
+
         self.strict = strict
-        self.parser = None  # real parser handle loads here
+        self.parser = extract_pdf
         self.max_output_bytes = max_output_bytes
         self.version = EXTRACTOR_VERSION
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "PDF layout parse requires a PDF library; not available in "
-                "this container (stub path: PdfExtract(strict=False))"
-            )
-        # the stub delegates to the oracle, which classifies PDF magic
-        # deterministically — keeping both paths byte-identical
-        return ExtractBatch(max_output_bytes=self.max_output_bytes)(batch)
+        urls = batch["url"].to_pylist()
+        blobs = batch["html"].to_pylist()
+        n = len(urls)
+        texts, spans, statuses, errors = [], [], [], []
+        times_ms, req_sizes, resp_sizes = [], [], []
+        for url, blob in zip(urls, blobs):
+            t0 = time.perf_counter()
+            res = self.parser(blob, self.max_output_bytes)
+            dt_ms = int((time.perf_counter() - t0) * 1000)
+            if self.strict and res.status not in ("ok", "empty", "truncated"):
+                raise ValueError(
+                    f"PdfExtract(strict): {url!r} failed to parse: "
+                    f"{res.status}: {res.error}"
+                )
+            texts.append(res.text)
+            spans.append(res.spans)
+            statuses.append(res.status)
+            errors.append(res.error)
+            times_ms.append(dt_ms)
+            req_sizes.append(len(blob) if blob is not None else 0)
+            resp_sizes.append(len(res.text.encode("utf-8")))
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(texts, pa.large_string()),
+                pa.array(spans, _SPAN_TYPE),
+                pa.array(statuses, pa.string()),
+                pa.array(errors, pa.string()),
+                pa.array(times_ms, pa.int64()),
+                pa.array(req_sizes, pa.int64()),
+                pa.array(resp_sizes, pa.int64()),
+                pa.array([self.version] * n, pa.string()),
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
 
 
 def extract_pages_with_pdf_routing(
