@@ -122,8 +122,10 @@ def quality_features(col: pa.ChunkedArray | pa.Array) -> pa.Table:
     n_chars, n_tokens, mean_token_len, stop_ratio, punct_ratio,
     upper_ratio, and a composite quality_score in [0, 1]."""
     n_chars = pc.utf8_length(col).cast(pa.float64())
-    toks = pc.utf8_split_whitespace(col)
-    n_tokens = pc.list_value_length(toks).cast(pa.float64())
+    # THE engine token definition (token_count: \S+ runs) — NOT
+    # utf8_split_whitespace, which emits empty boundary tokens and
+    # diverges from both token_stats and the RE2 SQL oracle
+    n_tokens = token_count(col).cast(pa.float64())
     safe_tokens = pc.max_element_wise(n_tokens, 1.0)
     safe_chars = pc.max_element_wise(n_chars, 1.0)
     # mean token length = (chars - spaces) / tokens

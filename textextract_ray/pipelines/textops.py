@@ -94,8 +94,21 @@ def quality_scores(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def feats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         f = quality_features(batch["text"])
-        return pa.table({"doc_id": batch["doc_id"], **{c: f[c] for c in f.column_names}})
+        cols = {}
+        for c in f.column_names:
+            col = f[c]
+            # symmetric round(4) with the SQL oracle; DuckDB rounds
+            # half away from zero, so mirror that (Arrow defaults to
+            # banker's rounding, which differs at exact .5 ties)
+            cols[c] = (
+                pc.round(col, ndigits=4, round_mode="half_towards_infinity")
+                if pa.types.is_floating(col.type)
+                else col
+            )
+        return pa.table({"doc_id": batch["doc_id"], **cols})
 
     out = ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -233,12 +246,30 @@ def image_metadata(sf_dir: str):
 
 def media_features(sf_dir: str):
     """Stub feature-extraction → 8-dim embedding per media payload
-    (deterministic; feeds the ANN/dedup stages end-to-end)."""
+    (deterministic; feeds the ANN/dedup stages end-to-end). Returned
+    LONG-form (media_id, dim_index, value) — scalar columns hash
+    stably in the driver gate, where a list column's rendering would
+    not."""
     from ..stages.multimodal import extract_features
 
-    out = extract_features(_documents_as_media(sf_dir)).to_pandas()
-    out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 4) for x in v])
-    return out.sort_values("media_id").reset_index(drop=True)
+    out = extract_features(_documents_as_media(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        n, d = mat.shape if mat.size else (0, 0)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "dim_index": pa.array(np.tile(np.arange(d), n), pa.int32()),
+                "value": pa.array(np.round(mat.ravel(), 4), pa.float64()),
+            }
+        )
+
+    df = out.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["media_id", "dim_index"]).reset_index(drop=True)
 
 
 def frame_samples(sf_dir: str):

@@ -88,11 +88,36 @@ def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id",
 
 # --- IVF (scale path) --------------------------------------------------------
 
-def train_centroids(ds, *, vec_col="embedding", n_centroids=16, sample_frac=0.2,
-                    iters=10, seed=13) -> np.ndarray:
+def train_centroids(ds, *, vec_col="embedding", id_col="vec_id", n_centroids=16,
+                    sample_frac=0.2, iters=10, seed=13) -> np.ndarray:
     """Deterministic mini k-means on a sampled subset (driver-side on
-    the SAMPLE only — the corpus itself is never materialized)."""
-    sample = ds.random_sample(sample_frac, seed=seed).take_all()
+    the SAMPLE only — the corpus itself is never materialized).
+
+    The sample is selected by a stable hash of the id column, NOT
+    ``random_sample``: Ray's sampler draws per-block, so its output
+    depends on block layout / parallelism — the same job at 8 and 32
+    CPUs would train different centroids and return different top-k.
+    Hash-selection is layout-independent (same rows at any cluster
+    size)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.scalar import stable_bucket
+
+    n_buckets = 1000
+    cut = max(1, int(sample_frac * n_buckets))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch[id_col], n_buckets)
+        return batch.filter(pa.array(b < cut))
+
+    # sort by id: take_all() returns blocks in streaming completion
+    # order, which varies with parallelism — the trained centroids must
+    # not depend on row arrival order
+    sample = sorted(
+        ds.map_batches(pick, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )
     mat = _unit(np.array([r[vec_col] for r in sample], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
