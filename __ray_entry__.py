@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction (the north_rule invariant, SQL-checkable)
         "extract_documents": ep.extract_documents,
         "extract_pdf_documents": ep.extract_pdf_documents,
+        "extract_localized": ep.extract_localized,
         "extract_spans": ep.extract_spans,
         # relational / metering operators (SURVEY.md §2.5-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -103,6 +104,29 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf_documents": f"""
             SELECT {url_expr} AS url, text AS extracted_text, 'ok' AS status
             FROM documents ORDER BY url
+        """,
+        # per-language model dispatch: the stopword pattern is chosen
+        # by the row's lang column (same pattern table as the Ray
+        # actors' compiled models — RE2 both sides)
+        "extract_localized": f"""
+            WITH m AS (
+                SELECT {url_expr} AS url, lang, text AS extracted_text,
+                    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                    CASE lang
+                        WHEN 'en' THEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is|that|for|with)\\b'))
+                        WHEN 'de' THEN len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b'))
+                        WHEN 'fr' THEN len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|des|du|dans|pour|que)\\b'))
+                        WHEN 'es' THEN len(regexp_extract_all(lower(text), '\\b(el|la|los|las|y|es|del|en|que|por)\\b'))
+                        WHEN 'zh' THEN len(regexp_extract_all(lower(text), '(的|了|和|是|在)'))
+                        ELSE 0
+                    END AS n_stopwords
+                FROM documents
+            )
+            SELECT url, lang, extracted_text,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_stopwords AS BIGINT) AS n_stopwords,
+                   CAST(greatest(n_tokens - n_stopwords, 0) AS BIGINT) AS n_kept
+            FROM m ORDER BY url
         """,
         "extract_spans": f"""
             SELECT {url_expr} AS url, 0 AS span_start,

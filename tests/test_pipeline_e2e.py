@@ -198,3 +198,33 @@ def test_null_html_rows_not_dropped(ray_session):
 
     out2 = extract_pages_with_pdf_routing(ds, concurrency=1).to_pandas()
     assert set(out2["url"]) == {"https://h/ok", "https://h/null"}
+
+
+def test_per_language_dispatch_observable(ray_session):
+    """Same text under different lang tags routes to different models
+    (the per-language dispatch A1/A2): stopword counts differ per lang,
+    extraction itself stays byte-identical."""
+    import pyarrow as pa
+
+    from textextract_ray.stages.extract import LangDispatchExtract
+
+    text = "the cat and the hat der die le la el zz"
+    html = f"<html><body><article><p>{text}</p></article></body></html>".encode()
+    batch = pa.table(
+        {
+            "url": [f"https://h/{l}" for l in ("en", "de", "fr", "es", "zh", "xx")],
+            "html": [html] * 6,
+            "lang": ["en", "de", "fr", "es", "zh", "xx"],
+        }
+    )
+    out = LangDispatchExtract()(batch)
+    assert out["extracted_text"].to_pylist() == [text] * 6
+    stops = dict(zip(out["lang"].to_pylist(), out["n_stopwords"].to_pylist()))
+    assert stops["en"] == 3   # the, and, the
+    assert stops["de"] == 2   # der, die
+    assert stops["fr"] == 2   # le, la
+    assert stops["es"] == 2   # la? no — el, la
+    assert stops["zh"] == 0   # no CJK markers in ASCII text
+    assert stops["xx"] == 0   # unknown lang -> null model
+    kept = dict(zip(out["lang"].to_pylist(), out["n_kept"].to_pylist()))
+    assert kept["en"] == out["n_tokens"][0].as_py() - 3

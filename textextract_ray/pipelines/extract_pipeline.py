@@ -218,6 +218,26 @@ def extract_documents(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def extract_localized(sf_dir: str):
+    """Extraction with per-language model dispatch: each row routes to
+    the language model keyed by its ``lang`` column (models compiled
+    once per actor — SURVEY §7 step 5, reference src/ocr.py:196-204).
+    Output is SQL-checkable: extracted_text == documents.text plus the
+    per-lang stopword-model counts."""
+    from ..stages.extract import LangDispatchExtract, _auto_pools
+
+    small, giant = _auto_pools()
+    out = _documents_as_pages(sf_dir).map_batches(
+        LangDispatchExtract,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=128,
+        concurrency=small + giant,
+    )
+    df = out.to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def extract_pdf_documents(sf_dir: str):
     """PDF-arm of the flagship extraction: documents -> real
     deterministic PDFs -> the PdfExtract actor pool (strict: any parse

@@ -232,6 +232,82 @@ def extract_pages_host_locality(
     )
 
 
+# --- per-language extraction models (A1/A2 + the `language` field) -----------
+
+# public basic stopword heads per language; zh has no word boundaries
+# (CJK), so its pattern is a bare alternation
+_LANG_MODEL_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|a|is|that|for|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|des|du|dans|pour|que)\b",
+    "es": r"\b(el|la|los|las|y|es|del|en|que|por)\b",
+    "zh": r"(的|了|和|是|在)",
+}
+
+
+class LangDispatchExtract:
+    """Actor-pool extraction with PER-LANGUAGE models (the reference's
+    ``language`` request field routing to a per-language engine,
+    reference src/ocr.py:196-204, backend/routes/api_routes.py:31-40;
+    SURVEY §7 step 5).
+
+    All per-language state — one compiled stopword/tokenizer model per
+    language — is built ONCE per actor in ``__init__``; ``__call__``
+    dispatches each row on its ``lang`` column, extracts main content
+    (same byte-identical oracle as ExtractBatch), then applies the
+    row's language model. Per-lang work is vectorized per lang-mask,
+    not per row. Unknown langs fall back to a null model (0 matches).
+
+    Output: url, lang, extracted_text, n_tokens (\\S+ runs),
+    n_stopwords (per-lang model matches on the lowercased text),
+    n_kept = n_tokens - n_stopwords clamped at 0.
+    """
+
+    def __init__(self, max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES):
+        import re
+
+        self.max_output_bytes = max_output_bytes
+        # the amortized per-actor "model load": compiled per-lang state
+        self.models = {
+            lang: re.compile(pat) for lang, pat in _LANG_MODEL_PATTERNS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        urls = batch["url"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        texts = [
+            extract_document(h, self.max_output_bytes).text
+            for h in batch["html"].to_pylist()
+        ]
+        text_arr = pa.array(texts, pa.large_string())
+        n_tokens = pc.count_substring_regex(text_arr, r"\S+").cast(pa.int64())
+        lower = pc.utf8_lower(text_arr)
+        n_stop = np.zeros(len(texts), dtype=np.int64)
+        lang_np = np.asarray(langs, dtype=object)
+        for lang in set(langs):
+            if lang not in self.models:
+                continue  # null model: 0 stopword matches
+            idx = np.nonzero(lang_np == lang)[0]
+            counts = pc.count_substring_regex(
+                lower.take(pa.array(idx)), _LANG_MODEL_PATTERNS[lang]
+            ).to_numpy(zero_copy_only=False)
+            n_stop[idx] = counts  # one regex pass per lang SUBSET, O(n) total
+        nt = n_tokens.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "extracted_text": text_arr,
+                "n_tokens": n_tokens,
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_kept": pa.array(np.maximum(nt - n_stop, 0), pa.int64()),
+            }
+        )
+
+
 # --- PDF / layout-parser actor path (stubbed parser, real routing) -----------
 
 class PdfExtract:
