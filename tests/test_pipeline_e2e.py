@@ -228,3 +228,29 @@ def test_per_language_dispatch_observable(ray_session):
     assert stops["xx"] == 0   # unknown lang -> null model
     kept = dict(zip(out["lang"].to_pylist(), out["n_kept"].to_pylist()))
     assert kept["en"] == out["n_tokens"][0].as_py() - 3
+
+
+def test_dedup_by_url_distributed_fallback_matches_driver_path(
+    ray_session, fixture_pages
+):
+    """dedup_by_url has two dup-resolution arms (driver Arrow pass vs
+    bucketed groupby past the row budget); they must agree exactly."""
+    from textextract_ray.pipelines.extract_pipeline import (
+        dedup_by_url,
+        extract_dataset,
+    )
+    from textextract_ray.sources import read_pages
+
+    def run(budget):
+        ds = extract_dataset(read_pages(fixture_pages), dedup=False)
+        out = dedup_by_url(ds, driver_budget_rows=budget).to_pandas()
+        return out.sort_values("url").reset_index(drop=True)
+
+    driver = run(200_000)
+    distributed = run(0)  # forces the bucketed-groupby arm
+    assert len(driver) == len(distributed)
+    assert driver["url"].tolist() == distributed["url"].tolist()
+    assert driver["extracted_text"].tolist() == distributed["extracted_text"].tolist()
+    # dups actually existed in the fixture (else this test is vacuous)
+    raw = extract_dataset(read_pages(fixture_pages), dedup=False).count()
+    assert raw > len(driver)

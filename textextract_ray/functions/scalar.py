@@ -204,5 +204,29 @@ def stable_bucket(values, num_buckets: int) -> "np.ndarray":
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def stable_hash64(values) -> "np.ndarray":
+    """Full-width member of the same hash family as ``stable_bucket``
+    (identical polars siphash, seed 0): uint64 per value. Used where a
+    compact row identity must travel INSTEAD of the row itself (e.g.
+    the dedup dup-key scan ships 8 bytes/url, not the url). Collisions
+    are allowed to be resolved downstream on the real key — callers
+    must treat a hash hit as a candidate, not a verdict."""
+    import polars as pl
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if len(values) == 0:
+            return np.empty(0, dtype=np.uint64)
+        arr = values.cast(pa.string()) if values.type != pa.string() else values
+        arr = pc.fill_null(arr, "None")
+    else:
+        vals = list(values)
+        if not vals:
+            return np.empty(0, dtype=np.uint64)
+        arr = pa.array(
+            [v if isinstance(v, str) else repr(v) for v in vals], pa.string()
+        )
+    return pl.from_arrow(arr).hash(seed=0).to_numpy()
+
+
 # Back-compat alias for the pre-round-2 name; same contract.
 crc32_bucket = stable_bucket

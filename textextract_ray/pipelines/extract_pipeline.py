@@ -61,41 +61,115 @@ def extract_dataset(
     return extracted
 
 
-def dedup_by_url(extracted_ds, *, num_buckets: int = 256):
-    """Exact dedup by url: hash-bucket partition + first-per-url.
+DEDUP_DRIVER_BUDGET_ROWS = 200_000
 
-    Rows are bucketed by ``crc32(url) % num_buckets`` and shuffled once
-    (the pipeline's one true shuffle, D2); every row of a url lands in
-    the same bucket, so a vectorized first-occurrence pass inside the
-    bucket is globally correct. Bucketing instead of per-url groups
-    cuts the group-dispatch overhead from O(urls) to O(buckets).
+
+def dedup_by_url(
+    extracted_ds,
+    *,
+    num_buckets: int = 256,
+    driver_budget_rows: int = DEDUP_DRIVER_BUDGET_ROWS,
+):
+    """Exact dedup by url — the shuffle carries KEYS, not payloads.
+
+    The naive shape (bucket every extracted row by url hash, shuffle
+    ALL of them, first-per-url inside the bucket) moves the entire
+    extracted payload (text + spans) through an all-to-all — measured
+    ~25-40% of partition wall time at the soak config, and at 100 TB it
+    is the whole corpus through the object store for a dup fraction of
+    a few percent. Instead:
+
+    1. materialize the extracted partition once (partition-scale, not
+       corpus-scale — this is what bounds it; it also stops the
+       consumers below from re-executing the extract),
+    2. key scan: ship ONLY an 8-byte ``stable_hash64(url)`` per row to
+       the driver and find hashes with count > 1 (a Ray groupby here
+       costs more in machinery than the data: the scan is
+       O(rows-per-partition × 8 B), bounded by partition sizing),
+    3. stream-filter the unique-url rows with the broadcast dup-hash
+       set (vectorized ``is_in``, no shuffle — the overwhelming
+       majority of the data takes this path),
+    4. resolve only the rare duplicate rows: pulled to the driver and
+       deduped in Arrow when they fit ``driver_budget_rows``, else a
+       bucketed groupby over just that subset (still key-partitioned,
+       never the full payload).
+
+    A hash collision routes a unique url into the dup path, where
+    first-per-URL (the real string) keeps it — collisions cost a few
+    extra rows in step 4, never correctness.
 
     The extractor is a pure function of the bytes, so duplicate urls
     carry rows identical in every content column (only the timing
     column varies) and ANY occurrence is a valid winner — content
     determinism does not depend on block arrival order. Stays in Arrow
     end-to-end (pandas would mangle the ``spans`` list column).
-
-    At cluster scale, raise num_buckets so one bucket's rows fit a
-    worker's heap (buckets ≈ total_rows / 2M is a good start).
     """
     import numpy as np
 
-    from ..functions.scalar import stable_bucket
+    import ray as _ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..functions.scalar import stable_bucket, stable_hash64
+
+    ds = extracted_ds.materialize()
+
+    def url_hashes(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(stable_hash64(batch["url"]), pa.uint64())})
+
+    h = (
+        ds.map_batches(url_hashes, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+    )
+    uniq_h, counts = np.unique(h, return_counts=True)
+    dup_h = uniq_h[counts > 1]
+    if dup_h.size == 0:
+        return ds
+    dup_ref = _ray.put(pa.array(dup_h, pa.uint64()))
+
+    def dup_mask(batch: pa.Table):
+        hh = pa.array(stable_hash64(batch["url"]), pa.uint64())
+        return pc.fill_null(pc.is_in(hh, value_set=_ray.get(dup_ref)), False)
+
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(dup_mask(batch)))
+
+    def keep_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(dup_mask(batch))
+
+    def first_per_url(tbl: pa.Table) -> pa.Table:
+        urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+        _, first_idx = np.unique(urls, return_index=True)
+        return tbl.take(np.sort(first_idx))
+
+    uniq = ds.map_batches(keep_unique, batch_format="pyarrow")
+    dups = ds.map_batches(keep_dup, batch_format="pyarrow")
+    n_dup_rows = int(counts[counts > 1].sum())
+    if n_dup_rows <= driver_budget_rows:
+        # rare-duplicate fast path: the subset fits the driver; one
+        # Arrow pass picks the winners, re-shipped as a single block
+        tables = [t for t in _ray.get(dups.to_arrow_refs()) if len(t)]
+        winners = first_per_url(
+            pa.concat_tables(tables).combine_chunks()
+        )
+        return uniq.union(rd.from_arrow(winners))
+
+    def first_per_url_bucket(bucket: pa.Table) -> pa.Table:
+        return first_per_url(bucket).drop_columns(["url_bucket"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        b = stable_bucket(batch["url"], num_buckets)
-        return batch.append_column("url_bucket", pa.array(b, pa.int32()))
+        return batch.append_column(
+            "url_bucket",
+            pa.array(stable_bucket(batch["url"], num_buckets), pa.int32()),
+        )
 
-    def first_per_url(bucket: pa.Table) -> pa.Table:
-        urls = np.asarray(bucket["url"].to_pylist(), dtype=object)
-        _, first_idx = np.unique(urls, return_index=True)
-        return bucket.take(np.sort(first_idx)).drop_columns(["url_bucket"])
-
-    bucketed = extracted_ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("url_bucket").map_groups(
-        first_per_url, batch_format="pyarrow"
+    resolved = (
+        dups.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("url_bucket")
+        .map_groups(first_per_url_bucket, batch_format="pyarrow")
     )
+    return uniq.union(resolved)
 
 
 def _ensure_partition_dir(pdir: str) -> None:
@@ -128,6 +202,7 @@ def run_job(
     concurrency=None,
     giant_threshold: int | None = 4 * 1024 * 1024,
     fail_at_partition: int | None = None,
+    overlap_commit: bool = True,
 ) -> pd.DataFrame:
     """Resumable extraction job over Parquet shards.
 
@@ -143,19 +218,54 @@ def run_job(
     Scale note: partitions are sized (shards_per_partition) so one
     partition saturates the cluster under streaming execution; the
     driver loop adds one manifest fsync per partition, not per row.
-    Returns the per-partition counters report.
+    The write-verify + counters + manifest commit of partition N runs
+    in a background thread OVERLAPPED with partition N+1's extraction
+    (the commit barrier serialized the whole job otherwise — measured
+    ~40% of soak wall time in round 1). Commits are per-partition
+    manifests, so out-of-order completion is resume-safe: a crash
+    re-runs exactly the uncommitted partitions.
+    ``overlap_commit=False`` forces the round-1 sequential barrier
+    (each partition fully verifies + commits before the next starts) —
+    the control arm for measuring the overlap win. Returns the
+    per-partition counters report.
     """
+    import threading
+
     partitions = [
         shard_files[i : i + shards_per_partition]
         for i in range(0, len(shard_files), shards_per_partition)
     ]
     committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
-    rows = []
+    results: dict = {}
+    errors: dict = {}
+    pending: list = []
+
+    def verify_and_commit(pid: int, shards: list, pdir: str) -> None:
+        try:
+            _ensure_partition_dir(pdir)
+            written = read_pages(pdir)  # write-verify (read-back idiom S3)
+            counters = aggregate_counters(written, pid)
+            checkpoint.commit_partition(
+                out_dir, pid, input_shards=shards, row_range=None, counters=counters
+            )
+            results[pid] = counters
+        except BaseException as exc:  # surfaced on join
+            errors[pid] = exc
+
+    def join_pending() -> None:
+        for t in pending:
+            t.join()
+        pending.clear()
+        if errors:
+            pid, exc = sorted(errors.items())[0]
+            raise RuntimeError(f"partition {pid} verify/commit failed") from exc
+
     for pid, shards in enumerate(partitions):
         if checkpoint.is_committed(out_dir, pid):
-            rows.append({"partition_id": pid, **committed[pid]["counters"]})
+            results[pid] = {"partition_id": pid, **committed[pid]["counters"]}
             continue
         if fail_at_partition is not None and pid >= fail_at_partition:
+            join_pending()  # earlier commits land; THIS partition does not
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         checkpoint.clean_uncommitted(out_dir, pid)
         ds = read_pages(shards)
@@ -168,14 +278,22 @@ def run_job(
         )
         pdir = checkpoint.partition_dir(out_dir, pid)
         extracted.write_parquet(pdir)
-        _ensure_partition_dir(pdir)
-        written = read_pages(pdir)  # write-verify (clipboard read-back idiom S3)
-        counters = aggregate_counters(written, pid)
-        checkpoint.commit_partition(
-            out_dir, pid, input_shards=shards, row_range=None, counters=counters
+        # commit barrier off the critical path: next partition's read +
+        # extract starts while this one verifies and commits
+        t = threading.Thread(
+            target=verify_and_commit, args=(pid, shards, pdir), daemon=True
         )
-        rows.append(counters)
-    report = counters_report(rows)
+        t.start()
+        pending.append(t)
+        # bound the verify backlog: at most 2 in flight, so a slow
+        # verify applies backpressure instead of piling up read jobs
+        max_pending = 2 if overlap_commit else 0
+        while len(pending) > max_pending:
+            pending.pop(0).join()
+        if errors:
+            join_pending()
+    join_pending()
+    report = counters_report([results[pid] for pid in sorted(results)])
     # S6 metrics sink: the counters table rides next to the manifests
     # (reference update-track event sink, update_routes.py:287-313)
     if len(report):

@@ -11,6 +11,37 @@ import os
 
 import ray.data as rd
 
+
+def _pin_fsspec_http_import() -> None:
+    """Defuse a concurrent-import race in Ray's path resolution.
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` does a lazy
+    ``from fsspec.implementations.http import HTTPFileSystem`` on every
+    read and catches only ModuleNotFoundError. In this container the
+    import fails (no aiohttp), and Python removes the failed module
+    from sys.modules — so two driver threads resolving paths
+    concurrently (e.g. the overlapped verify-commit thread plus the
+    next partition's read) can race the partial import and surface a
+    plain ImportError that Ray does not catch. Pin a stub module once:
+    the sentinel class can never match a real filesystem instance, so
+    ``_is_http_filesystem`` correctly returns False ever after."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel for isinstance checks only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_pin_fsspec_http_import()
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

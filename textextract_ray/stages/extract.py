@@ -27,6 +27,33 @@ from ..schemas import EXTRACTED_SCHEMA
 
 _SPAN_TYPE = EXTRACTED_SCHEMA.field("spans").type
 
+# Transient-vs-poison failure classification (SURVEY §4.2; reference
+# retry ladders src/ocr.py:207-259, src/updater.py:105-120): I/O-shaped
+# exceptions are retried in place by Ray's task layer — the batch
+# re-runs on the (already-warm) actor (Ray Data actor pools default to
+# max_restarts=-1 / max_task_retries=-1, so actor deaths already
+# recover; DataContext.actor_task_retry_on_errors extends that to
+# application-level transient exceptions). Anything NOT in this list
+# (a logic bug) fails fast. Poison documents NEVER raise: the
+# extractor catches per-document failures and emits a status row
+# (see ExtractBatch.__call__), so a malformed input cannot burn
+# retries or wedge the pipeline.
+TRANSIENT_EXCEPTIONS = (OSError, ConnectionError, TimeoutError)
+
+
+def apply_transient_retry_policy() -> None:
+    """Idempotently install the transient-retry classification on the
+    current DataContext (picked up by every dataset built after the
+    call). Called by the extraction entry points."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    existing = ctx.actor_task_retry_on_errors or []
+    if existing is True:
+        return
+    merged = list(dict.fromkeys([*existing, *TRANSIENT_EXCEPTIONS]))
+    ctx.actor_task_retry_on_errors = merged
+
 
 class ExtractBatch:
     """Actor-pool extraction stage.
@@ -139,6 +166,7 @@ def extract_pages(
         num_cpus=num_cpus,
         fn_constructor_kwargs={"max_output_bytes": max_output_bytes},
     )
+    apply_transient_retry_policy()
     if giant_threshold is None:
         return pages_ds.map_batches(
             ExtractBatch,
@@ -386,6 +414,7 @@ def extract_pages_with_pdf_routing(
     rows; union preserves the per-url output contract."""
     import pyarrow.compute as pc
 
+    apply_transient_retry_policy()
     auto_small, auto_giant = _auto_pools()
 
     def is_pdf(t: pa.Table):
