@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "usage_daily": rel.usage_daily,
         "usage_monthly": rel.usage_monthly,
         "remaining_quota": rel.remaining_quota,
+        "credit_admission": rel.credit_admission,
+        "device_info": rel.device_info,
         "recent_events": rel.recent_events,
         "latest_order_per_customer": rel.latest_release_per_user,
         "filter_regex_count": rel.filter_regex_count,
@@ -178,6 +180,45 @@ def oracle_sql() -> dict[str, str]:
         "recent_events": """
             SELECT event_id, ts, user_id, event_type
             FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+        "credit_admission": """
+            WITH ordered AS (
+                SELECT user_id, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS seq
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN seq < 40 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS admitted_within_quota,
+                   CAST(sum(CASE WHEN seq >= 40 AND seq < 45 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS admitted_via_credit,
+                   CAST(sum(CASE WHEN seq >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS rejected,
+                   CAST(5 - sum(CASE WHEN seq >= 40 AND seq < 45 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS credits_remaining,
+                   CAST(min(CASE WHEN seq = 45 THEN event_id END) AS DOUBLE)
+                       AS first_rejected_event_id
+            FROM ordered GROUP BY user_id ORDER BY user_id
+        """,
+        "device_info": """
+            SELECT event_id, event_type,
+                   CASE WHEN k IS NULL THEN 'unknown'
+                        WHEN k < 25 THEN 'desktop'
+                        WHEN k < 50 THEN 'mobile'
+                        WHEN k < 75 THEN 'tablet'
+                        ELSE 'other' END AS device_type,
+                   k,
+                   k IS NOT NULL AS parse_ok,
+                   CASE WHEN k IS NULL THEN props END AS raw_props
+            FROM (
+                SELECT event_id, event_type, props,
+                       CASE WHEN regexp_matches(props, '^\\{"k":\\s*(\\d+)\\}$')
+                            THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       END AS k
+                FROM events
+            ) ORDER BY event_id
         """,
         "latest_order_per_customer": """
             SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -101,3 +101,85 @@ def test_approx_distinct_close_to_exact(entrymod, sf_dir, ray_session, con):
     for _, row in df.iterrows():
         true = exact[row["table_col"]]
         assert abs(row["approx_distinct"] - true) / max(true, 1) < 0.05, row["table_col"]
+
+
+def _tiny_events(tmp_path, rows: dict):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(pd.to_datetime(rows["ts"]), pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows.get("event_type", ["click"] * len(rows["event_id"]))),
+            "value": pa.array(rows.get("value", [1.0] * len(rows["event_id"]))),
+            "props": pa.array(rows.get("props", ['{"k": 1}'] * len(rows["event_id"]))),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_credit_admission_replays_in_time_order(tmp_path, ray_session):
+    # event_ids run OPPOSITE to ts: a replay that orders by event_id
+    # instead of ts picks the wrong first_rejected_event_id
+    from textextract_ray.pipelines.relational import credit_admission
+
+    n = 8
+    sf = _tiny_events(
+        tmp_path,
+        {
+            "event_id": list(range(n, 0, -1)),  # 8..1
+            "ts": [f"2024-01-01T00:0{i}:00" for i in range(n)],
+            "user_id": [7] * n,
+        },
+    )
+    df = credit_admission(sf, max_requests=3, credits=2)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["admitted_within_quota"] == 3
+    assert row["admitted_via_credit"] == 2
+    assert row["rejected"] == 3
+    assert row["credits_remaining"] == 0
+    # 6th request in TIME order is event_id 8-5=3
+    assert row["first_rejected_event_id"] == 3.0
+
+
+def test_credit_admission_under_quota_keeps_credits(tmp_path, ray_session):
+    from textextract_ray.pipelines.relational import credit_admission
+
+    sf = _tiny_events(
+        tmp_path,
+        {
+            "event_id": [1, 2],
+            "ts": ["2024-01-01T00:00:00", "2024-01-01T00:01:00"],
+            "user_id": [1, 1],
+        },
+    )
+    row = credit_admission(sf, max_requests=3, credits=2).iloc[0]
+    assert row["admitted_within_quota"] == 2
+    assert row["admitted_via_credit"] == 0 and row["rejected"] == 0
+    assert row["credits_remaining"] == 2
+    assert np.isnan(row["first_rejected_event_id"])
+
+
+def test_device_info_fallback_keeps_raw_payload(tmp_path, ray_session):
+    # unparseable props must keep the raw string (reference fallback,
+    # auth.py:198-201), parsed rows walk the classification ladder
+    from textextract_ray.pipelines.relational import device_info
+
+    sf = _tiny_events(
+        tmp_path,
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": [f"2024-01-01T00:0{i}:00" for i in range(5)],
+            "user_id": [1] * 5,
+            "props": ['{"k": 10}', '{"k": 30}', '{"k": 60}', '{"k": 90}', "not-json"],
+        },
+    )
+    df = device_info(sf)
+    assert list(df["device_type"]) == ["desktop", "mobile", "tablet", "other", "unknown"]
+    assert list(df["parse_ok"]) == [True, True, True, True, False]
+    assert df["raw_props"].iloc[4] == "not-json"
+    assert df["raw_props"].iloc[:4].isna().all()

@@ -96,38 +96,50 @@ def q1_pricing_summary(sf_dir: str):
 
 # --- J1 + top-k: broadcast join + grouped sum + sort/limit (Q3 shape) --------
 
+# broadcast budget for the second q3 join level: above this many
+# surviving order keys, the key set is no longer a "small side" and the
+# bucketed co-partition join takes over (at 100 TB the budget is what
+# fits comfortably in every worker's plasma share)
+Q3_BROADCAST_BUDGET_KEYS = 2_000_000
+
+
+def _segment_customer_keys(sf_dir: str, segment: str):
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_tbl = cust.to_pandas()
+    return pa.array(
+        sorted(cust_tbl[cust_tbl.c_mktsegment == segment]["c_custkey"]), pa.int64()
+    )
+
+
 def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     """customer ⋈ orders ⋈ lineitem, revenue per order, top-k.
 
-    Both join levels are broadcast semi-joins (reference J1: the
+    First join level is a broadcast semi-join (reference J1: the
     quota-path lookup is a broadcast dimension probe): the segment's
-    customer keys filter orders, the surviving order keys filter
-    lineitem — each key set is collected once (it is proportional to
-    dimension selectivity, never to fact-table size), shipped via
-    ray.put, and probed with a vectorized Arrow is_in per batch. No
-    all-to-all shuffle touches lineitem; the only shuffle is the final
-    tiny groupby on pre-filtered rows. A hash-partitioned Dataset.join
-    variant is exercised in tests (q3_top_orders_hashjoin)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_tbl = cust.to_pandas()
-    cust_keys = pa.array(
-        sorted(cust_tbl[cust_tbl.c_mktsegment == segment]["c_custkey"]), pa.int64()
-    )
-    ckeys_ref = ray.put(cust_keys)
+    customer keys are dimension-sized, collected once, shipped via
+    ray.put, probed with vectorized is_in. The SECOND level's key set
+    (surviving orders) is fact-scale × selectivity — it is built
+    DISTRIBUTED (the filtered key column materializes in the object
+    store, never as a driver list), counted, and only pulled +
+    broadcast when it fits Q3_BROADCAST_BUDGET_KEYS; past the budget
+    the query falls back to the bucketed co-partition join
+    (q3_top_orders_hashjoin), which never materializes keys anywhere.
+    """
+    ckeys_ref = ray.put(_segment_customer_keys(sf_dir, segment))
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def semi_orders(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
-        return batch.filter(mask)
+        return batch.filter(mask).select(["o_orderkey"])
 
+    # keys-only dataset, materialized in the OBJECT STORE (blocks stay
+    # distributed; the driver sees only the count until it fits budget)
+    okeys_ds = orders.map_batches(semi_orders, batch_format="pyarrow").materialize()
+    if okeys_ds.count() > Q3_BROADCAST_BUDGET_KEYS:
+        return q3_top_orders_hashjoin(sf_dir, segment=segment, k=k)
     order_keys = pa.array(
-        sorted(
-            orders.map_batches(semi_orders, batch_format="pyarrow")
-            .to_pandas()["o_orderkey"]
-            .tolist()
-        ),
-        pa.int64(),
+        sorted(okeys_ds.to_pandas()["o_orderkey"]), pa.int64()
     )
     okeys_ref = ray.put(order_keys)
 
@@ -152,46 +164,75 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     return _round_floats(out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True))
 
 
-def q3_top_orders_hashjoin(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
-    """The same query via a hash-partitioned ``Dataset.join`` — the
-    big-big join path (both sides shuffled on the key). Kept as the
-    scale-path demonstration; the broadcast variant above wins whenever
-    the filtered dimension fits in the object store."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_tbl = cust.to_pandas()
-    cust_keys = pa.array(
-        sorted(cust_tbl[cust_tbl.c_mktsegment == segment]["c_custkey"]), pa.int64()
-    )
-    ckeys_ref = ray.put(cust_keys)
+def q3_top_orders_hashjoin(
+    sf_dir: str, *, segment: str = "BUILDING", k: int = 10, num_buckets: int = 64
+):
+    """The same query as a bucketed co-partition join — THE scale path
+    for big-big: both sides are tagged with the same stable hash bucket
+    of the join key, one union + groupby(bucket) shuffle co-locates all
+    rows of a key, and each bucket joins + aggregates + takes its local
+    top-k WITHIN the group (every key lives wholly in one bucket, so
+    per-bucket aggregation is exact and per-bucket top-k is globally
+    safe). The driver merges num_buckets × k candidate rows — nothing
+    fact-scale ever leaves the workers, no key set is materialized
+    anywhere. One all-to-all over (key, rev) pairs; Ray's Dataset.join
+    was measured ~6x slower on the same shape (hash-shuffle operator
+    dispatch dominates at this scale)."""
+    from ..functions.scalar import stable_bucket
+
+    ckeys_ref = ray.put(_segment_customer_keys(sf_dir, segment))
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def semi(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref)))
+    def orders_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
+        )
+        key = batch["o_orderkey"]
+        return pa.table(
+            {
+                "key": key,
+                "rev": pa.nulls(len(batch), pa.float64()),
+                "_bucket": pa.array(stable_bucket(key, num_buckets), pa.int32()),
+            }
+        )
 
-    orders_f = orders.map_batches(semi, batch_format="pyarrow")
-    li = read_table(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    )
-
-    def rev(batch: pa.Table) -> pa.Table:
+    def lineitem_side(batch: pa.Table) -> pa.Table:
         r = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+        key = batch["l_orderkey"]
+        return pa.table(
+            {
+                "key": key,
+                "rev": r.cast(pa.float64()),
+                "_bucket": pa.array(stable_bucket(key, num_buckets), pa.int32()),
+            }
+        )
 
-    li_r = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-    joined = li_r.join(
-        orders_f,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    agg = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
-    out = agg.to_pandas().sort_values(
-        ["revenue", "l_orderkey"], ascending=[False, True]
-    ).head(k)
+    tagged = li.map_batches(
+        lineitem_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(orders_side, batch_format="pyarrow"))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # rows with null rev are the orders side (the key whitelist)
+        right = df["rev"].isna()
+        keys = df.loc[right, "key"].unique()
+        left = df[~right]
+        left = left[left["key"].isin(keys)]
+        agg = left.groupby("key", as_index=False)["rev"].sum()
+        agg = agg.sort_values(["rev", "key"], ascending=[False, True]).head(k)
+        return agg.rename(columns={"key": "l_orderkey", "rev": "revenue"})
+
+    cand = (
+        tagged.groupby("_bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
     return _round_floats(out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True))
 
 
@@ -262,16 +303,73 @@ def remaining_quota(sf_dir: str, *, max_requests: int = 40):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+# --- G4: credit-consume admission replay -------------------------------------
+
+def credit_admission(sf_dir: str, *, max_requests: int = 40, credits: int = 5):
+    """Quota admission with the credit-consume fallback (reference G4
+    can_make_request → decrement_credit_requests,
+    backend/database/models.py:247-308): each request is admitted
+    within the plan quota for the metering window (here the whole log
+    window; compose period_usage's anchor bucketing in front for the
+    subscription-period variant), then by decrementing one credit,
+    else rejected. The decision depends on how many requests PRECEDED this
+    one, so the operator is an ordered per-user replay: groupby
+    co-locates a user's events, the in-group sort + position arithmetic
+    is the admission ladder. Output: per-user admission counters, the
+    post-replay credit balance, and the first rejected event —
+    ``first_rejected_event_id`` is order-sensitive, so a wrong replay
+    order fails the oracle even when the counts happen to match.
+
+    Scale: the shuffle moves (user_id, ts, event_id) triples only; the
+    ladder itself is vectorized numpy inside map_groups."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def replay(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        n = len(g)
+        seq = np.arange(n)  # requests admitted before this one
+        within = seq < max_requests
+        via_credit = (~within) & (seq < max_requests + credits)
+        rejected = ~within & ~via_credit
+        first_rej = int(g["event_id"].to_numpy()[rejected][0]) if rejected.any() else None
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "admitted_within_quota": [int(within.sum())],
+                "admitted_via_credit": [int(via_credit.sum())],
+                "rejected": [int(rejected.sum())],
+                "credits_remaining": [credits - int(via_credit.sum())],
+                # float64 (not nullable Int64): a nullable BIGINT comes
+                # back from the SQL oracle as float64, and the driver's
+                # value-hash is dtype-exact
+                "first_rejected_event_id": [np.float64(first_rej) if first_rej is not None else np.nan],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(replay, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 # --- O1: order-desc + limit (request history) --------------------------------
 
 def recent_events(sf_dir: str, *, limit: int = 100):
     """Latest-k events (reference request-history O1
-    user_routes.py:127-152 with its limit clamp 1..100). Ray-side top-k:
-    sort + limit (the executor prunes blocks under the limit)."""
+    user_routes.py:127-152 with its limit clamp 1..100). Top-k without
+    a global sort: each batch keeps its local newest-k (vectorized
+    lexsort), the driver merges the O(blocks × k) candidates — the
+    pattern recent_events_per_user already uses, applied globally."""
     limit = max(1, min(100, limit))
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-    out = ds.sort(["ts", "event_id"], descending=[True, True]).limit(limit)
-    return out.to_pandas()
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy()
+        order = np.lexsort((-eid, -ts.astype("int64")))[:limit]
+        return batch.take(pa.array(np.sort(order)))
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["ts", "event_id"], ascending=[False, False]).head(limit)
+    return out.reset_index(drop=True)
 
 
 # --- O3/O4: latest-stable-version selection ----------------------------------
@@ -523,6 +621,52 @@ def props_extract(sf_dir: str):
         )
     )
     return _round_floats(out.to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
+def device_info(sf_dir: str):
+    """Typed device-info struct from the semi-structured props column
+    (reference M8 extract_device_info, backend/auth.py:181-218): parse
+    → typed fields → classification ladder → fallback for unparseable
+    payloads. The reference maps user-agent flags through an
+    if/elif chain to device_type and keeps the raw string when parsing
+    fails; here the vectorized Arrow parse extracts the typed ``k``
+    field, the same 4-way conditional ladder classifies it, and rows
+    that fail the parse keep their raw payload with parse_ok=false —
+    never dropped, never a Python row loop."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'^\{"k":\s*(?P<k>\d+)\}$')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        ok = pc.is_valid(k)
+        # the reference's desktop/mobile/tablet/other ladder, vectorized
+        ladder = pc.case_when(
+            pc.make_struct(
+                pc.is_null(k),
+                pc.less(k, 25),
+                pc.less(k, 50),
+                pc.less(k, 75),
+            ),
+            "unknown",
+            "desktop",
+            "mobile",
+            "tablet",
+            "other",
+        )
+        raw = pc.if_else(ok, pa.nulls(len(batch), pa.string()), batch["props"])
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "device_type": ladder,
+                "k": k,
+                "parse_ok": ok,
+                "raw_props": raw,
+            }
+        )
+
+    out = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 # --- running aggregate over an ordered log (§2.9 replay shape) ---------------

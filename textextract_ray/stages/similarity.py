@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -80,10 +81,16 @@ def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id",
         fn_constructor_kwargs=dict(queries_ref=qref, vec_col=vec_col, id_col=id_col, k=k),
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    def merge(group: pa.Table) -> pa.Table:
+        # pyarrow in/out: a pandas merge emitting PandasBlockSchema
+        # blocks next to empty pyarrow blocks triggers Ray's
+        # mixed-schema RefBundle warning and a needless conversion
+        order = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[: min(k, len(group))])
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 # --- IVF (scale path) --------------------------------------------------------
@@ -194,7 +201,13 @@ def ivf_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10,
 
     partial = ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=(1, 8))
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    def merge(group: pa.Table) -> pa.Table:
+        # pyarrow in/out: a pandas merge emitting PandasBlockSchema
+        # blocks next to empty pyarrow blocks triggers Ray's
+        # mixed-schema RefBundle warning and a needless conversion
+        order = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[: min(k, len(group))])
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
