@@ -111,3 +111,36 @@ def test_url_partitioned_layout_global_dedup(ray_session, fixture_pages, tmp_pat
     # global exactness: one output row per unique url across ALL partitions
     assert full["url"].is_unique
     assert full["url"].nunique() == 184  # 200 rows - 16 F9 duplicates
+
+
+def test_auto_partition_sizing_and_lineage_guard(ray_session, fixture_pages, tmp_path):
+    """shards_per_partition=None sizes partitions from footers+CPUs;
+    a resume keeps the manifest sizing; a mismatched re-size fails
+    loudly instead of mis-attaching output to the wrong shards."""
+    import pytest
+
+    from textextract_ray.pipelines.extract_pipeline import (
+        _auto_shards_per_partition,
+        run_job,
+    )
+
+    spp = _auto_shards_per_partition(fixture_pages)
+    assert 1 <= spp <= len(fixture_pages)
+
+    out = str(tmp_path / "autojob")
+    rep = run_job(
+        fixture_pages, out, shards_per_partition=None, giant_threshold=1 << 17
+    )
+    expected_parts = -(-len(fixture_pages) // spp)  # ceil
+    assert len(rep) == expected_parts
+
+    # resume with auto sizing is a no-op that keeps the original layout
+    rep2 = run_job(
+        fixture_pages, out, shards_per_partition=None, giant_threshold=1 << 17
+    )
+    assert len(rep2) == expected_parts
+
+    # explicit re-size against existing manifests must fail loudly
+    if spp != 1:
+        with pytest.raises(ValueError, match="lineage"):
+            run_job(fixture_pages, out, shards_per_partition=1)

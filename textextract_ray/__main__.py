@@ -1,7 +1,7 @@
 """CLI entry point — the ``ray job submit`` surface.
 
     python -m textextract_ray extract --input '/data/pages' --out /tmp/out \
-        [--shards-per-partition 4] [--giant-threshold 4194304] [--resume]
+        [--shards-per-partition 4|0=auto] [--giant-threshold 4194304] [--resume]
     python -m textextract_ray report --out /tmp/out
     python -m textextract_ray query --name q1_pricing_summary --sf-dir /root/testdata/sf0.01
 
@@ -61,7 +61,7 @@ def cmd_extract(args) -> int:
     report = run_job(
         files,
         args.out,
-        shards_per_partition=args.shards_per_partition,
+        shards_per_partition=args.shards_per_partition or None,
         giant_threshold=args.giant_threshold if args.giant_threshold > 0 else None,
     )
     print(report.to_string(index=False))
@@ -105,7 +105,14 @@ def main(argv=None) -> int:
     pe = sub.add_parser("extract", help="resumable extraction job over parquet shards")
     pe.add_argument("--input", required=True, help="shard glob, directory, or file")
     pe.add_argument("--out", required=True)
-    pe.add_argument("--shards-per-partition", type=int, default=4)
+    pe.add_argument(
+        "--shards-per-partition",
+        type=int,
+        default=4,
+        help="shards per committed partition; 0 = auto-size from "
+        "parquet footers + cluster CPUs (resume keeps the original "
+        "sizing recorded in the manifests)",
+    )
     pe.add_argument(
         "--giant-threshold",
         type=int,

@@ -174,14 +174,55 @@ def _stable_hash64(token: str) -> int:
     )
 
 
+_SHINGLE_B = np.uint64(1_000_003)
+
+
+def batch_shingle_hashes(texts: list, k: int = 3) -> list:
+    """k-token shingle hashes for a whole batch, vectorized: every
+    token of every doc is hashed in ONE C pass (polars siphash, fixed
+    seed — process-stable), then consecutive token hashes combine into
+    shingle hashes with k vectorized polynomial steps (uint64
+    wraparound arithmetic — deterministic, same convention as
+    minhash_signature). Replaces a per-shingle blake2b Python loop
+    that was the MinHash stage's dominant cost. Returns one uint64
+    array per input text (empty for empty/whitespace-only docs;
+    a doc with fewer than k tokens yields one shingle of all its
+    tokens).
+
+    Round-2 migration: the shingle hash family changed from blake2b
+    over joined strings to this combine — MinHash/Jaccard sketch
+    VALUES differ from round 1; golden fixtures regenerated via
+    tools/make_golden.py (semantic pins in pytest are value-free).
+    """
+    import polars as pl
+
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [w for toks in toks_per_doc for w in toks]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    h = pl.Series(flat).hash(seed=41).to_numpy()
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    out = []
+    for d in range(len(texts)):
+        hd = h[offs[d] : offs[d + 1]]
+        n = len(hd)
+        if n == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        kk = min(k, n)
+        m = n - kk + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(kk):  # k (≤3 typical) vector ops per doc
+            acc = acc * _SHINGLE_B + hd[j : j + m]
+        out.append(acc)
+    return out
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-token shingles → stable 64-bit hashes (uint64)."""
-    toks = (text or "").split()
-    if len(toks) < k:
-        sh = [" ".join(toks)] if toks else []
-    else:
-        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
+    """k-token shingles → stable 64-bit hashes (uint64). Single-doc
+    convenience over ``batch_shingle_hashes`` (same hash family)."""
+    return batch_shingle_hashes([text], k)[0]
 
 
 def minhash_params(num_perm: int = 64, seed: int = 7) -> tuple:

@@ -9,6 +9,7 @@ manifest commit (S3/D1/S8 rename idiom) → counters aggregation
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -193,11 +194,39 @@ def _ensure_partition_dir(pdir: str) -> None:
         )
 
 
+# Partition-sizing target for shards_per_partition=None: docs per
+# partition per cluster CPU. Measured on the 96k-doc soak (BASELINE.md
+# round-2): 12k docs/partition on 32 CPUs under-saturates the cluster
+# (413 docs/s), 24k saturates it (662 docs/s, 86% of the
+# non-checkpointed headline); ~750 docs/CPU puts a partition in the
+# saturated regime while keeping resume granularity in the minutes.
+PARTITION_TARGET_DOCS_PER_CPU = 750
+
+
+def _auto_shards_per_partition(shard_files: list) -> int:
+    """Pick shards_per_partition so one partition saturates the
+    cluster: read ONLY parquet footers (row counts) of a shard sample,
+    target PARTITION_TARGET_DOCS_PER_CPU × cluster CPUs docs per
+    partition."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    ncpu = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
+    sample = shard_files[:: max(1, len(shard_files) // 16)][:16]
+    rows = [pq.ParquetFile(f).metadata.num_rows for f in sample]
+    per_shard = max(1, int(np.median(rows)))
+    target = PARTITION_TARGET_DOCS_PER_CPU * ncpu
+    return max(1, min(len(shard_files), round(target / per_shard)))
+
+
 def run_job(
     shard_files: list,
     out_dir: str,
     *,
-    shards_per_partition: int = 4,
+    shards_per_partition: int | None = 4,
     batch_size: int = 256,
     concurrency=None,
     giant_threshold: int | None = 4 * 1024 * 1024,
@@ -226,16 +255,43 @@ def run_job(
     re-runs exactly the uncommitted partitions.
     ``overlap_commit=False`` forces the round-1 sequential barrier
     (each partition fully verifies + commits before the next starts) —
-    the control arm for measuring the overlap win. Returns the
-    per-partition counters report.
+    the control arm for measuring the overlap win.
+
+    ``shards_per_partition=None`` auto-sizes partitions from parquet
+    footers + cluster CPUs (``_auto_shards_per_partition``). On a
+    resume, the sizing recorded in the existing manifests WINS over
+    auto — partition boundaries must be identical across runs or
+    partition ids would not line up with the committed lineage.
+    Returns the per-partition counters report.
     """
     import threading
 
+    committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
+    if shards_per_partition is None:
+        if committed:
+            # max over manifests: every partition is full-size except
+            # possibly the tail, so the max is the original sizing
+            shards_per_partition = max(
+                len(m.get("input_shards") or []) for m in committed.values()
+            ) or 4
+        else:
+            shards_per_partition = _auto_shards_per_partition(shard_files)
     partitions = [
         shard_files[i : i + shards_per_partition]
         for i in range(0, len(shard_files), shards_per_partition)
     ]
-    committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
+    # lineage guard: a committed manifest whose shard list does not
+    # match this run's partitioning means the caller re-sized or
+    # re-ordered the input — skipping by pid would silently mis-attach
+    # output to the wrong shards. Fail loudly instead.
+    for pid, m in committed.items():
+        want = m.get("input_shards")
+        if want and pid < len(partitions) and list(want) != list(partitions[pid]):
+            raise ValueError(
+                f"partition {pid} manifest lineage does not match this "
+                f"run's partitioning (shards_per_partition changed?); "
+                f"use the original sizing or a fresh out_dir"
+            )
     results: dict = {}
     errors: dict = {}
     pending: list = []

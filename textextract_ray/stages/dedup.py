@@ -155,11 +155,13 @@ class MinHashSignatures:
         self.a, self.b = minhash_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import batch_shingle_hashes
+
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        all_hashes = batch_shingle_hashes(texts, self.k)
         out_ids, out_band, out_key, out_sig = [], [], [], []
-        for i, text in zip(ids, texts):
-            hashes = shingle_hashes(text, self.k)
+        for i, hashes in zip(ids, all_hashes):
             if len(hashes) == 0:
                 # empty/whitespace-only docs all share the degenerate
                 # all-MAX signature and would flood every band bucket;
