@@ -53,27 +53,23 @@ def md5_hex(texts: list) -> list:
 def rolling_fingerprint(texts: list, window: int = 4, base: int = 1_000_003) -> np.ndarray:
     """Rolling polynomial hash over whitespace tokens: the min of all
     ``window``-gram hashes (a winnowing-style document fingerprint,
-    Schleimer et al. SIGMOD 2003). Stable across processes (crc32)."""
+    Schleimer et al. SIGMOD 2003). Token hashing is one shared C pass
+    (``_flat_token_hashes``, process-stable fixed-seed siphash — was a
+    per-token crc32 Python loop); the windowed combine is ``window``
+    vector ops per doc."""
+    h, offs = _flat_token_hashes(texts)
     out = np.empty(len(texts), dtype=np.uint64)
     mod = np.uint64((1 << 61) - 1)
     b = np.uint64(base)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        hs = np.array(
-            [zlib.crc32(w.encode("utf-8")) for w in toks], dtype=np.uint64
-        )
-        if len(hs) == 0:
+    for i in range(len(texts)):
+        hs = h[offs[i] : offs[i + 1]] % mod
+        n = len(hs)
+        if n == 0:
             out[i] = 0
             continue
-        if len(hs) < window:
-            acc = np.uint64(0)
-            for h in hs:
-                acc = (acc * b + h) % mod
-            out[i] = acc
-            continue
-        # vectorized windowed polynomial hash
-        acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
-        for k in range(window):
+        w = min(window, n)
+        acc = np.zeros(n - w + 1, dtype=np.uint64)
+        for k in range(w):
             acc = (acc * b + hs[k : k + len(acc)]) % mod
         out[i] = acc.min()
     return out
@@ -177,6 +173,22 @@ def _stable_hash64(token: str) -> int:
 _SHINGLE_B = np.uint64(1_000_003)
 
 
+def _flat_token_hashes(texts: list):
+    """One C-speed hash pass over every whitespace token of every doc
+    in the batch (polars siphash, fixed seed 41 — process-stable).
+    Returns (flat uint64 hashes, doc offsets) — the shared front-end
+    for the shingle / simhash / rolling-fingerprint sketches."""
+    import polars as pl
+
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = [w for toks in toks_per_doc for w in toks]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), offs
+    return pl.Series(flat).hash(seed=41).to_numpy(), offs
+
+
 def batch_shingle_hashes(texts: list, k: int = 3) -> list:
     """k-token shingle hashes for a whole batch, vectorized: every
     token of every doc is hashed in ONE C pass (polars siphash, fixed
@@ -194,15 +206,9 @@ def batch_shingle_hashes(texts: list, k: int = 3) -> list:
     VALUES differ from round 1; golden fixtures regenerated via
     tools/make_golden.py (semantic pins in pytest are value-free).
     """
-    import polars as pl
-
-    toks_per_doc = [(t or "").split() for t in texts]
-    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [w for toks in toks_per_doc for w in toks]
-    if not flat:
+    h, offs = _flat_token_hashes(texts)
+    if len(h) == 0:
         return [np.empty(0, dtype=np.uint64) for _ in texts]
-    h = pl.Series(flat).hash(seed=41).to_numpy()
-    offs = np.concatenate([[0], np.cumsum(lens)])
     out = []
     for d in range(len(texts)):
         hd = h[offs[d] : offs[d + 1]]
@@ -255,15 +261,27 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
     return keys
 
 
+def batch_simhash64(texts: list) -> np.ndarray:
+    """64-bit SimHash (Charikar 2002) over whitespace tokens for a
+    whole batch, fully vectorized: one shared token-hash pass, one
+    ±1-bit matrix over ALL tokens, per-doc bit sums via cumsum
+    differencing (handles empty docs, which a reduceat would not),
+    sign → packed uint64. Empty/whitespace-only docs hash to 0."""
+    h, offs = _flat_token_hashes(texts)
+    n = len(texts)
+    if len(h) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    pm = (((h[:, None] >> shifts[None, :]) & 1).astype(np.int8) * 2 - 1)
+    c = np.zeros((len(h) + 1, 64), dtype=np.int64)
+    np.cumsum(pm, axis=0, dtype=np.int64, out=c[1:])
+    v = c[offs[1:]] - c[offs[:-1]]  # (n_docs, 64) bit votes
+    return ((v > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash (Charikar 2002) over whitespace tokens."""
-    toks = (text or "").split()
-    if not toks:
-        return 0
-    hs = np.array([_stable_hash64(t) for t in toks], dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    v = (bits * 2 - 1).sum(axis=0)
-    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    """Single-doc convenience over ``batch_simhash64`` (same values)."""
+    return int(batch_simhash64([text])[0])
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

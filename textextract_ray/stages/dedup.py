@@ -29,12 +29,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.text import (
+    batch_simhash64,
     lsh_band_keys,
     md5_hex,
     minhash_params,
     minhash_signature,
     shingle_hashes,
-    simhash64,
 )
 
 
@@ -276,7 +276,7 @@ def minhash_dedup(ds, text_col: str, id_col: str, **kwargs):
 def add_simhash(text_col: str):
     def kernel(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        hashes = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        hashes = batch_simhash64(texts)
         return batch.append_column("simhash", pa.array(hashes, pa.uint64()))
 
     return kernel
