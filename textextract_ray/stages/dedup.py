@@ -16,9 +16,9 @@ near-dup), each built from map_batches + groupby primitives:
              verification within buckets.
   * embedding: random-hyperplane LSH buckets → within-bucket cosine.
 
-Determinism: all hashes are stable (md5/blake2b/crc32, never Python's
-salted hash()); winners are always the MIN id so output is independent
-of partitioning and block order.
+Determinism: all hashes are stable (md5 / fixed-seed siphash via
+_flat_token_hashes, never Python's salted hash()); winners are always
+the MIN id so output is independent of partitioning and block order.
 """
 
 from __future__ import annotations
@@ -34,7 +34,6 @@ from ..functions.text import (
     md5_hex,
     minhash_params,
     minhash_signature,
-    shingle_hashes,
 )
 
 
@@ -416,11 +415,14 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
     verification inside the bucket)."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.text import batch_shingle_hashes
+
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
+        all_sh = batch_shingle_hashes(texts, k)
         out_id, out_key, out_sh = [], [], []
-        for i, t in zip(ids, texts):
-            sh = np.unique(shingle_hashes(t, k))
+        for i, sh_raw in zip(ids, all_sh):
+            sh = np.unique(sh_raw)
             anchors = np.sort(sh)[:8]
             for a in anchors:
                 out_id.append(i)
