@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": tx.ann_topk_ivf,
         "clean_corpus": tx.clean_corpus,
         "approx_distinct": tx.approx_distinct,
+        "approx_quantiles": tx.approx_quantiles,
         # multimodal plumbing (stubbed codecs, real Ray stages)
         "image_metadata": tx.image_metadata,
         "media_features": tx.media_features,
@@ -506,6 +507,7 @@ _GOLDEN_QUERIES = (
     "rolling_fingerprints",
     "ann_topk_ivf",
     "approx_distinct",
+    "approx_quantiles",
     "media_features",
 )
 
@@ -516,6 +518,7 @@ _GOLDEN_ORDER = {
     "rolling_fingerprints": "doc_id",
     "ann_topk_ivf": "query_id, score DESC, vec_id",
     "approx_distinct": "table_col",
+    "approx_quantiles": "event_type",
     "media_features": "media_id, dim_index",
 }
 

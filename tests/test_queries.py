@@ -183,3 +183,29 @@ def test_device_info_fallback_keeps_raw_payload(tmp_path, ray_session):
     assert list(df["parse_ok"]) == [True, True, True, True, False]
     assert df["raw_props"].iloc[4] == "not-json"
     assert df["raw_props"].iloc[:4].isna().all()
+
+
+def test_approx_quantiles_relative_value_accuracy(entrymod, sf_dir, ray_session, con):
+    """DDSketch contract: the returned value at quantile q is within
+    alpha relative error of the exact order statistic."""
+    from textextract_ray.functions.sketch import QUANTILE_ALPHA
+
+    df = entrymod.queries()["approx_quantiles"](sf_dir)
+    exact = con.execute(
+        "SELECT event_type, list(value ORDER BY value) vs FROM events GROUP BY event_type"
+    ).fetchall()
+    tol = 2 * QUANTILE_ALPHA + 1e-4  # bin width + rank-index rounding
+    for et, vs in exact:
+        vs = np.sort(np.asarray(vs))
+        row = df[df.event_type == et].iloc[0]
+        for q in (0.25, 0.5, 0.75, 0.95):
+            approx = row[f"q{int(q * 100)}"]
+            t = q * (len(vs) - 1)
+            # the sketch's rank convention may land on either neighbor
+            # of a fractional rank; the alpha guarantee is against the
+            # order statistic it picked
+            cands = [vs[int(np.floor(t))], vs[int(np.ceil(t))]]
+            err = min(
+                abs(approx - c) - tol * max(abs(c), 1e-9) for c in cands
+            )
+            assert err <= 0.01, (et, q, approx, cands)

@@ -72,3 +72,71 @@ def hll_count(registers: np.ndarray, p: int = DEFAULT_P) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting for small range
     return float(est)
+
+
+# --- mergeable quantile sketch (DDSketch-style log binning) ------------------
+
+QUANTILE_ALPHA = 0.005  # relative value-error guarantee
+
+
+def _gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def quantile_sketch(values: np.ndarray, alpha: float = QUANTILE_ALPHA) -> dict:
+    """DDSketch-style quantile sketch (Masson et al., VLDB 2019): each
+    value lands in a log-scale bin of relative width ``alpha``; the
+    sketch is the per-bin count map. Counts ADD under merge, so the
+    sketch is fully mergeable AND insensitive to batch boundaries and
+    merge order — the same multiset of values yields the same sketch no
+    matter how Ray blocks or schedules the batches (what makes a
+    golden-fixture oracle valid, unlike rank-sample summaries whose
+    compression depends on the merge tree). Guarantee: the value
+    returned for any quantile is within ``alpha`` relative error of the
+    true order statistic. Negative values use a mirrored store; values
+    with |v| < 1e-9 count as zero."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    lg = np.log(_gamma(alpha))
+    out = {"alpha": alpha, "zero": int((np.abs(v) <= 1e-9).sum()), "pos": {}, "neg": {}}
+    for sign, store in ((1.0, "pos"), (-1.0, "neg")):
+        sv = v[(sign * v) > 1e-9]
+        if len(sv) == 0:
+            continue
+        bins = np.ceil(np.log(sign * sv) / lg).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        out[store] = {int(b): int(c) for b, c in zip(uniq, counts)}
+    return out
+
+
+def quantile_sketch_merge(a: dict, b: dict) -> dict:
+    assert a["alpha"] == b["alpha"]
+    out = {"alpha": a["alpha"], "zero": a["zero"] + b["zero"], "pos": dict(a["pos"]), "neg": dict(a["neg"])}
+    for store in ("pos", "neg"):
+        for k, c in b[store].items():
+            out[store][k] = out[store].get(k, 0) + c
+    return out
+
+
+def quantile_sketch_value(sk: dict, q: float) -> float:
+    """Value at quantile ``q`` (0..1). Bins walk negative store
+    (descending magnitude) -> zeros -> positive store (ascending)."""
+    gamma = _gamma(sk["alpha"])
+    total = sk["zero"] + sum(sk["pos"].values()) + sum(sk["neg"].values())
+    if total == 0:
+        return float("nan")
+    target = q * (total - 1)
+    acc = 0
+    for b in sorted(sk["neg"], reverse=True):
+        acc += sk["neg"][b]
+        if acc > target:
+            return -2.0 * gamma**b / (gamma + 1.0)
+    acc += sk["zero"]
+    if acc > target and sk["zero"]:
+        return 0.0
+    for b in sorted(sk["pos"]):
+        acc += sk["pos"][b]
+        if acc > target:
+            return 2.0 * gamma**b / (gamma + 1.0)
+    bs = sorted(sk["pos"]) or sorted(sk["neg"], reverse=True)
+    return 2.0 * gamma ** bs[-1] / (gamma + 1.0)

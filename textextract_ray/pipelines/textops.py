@@ -394,6 +394,58 @@ def approx_distinct(sf_dir: str):
     return pd.DataFrame(rows).sort_values("table_col").reset_index(drop=True)
 
 
+def approx_quantiles(sf_dir: str, *, qs=(0.25, 0.5, 0.75, 0.95)):
+    """Approximate per-group quantiles of events.value via mergeable
+    DDSketch-style log-binned sketches (functions/sketch
+    .quantile_sketch): one sketch per (batch, event_type) inside
+    map_batches, a driver-side count-sum merge per group — the
+    10^12-row path for value_median, where an exact median must
+    co-locate every value of a group and this shuffles only
+    O(batches × groups × bins) counters. Bin counts add, so the result
+    is INDEPENDENT of batch boundaries and merge order (deterministic
+    under any Ray scheduling — golden-oracle-safe); the returned value
+    at any quantile is within alpha=0.5% relative error of the exact
+    order statistic (pinned in pytest vs DuckDB exact quantiles)."""
+    import json
+
+    from ..functions.sketch import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantile_sketch_value,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        types, sks = [], []
+        for et, g in df.groupby("event_type", sort=True):
+            types.append(et)
+            sks.append(json.dumps(quantile_sketch(g["value"].to_numpy())))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sketch": pa.array(sks, pa.string()),
+            }
+        )
+
+    merged: dict = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for et, blob in zip(b["event_type"].to_pylist(), b["sketch"].to_pylist()):
+            sk = json.loads(blob)
+            sk["pos"] = {int(k): v for k, v in sk["pos"].items()}
+            sk["neg"] = {int(k): v for k, v in sk["neg"].items()}
+            merged[et] = quantile_sketch_merge(merged[et], sk) if et in merged else sk
+    rows = []
+    for et in sorted(merged):
+        row = {"event_type": et}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = round(quantile_sketch_value(merged[et], q), 4)
+        rows.append(row)
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
 def ngram_jaccard(sf_dir: str, *, threshold: float = 0.5):
     """Exact n-gram Jaccard similar pairs over documents (anchor-
     bucketed candidate generation, exact set verification)."""
