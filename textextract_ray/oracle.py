@@ -66,6 +66,14 @@ _CHROME_TAGS = frozenset({"nav", "header", "footer", "aside"})  # readability-st
 _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
+# tags whose block-kind is fixed (everything else inherits the parent
+# kind) — precomputed so the parser's hot loop does one dict probe
+# instead of a conditional ladder per open tag
+_KIND_FIXED = {t: "heading" for t in _HEADING_TAGS}
+_KIND_FIXED["pre"] = "pre"
+_KIND_FIXED["li"] = "li"
+_KIND_FIXED["td"] = _KIND_FIXED["th"] = "cell"
+_KIND_FIXED.update({t: "text" for t in _BLOCK_TAGS if t not in _KIND_FIXED})
 
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"          # comments (unclosed -> to EOF)
@@ -197,17 +205,12 @@ def _parse_blocks(doc: str) -> list:
     def block_kind() -> str:
         return kind_stack[-1] if kind_stack else "text"
 
+    kind_fixed = _KIND_FIXED
+
     def kind_of(tag: str) -> str:
-        if tag in _HEADING_TAGS:
-            return "heading"
-        if tag == "pre":
-            return "pre"
-        if tag == "li":
-            return "li"
-        if tag in ("td", "th"):
-            return "cell"
-        if tag in _BLOCK_TAGS:
-            return "text"
+        k = kind_fixed.get(tag)
+        if k is not None:
+            return k
         return kind_stack[-1] if kind_stack else "text"
 
     def add_text(text: str):
@@ -276,7 +279,10 @@ def _parse_blocks(doc: str) -> list:
             if tag in block_tags:
                 flush()
             stack.append(tag)
-            kind_stack.append(kind_of(tag))
+            k = kind_fixed.get(tag)
+            kind_stack.append(
+                k if k is not None else (kind_stack[-1] if kind_stack else "text")
+            )
             if tag == "a":
                 link_depth += 1
             elif tag == "pre":
