@@ -179,3 +179,27 @@ def test_pipeline_matches_pure_function(ray_session):
         )["html"][0].as_py())
         assert row["extracted_text"] == text == pure.text
         assert row["status"] == "ok" == pure.status
+
+
+def test_quote_operator_opening_a_block_adds_no_leading_blank_line():
+    # foreign emitter pattern: ' (move-next-line-and-show) as the FIRST
+    # op of a BT block — must not produce a leading empty line
+    from textextract_ray.pdf import extract_pdf
+
+    content = b"BT (alpha) ' (beta) ' ET"
+    import zlib
+
+    comp = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n"
+        b"4 0 obj<</Length " + str(len(comp)).encode() + b"/Filter/FlateDecode>>stream\n"
+        + comp
+        + b"\nendstream endobj\n"
+        b"trailer<</Root 1 0 R>>\n%%EOF"
+    )
+    res = extract_pdf(pdf)
+    assert res.status == "ok"
+    assert res.text == "alpha\nbeta"

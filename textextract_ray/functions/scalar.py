@@ -169,38 +169,24 @@ def price_tier(amount_col: pa.ChunkedArray | pa.Array, tiers: list) -> pa.Array:
 def stable_bucket(values, num_buckets: int) -> "np.ndarray":
     """THE bucket hash for every hash-partition step in this engine
     (url dedup, layout pass, LSH coarse buckets, host locality):
-    vectorized siphash (pandas hash_array, fixed key — stable across
-    processes and runs) % num_buckets as int32. One shared definition —
-    the url-hash LAYOUT (partition_pages_by_url) and the url-hash DEDUP
-    (dedup_by_url) must agree on the hash family for partition-local
-    dedup to be globally exact, so neither may drift independently.
+    ``stable_hash64(values) % num_buckets`` as int32 — one shared hash
+    definition, so the url-hash LAYOUT (partition_pages_by_url) and the
+    url-hash DEDUP (dedup_by_url) can never drift apart.
 
-    Accepts a pyarrow Array/ChunkedArray (fast path: zero-copy
-    vectorized hash, no to_pylist) or any Python sequence. Both paths
-    use the SAME hash family — a key hashes identically either way, and
-    None hashes like the string 'None' in both — so mixed callers stay
-    partition-compatible.
+    Accepts a pyarrow Array/ChunkedArray (fast path: vectorized hash,
+    no to_pylist) or any Python sequence; see stable_hash64 for the
+    exact normalization each path applies (STRING columns hash
+    identically on both paths; non-string scalars normalize via Arrow
+    cast on the Arrow path and repr() on the sequence path — bucket a
+    non-string column through ONE path only).
 
     Migration note (round 2): was per-row zlib.crc32; replaced with the
     C-vectorized hash for the bucketing hot paths. Bucket ASSIGNMENTS
     changed; no persisted state depends on them (the seen-url index is
     rebuilt from manifests per session, layouts are per-run)."""
-    import polars as pl
-
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        if len(values) == 0:
-            return np.empty(0, dtype=np.int32)
-        arr = values.cast(pa.string()) if values.type != pa.string() else values
-        arr = pc.fill_null(arr, "None")  # parity with repr(None) below
-    else:
-        vals = list(values)
-        if not vals:
-            return np.empty(0, dtype=np.int32)
-        # None / tuples / ints hash via repr(), like the crc32 original
-        arr = pa.array(
-            [v if isinstance(v, str) else repr(v) for v in vals], pa.string()
-        )
-    h = pl.from_arrow(arr).hash(seed=0).to_numpy()
+    h = stable_hash64(values)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.int32)
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 

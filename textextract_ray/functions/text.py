@@ -3,8 +3,9 @@
 Language-ID (marker-n-gram heuristic), quality scoring, token counting,
 document fingerprinting, shingling, MinHash, SimHash. All kernels are
 batch-level (Arrow/pandas/numpy in, Arrow out) so they drop into
-``map_batches``; hashing uses stable hash functions only (blake2b /
-crc32 / md5) — never Python's salted ``hash()`` — so results are
+``map_batches``; hashing uses stable hash functions only (md5 for
+content fingerprints, fixed-seed siphash via ``_flat_token_hashes``
+for the sketch family) — never Python's salted ``hash()`` — so results are
 identical across Ray worker processes (the byte-identity discipline of
 the extraction oracle applied to sketches).
 """
@@ -13,7 +14,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -164,12 +164,6 @@ def quality_features(col: pa.ChunkedArray | pa.Array) -> pa.Table:
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _stable_hash64(token: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
-    )
-
-
 _SHINGLE_B = np.uint64(1_000_003)
 
 
@@ -263,19 +257,22 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
 
 def batch_simhash64(texts: list) -> np.ndarray:
     """64-bit SimHash (Charikar 2002) over whitespace tokens for a
-    whole batch, fully vectorized: one shared token-hash pass, one
-    ±1-bit matrix over ALL tokens, per-doc bit sums via cumsum
-    differencing (handles empty docs, which a reduceat would not),
-    sign → packed uint64. Empty/whitespace-only docs hash to 0."""
+    whole batch: one shared token-hash pass, one ±1-bit int8 matrix
+    over ALL tokens (8 B/token — the only large transient), per-doc
+    bit votes via a sliced sum per doc (a handful of C reductions per
+    doc; a full int64 cumsum matrix would cost 64× more transient
+    memory per batch), sign → packed uint64. Empty/whitespace-only
+    docs hash to 0."""
     h, offs = _flat_token_hashes(texts)
     n = len(texts)
     if len(h) == 0:
         return np.zeros(n, dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
     pm = (((h[:, None] >> shifts[None, :]) & 1).astype(np.int8) * 2 - 1)
-    c = np.zeros((len(h) + 1, 64), dtype=np.int64)
-    np.cumsum(pm, axis=0, dtype=np.int64, out=c[1:])
-    v = c[offs[1:]] - c[offs[:-1]]  # (n_docs, 64) bit votes
+    v = np.zeros((n, 64), dtype=np.int64)
+    for i in range(n):
+        if offs[i] < offs[i + 1]:
+            v[i] = pm[offs[i] : offs[i + 1]].sum(axis=0, dtype=np.int64)
     return ((v > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
 

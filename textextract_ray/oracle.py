@@ -207,12 +207,6 @@ def _parse_blocks(doc: str) -> list:
 
     kind_fixed = _KIND_FIXED
 
-    def kind_of(tag: str) -> str:
-        k = kind_fixed.get(tag)
-        if k is not None:
-            return k
-        return kind_stack[-1] if kind_stack else "text"
-
     def add_text(text: str):
         nonlocal cur
         if pre_depth > 0:

@@ -311,13 +311,13 @@ def _blocks_from_content(streams: list) -> list:
                     if stack and stack[-1][0] == "str":
                         cur.append(stack[-1][1])
                     stack.clear()
-                elif op == b"'":
-                    newline()
-                    if stack and stack[-1][0] == "str":
-                        cur.append(stack[-1][1])
-                    stack.clear()
-                elif op == b'"':
-                    newline()
+                elif op in (b"'", b'"'):
+                    # move-to-next-line-and-show: the line break only
+                    # separates EXISTING content (same (cur or lines)
+                    # guard as Td/T*/Tm) — a block that OPENS with '
+                    # must not start with a spurious empty line
+                    if cur or lines:
+                        newline()
                     if stack and stack[-1][0] == "str":
                         cur.append(stack[-1][1])
                     stack.clear()

@@ -63,6 +63,7 @@ def extract_dataset(
 
 
 DEDUP_DRIVER_BUDGET_ROWS = 200_000
+DEDUP_DRIVER_BUDGET_BYTES = 1 << 30  # payload cap for the driver pull
 
 
 def dedup_by_url(
@@ -70,6 +71,7 @@ def dedup_by_url(
     *,
     num_buckets: int = 256,
     driver_budget_rows: int = DEDUP_DRIVER_BUDGET_ROWS,
+    driver_budget_bytes: int = DEDUP_DRIVER_BUDGET_BYTES,
 ):
     """Exact dedup by url — the shuffle carries KEYS, not payloads.
 
@@ -91,7 +93,9 @@ def dedup_by_url(
        set (vectorized ``is_in``, no shuffle — the overwhelming
        majority of the data takes this path),
     4. resolve only the rare duplicate rows: pulled to the driver and
-       deduped in Arrow when they fit ``driver_budget_rows``, else a
+       deduped in Arrow when they fit BOTH ``driver_budget_rows`` and
+       ``driver_budget_bytes`` (the byte budget guards against few-but-
+       giant duplicate documents blowing the driver heap), else a
        bucketed groupby over just that subset (still key-partitioned,
        never the full payload).
 
@@ -145,9 +149,13 @@ def dedup_by_url(
         return tbl.take(np.sort(first_idx))
 
     uniq = ds.map_batches(keep_unique, batch_format="pyarrow")
-    dups = ds.map_batches(keep_dup, batch_format="pyarrow")
+    # materialized so the byte size is known up front AND the past-
+    # budget arm reads these blocks instead of re-filtering ds
+    dups = ds.map_batches(keep_dup, batch_format="pyarrow").materialize()
     n_dup_rows = int(counts[counts > 1].sum())
-    if n_dup_rows <= driver_budget_rows:
+    if n_dup_rows <= driver_budget_rows and (
+        (dups.size_bytes() or 0) <= driver_budget_bytes
+    ):
         # rare-duplicate fast path: the subset fits the driver; one
         # Arrow pass picks the winners, re-shipped as a single block
         tables = [t for t in _ray.get(dups.to_arrow_refs()) if len(t)]
@@ -269,11 +277,23 @@ def run_job(
     committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
     if shards_per_partition is None:
         if committed:
-            # max over manifests: every partition is full-size except
-            # possibly the tail, so the max is the original sizing
-            shards_per_partition = max(
-                len(m.get("input_shards") or []) for m in committed.values()
-            ) or 4
+            # every manifest records the JOB's sizing explicitly (any
+            # one suffices — including a short tail partition that
+            # happened to commit first under out-of-order overlap);
+            # pre-round-2 manifests lack the field, where max over
+            # shard-list lengths recovers it unless only the tail
+            # committed (then the lineage guard below fails loudly)
+            sizes = {
+                m["shards_per_partition"]
+                for m in committed.values()
+                if "shards_per_partition" in m
+            }
+            if sizes:
+                shards_per_partition = sizes.pop()
+            else:
+                shards_per_partition = max(
+                    len(m.get("input_shards") or []) for m in committed.values()
+                ) or 4
         else:
             shards_per_partition = _auto_shards_per_partition(shard_files)
     partitions = [
@@ -302,7 +322,8 @@ def run_job(
             written = read_pages(pdir)  # write-verify (read-back idiom S3)
             counters = aggregate_counters(written, pid)
             checkpoint.commit_partition(
-                out_dir, pid, input_shards=shards, row_range=None, counters=counters
+                out_dir, pid, input_shards=shards, row_range=None,
+                counters=counters, job_sizing=shards_per_partition,
             )
             results[pid] = counters
         except BaseException as exc:  # surfaced on join

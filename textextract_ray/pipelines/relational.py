@@ -137,7 +137,11 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     # distributed; the driver sees only the count until it fits budget)
     okeys_ds = orders.map_batches(semi_orders, batch_format="pyarrow").materialize()
     if okeys_ds.count() > Q3_BROADCAST_BUDGET_KEYS:
-        return q3_top_orders_hashjoin(sf_dir, segment=segment, k=k)
+        # past-budget fallback REUSES the work already done: the
+        # materialized surviving-order keys become the hashjoin's
+        # orders side directly (no second customer read, no second
+        # orders semi-join scan)
+        return q3_top_orders_hashjoin(sf_dir, segment=segment, k=k, _okeys_ds=okeys_ds)
     order_keys = pa.array(
         sorted(okeys_ds.to_pandas()["o_orderkey"]), pa.int64()
     )
@@ -165,7 +169,12 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
 
 
 def q3_top_orders_hashjoin(
-    sf_dir: str, *, segment: str = "BUILDING", k: int = 10, num_buckets: int = 64
+    sf_dir: str,
+    *,
+    segment: str = "BUILDING",
+    k: int = 10,
+    num_buckets: int = 64,
+    _okeys_ds=None,
 ):
     """The same query as a bucketed co-partition join — THE scale path
     for big-big: both sides are tagged with the same stable hash bucket
@@ -180,14 +189,7 @@ def q3_top_orders_hashjoin(
     dispatch dominates at this scale)."""
     from ..functions.scalar import stable_bucket
 
-    ckeys_ref = ray.put(_segment_customer_keys(sf_dir, segment))
-
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-
-    def orders_side(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
-        )
+    def keys_side(batch: pa.Table) -> pa.Table:
         key = batch["o_orderkey"]
         return pa.table(
             {
@@ -196,6 +198,22 @@ def q3_top_orders_hashjoin(
                 "_bucket": pa.array(stable_bucket(key, num_buckets), pa.int32()),
             }
         )
+
+    if _okeys_ds is not None:
+        # surviving order keys handed over by q3_top_orders' budget
+        # check — already semi-joined and materialized
+        orders_tagged = _okeys_ds.map_batches(keys_side, batch_format="pyarrow")
+    else:
+        ckeys_ref = ray.put(_segment_customer_keys(sf_dir, segment))
+        orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+        def orders_side(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
+            ).select(["o_orderkey"])
+            return keys_side(batch)
+
+        orders_tagged = orders.map_batches(orders_side, batch_format="pyarrow")
 
     def lineitem_side(batch: pa.Table) -> pa.Table:
         r = pc.multiply(
@@ -215,7 +233,7 @@ def q3_top_orders_hashjoin(
     )
     tagged = li.map_batches(
         lineitem_side, batch_format="pyarrow", zero_copy_batch=True
-    ).union(orders.map_batches(orders_side, batch_format="pyarrow"))
+    ).union(orders_tagged)
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # rows with null rev are the orders side (the key whitelist)

@@ -292,13 +292,13 @@ class LangDispatchExtract:
     """
 
     def __init__(self, max_output_bytes: int = DEFAULT_MAX_OUTPUT_BYTES):
-        import re
-
         self.max_output_bytes = max_output_bytes
-        # the amortized per-actor "model load": compiled per-lang state
-        self.models = {
-            lang: re.compile(pat) for lang, pat in _LANG_MODEL_PATTERNS.items()
-        }
+        # the amortized per-actor "model load": the per-lang pattern
+        # TABLE (applied via Arrow's RE2 kernel in __call__ — NOT
+        # compiled with Python `re`: its Unicode \b semantics differ
+        # from RE2's ASCII \b on accented text, and the DuckDB oracle
+        # is RE2; keeping one engine keeps the oracle parity exact)
+        self.models = dict(_LANG_MODEL_PATTERNS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -320,7 +320,7 @@ class LangDispatchExtract:
                 continue  # null model: 0 stopword matches
             idx = np.nonzero(lang_np == lang)[0]
             counts = pc.count_substring_regex(
-                lower.take(pa.array(idx)), _LANG_MODEL_PATTERNS[lang]
+                lower.take(pa.array(idx)), self.models[lang]
             ).to_numpy(zero_copy_only=False)
             n_stop[idx] = counts  # one regex pass per lang SUBSET, O(n) total
         nt = n_tokens.to_numpy(zero_copy_only=False)

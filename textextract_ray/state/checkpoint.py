@@ -66,6 +66,7 @@ def commit_partition(
     row_range: tuple | None,
     counters: dict,
     extractor_version: str = EXTRACTOR_VERSION,
+    job_sizing: int | None = None,
 ) -> dict:
     """Atomically write the manifest (tmp + rename). The data directory
     must already be fully written; the rename is the commit point."""
@@ -76,6 +77,11 @@ def commit_partition(
         "extractor_version": extractor_version,
         "counters": counters,
     }
+    # the JOB's shards_per_partition (not this partition's shard count
+    # — the tail partition is short): lets an auto-sized resume recover
+    # the exact original partitioning from ANY single manifest
+    if job_sizing is not None:
+        manifest["shards_per_partition"] = int(job_sizing)
     mdir = os.path.join(out_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     tmp = manifest_path(out_dir, pid) + ".tmp"
