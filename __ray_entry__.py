@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": tx.fingerprints,
         "normalized_fingerprints": tx.normalized_fingerprints,
         "host_doc_counts": tx.host_doc_counts,
+        "cap_per_host": tx.cap_per_host,
         "quality_scores": tx.quality_scores,
         "language_id": tx.language_id,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
@@ -410,6 +411,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('host', CAST(doc_id % 20 AS VARCHAR), '.example') AS host,
                    count(*) AS n_pages
             FROM documents GROUP BY host ORDER BY host
+        """,
+        "cap_per_host": """
+            SELECT doc_id,
+                   concat('host', CAST(doc_id % 20 AS VARCHAR), '.example') AS host
+            FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 20 ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 100 ORDER BY doc_id
         """,
         # RE2 semantics match pyarrow.compute exactly (both are RE2);
         # the CASE ladder replicates numpy argmax first-max-wins in the

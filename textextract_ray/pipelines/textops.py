@@ -365,6 +365,54 @@ def host_doc_counts(sf_dir: str):
     return out.to_pandas().sort_values("host").reset_index(drop=True)
 
 
+def cap_per_host(sf_dir: str, *, cap: int = 100):
+    """Per-host document cap (the RefinedWeb/C4-style domain-frequency
+    cap a web corpus needs so no single host dominates training data):
+    keep at most ``cap`` docs per host with a deterministic winner rule
+    (smallest doc_ids). Two-stage exact top-cap:
+
+    1. per-batch PRE-PRUNE: each batch keeps its local smallest-cap ids
+       per host (the global winners are necessarily a subset of the
+       union of per-batch winners), so the shuffle carries at most
+       batches × hosts × cap (host, doc_id) PAIRS — never documents,
+       and never more than cap rows per host per batch;
+    2. bucketed groupby on host (O(buckets) dispatch, engine pattern)
+       finalizes the smallest cap per host.
+
+    Exact SQL oracle (row_number PARTITION BY host)."""
+    from ..functions.scalar import stable_bucket, url_host
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array(
+            [f"https://host{int(i) % 20}.example/doc/{int(i)}" for i in ids]
+        )
+        t = pa.table({"doc_id": batch["doc_id"], "host": url_host(urls)})
+        df = t.to_pandas().sort_values("doc_id")
+        pruned = df.groupby("host", as_index=False, sort=False).head(cap)
+        out = pa.Table.from_pandas(pruned, preserve_index=False)
+        return out.append_column(
+            "_bucket", pa.array(stable_bucket(out["host"], 64), pa.int32())
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        kept = (
+            df.sort_values("doc_id")
+            .groupby("host", as_index=False, sort=False)
+            .head(cap)
+        )
+        return kept[["doc_id", "host"]]
+
+    out = (
+        docs.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(finalize, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def approx_distinct(sf_dir: str):
     """Approximate distinct counts via mergeable HyperLogLog sketches:
     one 4 KiB register set per batch (map_batches partial), merged in a
