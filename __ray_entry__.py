@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_fingerprints": tx.normalized_fingerprints,
         "host_doc_counts": tx.host_doc_counts,
         "cap_per_host": tx.cap_per_host,
+        "stratified_sample": tx.stratified_sample,
         "quality_scores": tx.quality_scores,
         "language_id": tx.language_id,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
@@ -423,6 +424,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 100 ORDER BY doc_id
+        """,
+        # deterministic hash sampling: fixed-width lowercase hex compares
+        # lexicographically == numerically, so the md5-prefix threshold
+        # is exactly expressible on both sides (thresholds inlined from
+        # the pipeline's STRATA_RATES)
+        "stratified_sample": f"""
+            SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang
+                      WHEN 'en' THEN '{format(int(0.5 * 16**8), "08x")}'
+                      WHEN 'de' THEN '{format(int(0.25 * 16**8), "08x")}'
+                      WHEN 'fr' THEN '{format(int(0.25 * 16**8), "08x")}'
+                      WHEN 'es' THEN '{format(int(0.25 * 16**8), "08x")}'
+                      ELSE '{format(int(0.1 * 16**8), "08x")}'
+                  END
+            ORDER BY doc_id
         """,
         # RE2 semantics match pyarrow.compute exactly (both are RE2);
         # the CASE ladder replicates numpy argmax first-max-wins in the

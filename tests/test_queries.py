@@ -209,3 +209,24 @@ def test_approx_quantiles_relative_value_accuracy(entrymod, sf_dir, ray_session,
                 abs(approx - c) - tol * max(abs(c), 1e-9) for c in cands
             )
             assert err <= 0.01, (et, q, approx, cands)
+
+
+def test_stratified_sample_rates_and_stability(entrymod, sf_dir, ray_session):
+    """Keep rates approximate the per-lang targets and the decision is
+    per-row stable (same doc always in or out across runs)."""
+    from textextract_ray.pipelines.textops import STRATA_RATES, stratified_sample
+
+    a = stratified_sample(sf_dir)
+    b = stratified_sample(sf_dir)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # run-stable
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"]).to_pandas()
+    totals = docs["lang"].value_counts()
+    kept = a["lang"].value_counts()
+    for lang, rate in STRATA_RATES.items():
+        n = totals.get(lang, 0)
+        if n < 50:
+            continue  # too small for a rate assertion
+        got = kept.get(lang, 0) / n
+        assert abs(got - rate) < 0.15, (lang, got, rate)

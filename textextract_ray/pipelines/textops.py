@@ -413,6 +413,59 @@ def cap_per_host(sf_dir: str, *, cap: int = 100):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+STRATA_DEFAULT_RATE = 0.1
+
+
+def stratified_sample(sf_dir: str, *, rates=None, default_rate=STRATA_DEFAULT_RATE):
+    """Deterministic hash-based stratified sampling — the corpus-mixing
+    primitive of a training-data pipeline (sample each language at its
+    mixing weight, reproducibly): a doc is kept iff the first 8 hex
+    digits of md5(doc_id) fall under its stratum's rate threshold.
+    Properties that matter at 10^12 rows:
+
+    * embarrassingly parallel — the keep decision is a pure function of
+      the row, no shuffle, no coordination, no RNG state;
+    * deterministic and STABLE under re-partitioning, retries, and
+      incremental re-runs (the same doc is always in or out — so a
+      resumed or re-crawled corpus samples consistently);
+    * exactly SQL-expressible (md5 + hex-string compare), so the gate
+      checks values, not just counts.
+
+    O5 sampling upgraded from the similarity module's pytest-only
+    sampler to an oracle-checked operator."""
+    from ..functions.text import md5_hex
+
+    rates = dict(STRATA_RATES if rates is None else rates)
+    thresholds = {
+        lang: format(int(r * 16**8), "08x") for lang, r in rates.items()
+    }
+    default_thr = format(int(default_rate * 16**8), "08x")
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.array(
+            [h[:8] for h in md5_hex([str(int(i)) for i in ids])], dtype=object
+        )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        thr = np.array(
+            [thresholds.get(l, default_thr) for l in langs], dtype=object
+        )
+        mask = keys < thr  # lexicographic == numeric for fixed-width hex
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "lang": pa.array(langs[mask], pa.string()),
+                "sample_key": pa.array(keys[mask], pa.string()),
+            }
+        )
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def approx_distinct(sf_dir: str):
     """Approximate distinct counts via mergeable HyperLogLog sketches:
     one 4 KiB register set per batch (map_batches partial), merged in a
