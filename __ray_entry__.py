@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": tx.host_doc_counts,
         "cap_per_host": tx.cap_per_host,
         "stratified_sample": tx.stratified_sample,
+        "host_heavy_hitters": tx.host_heavy_hitters,
         "quality_scores": tx.quality_scores,
         "language_id": tx.language_id,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
@@ -539,6 +540,7 @@ _GOLDEN_QUERIES = (
     "ann_topk_ivf",
     "approx_distinct",
     "approx_quantiles",
+    "host_heavy_hitters",
     "media_features",
 )
 
@@ -550,6 +552,7 @@ _GOLDEN_ORDER = {
     "ann_topk_ivf": "query_id, score DESC, vec_id",
     "approx_distinct": "table_col",
     "approx_quantiles": "event_type",
+    "host_heavy_hitters": "est_count DESC, host",
     "media_features": "media_id, dim_index",
 }
 

@@ -230,3 +230,16 @@ def test_stratified_sample_rates_and_stability(entrymod, sf_dir, ray_session):
             continue  # too small for a rate assertion
         got = kept.get(lang, 0) / n
         assert abs(got - rate) < 0.15, (lang, got, rate)
+
+
+def test_host_heavy_hitters_estimates_vs_exact(entrymod, sf_dir, ray_session):
+    """CM estimates only overestimate; with 20 hosts in a 4096-wide
+    sketch the top-k set and estimates should match exact counts."""
+    df = entrymod.queries()["host_heavy_hitters"](sf_dir)
+    exact = entrymod.queries()["host_doc_counts"](sf_dir)
+    exact_map = dict(zip(exact["host"], exact["n_pages"]))
+    assert len(df) == 10
+    for _, row in df.iterrows():
+        true = exact_map[row["host"]]
+        assert row["est_count"] >= true  # CM never underestimates
+        assert row["est_count"] <= true * 1.05 + 5  # and is tight here

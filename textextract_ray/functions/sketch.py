@@ -140,3 +140,44 @@ def quantile_sketch_value(sk: dict, q: float) -> float:
             return 2.0 * gamma**b / (gamma + 1.0)
     bs = sorted(sk["pos"]) or sorted(sk["neg"], reverse=True)
     return 2.0 * gamma ** bs[-1] / (gamma + 1.0)
+
+
+# --- count-min heavy hitters -------------------------------------------------
+
+CM_WIDTH = 4096
+CM_DEPTH = 4
+
+
+def cm_create(width: int = CM_WIDTH, depth: int = CM_DEPTH) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def cm_add(cm: np.ndarray, values, counts=None) -> np.ndarray:
+    """Add values (optionally pre-counted) — vectorized np.add.at per
+    row. Counters ADD under merge, so the sketch is batching- and
+    order-insensitive (Cormode & Muthukrishnan 2005)."""
+    if len(values) == 0:
+        return cm
+    depth, width = cm.shape
+    c = np.ones(len(values), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+    h = _hash64(values)
+    for d in range(depth):
+        # d-th hash row: mix with an odd constant, stay deterministic
+        idx = ((h * np.uint64(2 * d + 1)) >> np.uint64(32)) % np.uint64(width)
+        np.add.at(cm[d], idx.astype(np.int64), c)
+    return cm
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cm_estimate(cm: np.ndarray, values) -> np.ndarray:
+    """Point estimate per value: min over rows (overestimates only)."""
+    depth, width = cm.shape
+    h = _hash64(values)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = ((h * np.uint64(2 * d + 1)) >> np.uint64(32)) % np.uint64(width)
+        est = np.minimum(est, cm[d][idx.astype(np.int64)])
+    return est

@@ -413,6 +413,62 @@ def cap_per_host(sf_dir: str, *, cap: int = 100):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def host_heavy_hitters(sf_dir: str, *, k: int = 10, candidates_per_batch: int = 32):
+    """Top-k hosts by count-min-estimated frequency — the heavy-hitter
+    primitive for domain-frequency monitoring at 10^12 rows, where an
+    exact groupby over the host universe is a full shuffle but a
+    4096×4 counter grid + a bounded candidate set is a few KB per
+    batch. Per batch: local exact host counts feed the CM sketch AND
+    nominate the batch's top ``candidates_per_batch`` hosts. Driver:
+    counters ADD (merge order irrelevant), candidate set is a UNION
+    (order irrelevant) — the result is deterministic under any Ray
+    scheduling, so the golden-fixture oracle is valid. A true top-k
+    host is always among some batch's local top (its global count is
+    spread over batches, but every batch it appears in counts it
+    locally); CM estimates only ever overestimate (Cormode &
+    Muthukrishnan 2005), and the accuracy pytest pins estimates
+    against exact counts."""
+    from ..functions.sketch import cm_add, cm_create, cm_estimate, cm_merge
+
+    from ..functions.scalar import url_host
+    from ..pipelines.extract_pipeline import _documents_as_pages
+
+    pages = _documents_as_pages(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = url_host(batch["url"]).to_pylist()
+        uniq, counts = np.unique(np.asarray(hosts, dtype=object), return_counts=True)
+        cm = cm_add(cm_create(), uniq.tolist(), counts)
+        order = np.lexsort((uniq, -counts))[:candidates_per_batch]
+        return pa.table(
+            {
+                "cm": pa.array([cm.tobytes()], pa.binary()),
+                "cands": pa.array([uniq[np.sort(order)].tolist()], pa.list_(pa.string())),
+            }
+        )
+
+    merged = cm_create()
+    cands: set = set()
+    parts = pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob, cl in zip(b["cm"].to_pylist(), b["cands"].to_pylist()):
+            merged = cm_merge(
+                merged, np.frombuffer(blob, dtype=np.int64).reshape(merged.shape)
+            )
+            cands.update(cl)
+    if not cands:
+        return pd.DataFrame({"host": [], "est_count": []})
+    cand_list = sorted(cands)
+    est = cm_estimate(merged, cand_list)
+    order = np.lexsort((np.asarray(cand_list, dtype=object), -est))[:k]
+    return pd.DataFrame(
+        {
+            "host": np.asarray(cand_list, dtype=object)[order],
+            "est_count": est[order].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
 STRATA_DEFAULT_RATE = 0.1
 
