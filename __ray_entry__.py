@@ -53,7 +53,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": rel.latest_release_per_user,
         "filter_regex_count": rel.filter_regex_count,
         "dedup_exact": rel.dedup_exact_documents,
-        "distinct_langs": rel.distinct_langs,
         "customer_nation_region": rel.customer_nation_region,
         "period_usage": rel.period_usage,
         "events_in_range": rel.events_in_range,
@@ -69,9 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_nation": rel.supplier_by_nation,
         # text analysis / training-data ops
         "token_stats": tx.token_stats,
-        "bpe_token_stats": tx.bpe_token_stats,
         "fingerprints": tx.fingerprints,
-        "normalized_fingerprints": tx.normalized_fingerprints,
         "host_doc_counts": tx.host_doc_counts,
         "cap_per_host": tx.cap_per_host,
         "stratified_sample": tx.stratified_sample,
@@ -244,9 +241,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id
         """,
-        "distinct_langs": """
-            SELECT DISTINCT lang FROM documents ORDER BY lang
-        """,
         "customer_nation_region": """
             SELECT r.r_name, n.n_name,
                    count(*) AS n_customers,
@@ -373,19 +367,18 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             -- \S+ runs == the pipeline's token_count (string_split on
             -- a single space would diverge on any doubled/leading
-            -- whitespace)
+            -- whitespace); the BPE proxy column is the GPT-2-style
+            -- pre-tokenizer shape (letter runs, single digits,
+            -- punctuation marks)
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
-                   round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
-            FROM documents GROUP BY lang ORDER BY lang
-        """,
-        "bpe_token_stats": """
-            SELECT lang,
+                   round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
                    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]'))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "fingerprints": """
-            SELECT doc_id, md5(text) AS fingerprint
+            SELECT doc_id, md5(text) AS fingerprint,
+                   md5(nfc_normalize(text)) AS norm_fingerprint
             FROM documents ORDER BY doc_id
         """,
         "ann_topk": """
@@ -404,10 +397,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id FROM scored WHERE rn <= 10
             ORDER BY query_id, vec_id
-        """,
-        "normalized_fingerprints": """
-            SELECT doc_id, md5(nfc_normalize(text)) AS norm_fingerprint
-            FROM documents ORDER BY doc_id
         """,
         "host_doc_counts": """
             SELECT concat('host', CAST(doc_id % 20 AS VARCHAR), '.example') AS host,

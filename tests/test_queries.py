@@ -243,3 +243,28 @@ def test_host_heavy_hitters_estimates_vs_exact(entrymod, sf_dir, ray_session):
         true = exact_map[row["host"]]
         assert row["est_count"] >= true  # CM never underestimates
         assert row["est_count"] <= true * 1.05 + 5  # and is tight here
+
+
+def test_queries_within_driver_cap(entrymod):
+    """The driver's correctness gate reports at most 50 queries (round
+    2 exposed 52 and exactly the first 50 in dict order got rows —
+    CORRECTNESS_r02.json). Keep the surface at or under the cap so
+    every exposed query gets a driver verdict."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the 50-row driver cap"
+    assert set(qs) == set(entrymod.oracle_sql())
+
+
+def test_distinct_langs_unique(sf_dir, ray_session, con):
+    """Dataset.unique over one column (the distinct op) — kept as a
+    pytest after its gate slot was consolidated away (driver 50-cap)."""
+    from textextract_ray.pipelines.relational import distinct_langs
+
+    got = distinct_langs(sf_dir)["lang"].tolist()
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT lang FROM documents ORDER BY lang"
+        ).fetchall()
+    ]
+    assert got == want

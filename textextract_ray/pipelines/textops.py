@@ -21,8 +21,16 @@ from ..sources import read_table
 
 
 def token_stats(sf_dir: str):
-    """Whitespace token counts per doc, aggregated per lang (vectorized
-    Arrow split — no per-row Python)."""
+    """Whitespace + BPE-ish token counts per doc, aggregated per lang.
+
+    One map_batches computes BOTH tokenizers (vectorized Arrow split
+    for whitespace runs; GPT-2-style pre-tokenizer shape — letter runs
+    + single digits + punctuation marks — for the BPE proxy) and a
+    single groupby rolls them up, so the pass over the corpus is paid
+    once. (Consolidated from the former separate ``bpe_token_stats``
+    query: the driver gate reports at most 50 queries.)"""
+    from ..functions.text import bpeish_token_count
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -30,6 +38,9 @@ def token_stats(sf_dir: str):
             {
                 "lang": batch["lang"],
                 "n_tokens": token_count(batch["text"]).cast(pa.int64()),
+                "n_bpe_tokens": pa.array(
+                    bpeish_token_count(batch["text"].to_pylist()), pa.int64()
+                ),
             }
         )
 
@@ -40,6 +51,7 @@ def token_stats(sf_dir: str):
             Count(alias_name="n_docs"),
             Sum("n_tokens", alias_name="total_tokens"),
             Mean("n_tokens", alias_name="avg_tokens"),
+            Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
         )
     )
     df = out.to_pandas().sort_values("lang").reset_index(drop=True)
@@ -47,41 +59,25 @@ def token_stats(sf_dir: str):
     return df
 
 
-def bpe_token_stats(sf_dir: str):
-    """BPE-ish token-count proxy per lang (GPT-2-style pre-tokenizer
-    shape: letter runs + single digits + punctuation marks)."""
-    from ..functions.text import bpeish_token_count
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": batch["lang"],
-                "n_bpe_tokens": pa.array(
-                    bpeish_token_count(batch["text"].to_pylist()), pa.int64()
-                ),
-            }
-        )
-
-    out = (
-        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(Sum("n_bpe_tokens", alias_name="total_bpe_tokens"))
-    )
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
-
-
 def fingerprints(sf_dir: str):
     """md5 content fingerprint per document (the stable per-row
-    identity M10 analogue; byte-parity with DuckDB md5())."""
+    identity M10 analogue; byte-parity with DuckDB md5()) plus the
+    Unicode-NFC-normalized fingerprint (the decode-canonicalization
+    family M3) from the same pass. (Consolidated from the former
+    separate ``normalized_fingerprints`` query: the driver gate
+    reports at most 50 queries.)"""
+    import unicodedata
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        normed = [unicodedata.normalize("NFC", t or "") for t in texts]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "fingerprint": pa.array(md5_hex(batch["text"].to_pylist()), pa.string()),
+                "fingerprint": pa.array(md5_hex(texts), pa.string()),
+                "norm_fingerprint": pa.array(md5_hex(normed), pa.string()),
             }
         )
 
@@ -323,27 +319,6 @@ def clean_corpus(sf_dir: str, *, min_tokens: int = 40, min_chars: int = 200):
         .reset_index(drop=True)
     )
     return out
-
-
-def normalized_fingerprints(sf_dir: str):
-    """Unicode NFC normalization (the decode-canonicalization family
-    M3 as a standalone op) + md5 of the normalized text — parity with
-    DuckDB md5(nfc_normalize(text))."""
-    import unicodedata
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def norm(batch: pa.Table) -> pa.Table:
-        texts = [unicodedata.normalize("NFC", t or "") for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "norm_fingerprint": pa.array(md5_hex(texts), pa.string()),
-            }
-        )
-
-    out = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def host_doc_counts(sf_dir: str):
