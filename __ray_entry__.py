@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "usage_monthly": rel.usage_monthly,
         "remaining_quota": rel.remaining_quota,
         "credit_admission": rel.credit_admission,
+        "device_admission": rel.device_admission,
         "device_info": rel.device_info,
         "recent_events": rel.recent_events,
         "latest_order_per_customer": rel.latest_release_per_user,
@@ -92,6 +93,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": tx.media_features,
         "frame_samples": tx.frame_samples,
     }
+
+
+def _plan_values() -> str:
+    """The quota plan dimension as a SQL VALUES clause — single
+    definition shared with the Ray side (relational.PLAN_DIM)."""
+    from textextract_ray.pipelines.relational import PLAN_DIM_SQL
+
+    return PLAN_DIM_SQL
 
 
 def oracle_sql() -> dict[str, str]:
@@ -172,36 +181,71 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS requests_count
             FROM events GROUP BY user_id, month ORDER BY user_id, month
         """,
-        "remaining_quota": """
-            SELECT user_id, count(*) AS used_requests,
-                   greatest(0, 40 - count(*)) AS remaining_requests,
-                   count(*) < 40 AS can_make_request
-            FROM events GROUP BY user_id ORDER BY user_id
+        # per-plan quotas: the user ⋈ subscription ⋈ plan resolution
+        # (reference models.py:614-637) — both sides join the SAME
+        # 5-row plan dimension (PLAN_DIM / PLAN_DIM_SQL in
+        # pipelines/relational.py)
+        "remaining_quota": f"""
+            WITH plan AS (SELECT * FROM {_plan_values()}),
+            uplan AS (
+                SELECT c.c_custkey AS user_id, p.max_requests
+                FROM customer c JOIN plan p ON p.mktsegment = c.c_mktsegment
+            )
+            SELECT e.user_id, CAST(count(*) AS BIGINT) AS used_requests,
+                   CAST(u.max_requests AS BIGINT) AS max_requests,
+                   CAST(greatest(0, u.max_requests - count(*)) AS BIGINT)
+                       AS remaining_requests,
+                   count(*) < u.max_requests AS can_make_request
+            FROM events e JOIN uplan u ON u.user_id = e.user_id
+            GROUP BY e.user_id, u.max_requests ORDER BY e.user_id
         """,
         "recent_events": """
             SELECT event_id, ts, user_id, event_type
             FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
         """,
-        "credit_admission": """
-            WITH ordered AS (
-                SELECT user_id, event_id,
+        "credit_admission": f"""
+            WITH plan AS (SELECT * FROM {_plan_values()}),
+            uplan AS (
+                SELECT c.c_custkey AS user_id, p.max_requests AS mr, p.credits AS cr
+                FROM customer c JOIN plan p ON p.mktsegment = c.c_mktsegment
+            ),
+            ordered AS (
+                SELECT e.user_id, e.event_id, u.mr, u.cr,
                        row_number() OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
+                           PARTITION BY e.user_id ORDER BY e.ts, e.event_id
                        ) - 1 AS seq
-                FROM events
+                FROM events e JOIN uplan u ON u.user_id = e.user_id
             )
             SELECT user_id,
-                   CAST(sum(CASE WHEN seq < 40 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(sum(CASE WHEN seq < mr THEN 1 ELSE 0 END) AS BIGINT)
                        AS admitted_within_quota,
-                   CAST(sum(CASE WHEN seq >= 40 AND seq < 45 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(sum(CASE WHEN seq >= mr AND seq < mr + cr THEN 1 ELSE 0 END) AS BIGINT)
                        AS admitted_via_credit,
-                   CAST(sum(CASE WHEN seq >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(sum(CASE WHEN seq >= mr + cr THEN 1 ELSE 0 END) AS BIGINT)
                        AS rejected,
-                   CAST(5 - sum(CASE WHEN seq >= 40 AND seq < 45 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(any_value(cr) - sum(CASE WHEN seq >= mr AND seq < mr + cr THEN 1 ELSE 0 END) AS BIGINT)
                        AS credits_remaining,
-                   CAST(min(CASE WHEN seq = 45 THEN event_id END) AS DOUBLE)
+                   CAST(min(CASE WHEN seq = mr + cr THEN event_id END) AS DOUBLE)
                        AS first_rejected_event_id
             FROM ordered GROUP BY user_id ORDER BY user_id
+        """,
+        "device_admission": f"""
+            WITH plan AS (SELECT * FROM {_plan_values()}),
+            uplan AS (
+                SELECT c.c_custkey AS user_id, p.device_limit
+                FROM customer c JOIN plan p ON p.mktsegment = c.c_mktsegment
+            ),
+            d AS (
+                SELECT user_id,
+                       CAST(json_extract(props, '$.k') AS INTEGER) % 8 AS device_key
+                FROM events
+            )
+            SELECT d.user_id,
+                   CAST(count(DISTINCT d.device_key) AS BIGINT) AS n_devices,
+                   CAST(u.device_limit AS BIGINT) AS device_limit,
+                   count(DISTINCT d.device_key) <= u.device_limit AS within_limit
+            FROM d JOIN uplan u ON u.user_id = d.user_id
+            GROUP BY d.user_id, u.device_limit ORDER BY d.user_id
         """,
         "device_info": """
             SELECT event_id, event_type,

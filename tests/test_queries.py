@@ -68,7 +68,9 @@ def test_query_matches_oracle(name, entrymod, con, sf_dir, ray_session):
     for c in res.columns:
         a, b = res[c], exp[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            assert np.isclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9).all(), c
+            assert np.isclose(
+                a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
+            ).all(), c
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
 

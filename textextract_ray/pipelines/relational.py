@@ -304,67 +304,313 @@ def usage_monthly(sf_dir: str):
     return out.to_pandas().sort_values(["user_id", "month"]).reset_index(drop=True)
 
 
-# --- G4/G6: quota predicate + remaining quota --------------------------------
+# --- plan dimension + bucketed co-group join machinery -----------------------
 
-def remaining_quota(sf_dir: str, *, max_requests: int = 40):
-    """Per-user remaining quota + can_make_request flag (reference
-    G4 models.py:247-308, G6 api_routes.py:130): count per user →
-    derived columns. The admission decision is driver-side over the
-    aggregated counters (never per-row)."""
-    ds = read_table(sf_dir, "events", columns=["user_id"])
-    agg = ds.groupby("user_id").aggregate(Count(alias_name="used_requests"))
-    df = agg.to_pandas()
-    df["remaining_requests"] = np.maximum(0, max_requests - df["used_requests"]).astype(
-        "int64"
+# The reference resolves each user's quota through user ⋈ subscription
+# ⋈ plan (backend/database/models.py:614-637, used by can_make_request
+# at models.py:247-283; plan rows create_tables.sql:124-128). Here the
+# subscription holder is the customer table (events.user_id ⊆
+# c_custkey) and the plan table is this 5-row dimension keyed by
+# market segment: (max_requests, credits, device_limit) per plan.
+PLAN_DIM = {
+    "AUTOMOBILE": (20, 3, 1),
+    "BUILDING": (40, 5, 2),
+    "FURNITURE": (60, 8, 3),
+    "HOUSEHOLD": (30, 4, 2),
+    "MACHINERY": (80, 10, 4),
+}
+
+# SQL VALUES literal for the same dimension — every quota oracle joins
+# against this so both sides read one definition.
+PLAN_DIM_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{seg}', {mr}, {cr}, {dl})" for seg, (mr, cr, dl) in sorted(PLAN_DIM.items()))
+    + ") AS plan(mktsegment, max_requests, credits, device_limit)"
+)
+
+
+def _user_plan_ds(sf_dir: str, plan_cols: list[str]):
+    """Per-user plan attributes as a Dataset (user_id + plan_cols):
+    customer ⋈ plan with the 5-row plan dim applied vectorized per
+    batch (the dim is a constant — the degenerate broadcast). The
+    result stays DISTRIBUTED: it is the dimension side of the bucketed
+    co-group join below, never a driver pull (the customer table is
+    dimension-sized by assumption only — at 10^8 users it must shuffle,
+    not broadcast; see VERDICT r2 finding 6)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    idx = {"max_requests": 0, "credits": 1, "device_limit": 2}
+
+    def to_plan(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": batch["c_custkey"].astype("int64")})
+        for c in plan_cols:
+            out[c] = (
+                batch["c_mktsegment"].map({s: v[idx[c]] for s, v in PLAN_DIM.items()})
+                .astype("int64")
+            )
+        return out
+
+    return cust.map_batches(to_plan, batch_format="pandas")
+
+
+def _bucketed_apply(ds, key_col: str, bucket_fn, *, num_buckets: int = 64):
+    """Per-key logic WITHOUT per-key Ray dispatch: one hash-bucket
+    shuffle co-locates all rows of a key (O(num_buckets) groups), then
+    ``bucket_fn`` runs once per bucket over a pandas frame holding ALL
+    its keys — the per-key work is a vectorized pandas groupby inside.
+    Replaces groupby(key).map_groups, whose ~2 ms/group dispatch is
+    days of pure overhead at 10^8 keys (VERDICT r2 finding 4)."""
+    from ..functions.scalar import stable_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(stable_bucket(batch[key_col], num_buckets), pa.int32())
+        )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(df.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(apply, batch_format="pandas")
     )
-    df["can_make_request"] = df["used_requests"] < max_requests
-    return df.sort_values("user_id").reset_index(drop=True)
 
 
-# --- G4: credit-consume admission replay -------------------------------------
+def _cogroup_join_apply(
+    fact,
+    dim,
+    key_col: str,
+    fact_cols: dict,
+    dim_cols: dict,
+    bucket_fn,
+    *,
+    num_buckets: int = 64,
+):
+    """Bucketed co-partition join + per-bucket apply — the scale path
+    for fact ⋈ per-key dimension when the dimension is NOT small enough
+    to broadcast (per-user plan rows at 10^8 users). Both sides are
+    tagged with the same stable hash bucket of the key, one union +
+    groupby(bucket) shuffle co-locates every key's fact and dim rows,
+    and each bucket inner-merges the two sides in pandas before calling
+    ``bucket_fn`` on the joined frame. ``fact_cols`` / ``dim_cols`` map
+    each side's non-key columns to their Arrow types (needed to
+    null-pad the union schema).
 
-def credit_admission(sf_dir: str, *, max_requests: int = 40, credits: int = 5):
-    """Quota admission with the credit-consume fallback (reference G4
-    can_make_request → decrement_credit_requests,
-    backend/database/models.py:247-308): each request is admitted
-    within the plan quota for the metering window (here the whole log
-    window; compose period_usage's anchor bucketing in front for the
-    subscription-period variant), then by decrementing one credit,
-    else rejected. The decision depends on how many requests PRECEDED this
-    one, so the operator is an ordered per-user replay: groupby
-    co-locates a user's events, the in-group sort + position arithmetic
-    is the admission ladder. Output: per-user admission counters, the
-    post-replay credit balance, and the first rejected event —
-    ``first_rejected_event_id`` is order-sensitive, so a wrong replay
-    order fails the oracle even when the counts happen to match.
+    Nothing fact-scale or user-scale ever reaches the driver; dispatch
+    is O(num_buckets)."""
+    from ..functions.scalar import stable_bucket
 
-    Scale: the shuffle moves (user_id, ts, event_id) triples only; the
-    ladder itself is vectorized numpy inside map_groups."""
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    all_cols = {**fact_cols, **dim_cols}
 
-    def replay(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        n = len(g)
-        seq = np.arange(n)  # requests admitted before this one
-        within = seq < max_requests
-        via_credit = (~within) & (seq < max_requests + credits)
-        rejected = ~within & ~via_credit
-        first_rej = int(g["event_id"].to_numpy()[rejected][0]) if rejected.any() else None
+    def tag(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            present = set(batch.column_names)
+            data = {key_col: batch[key_col]}
+            for c, t in all_cols.items():
+                data[c] = batch[c] if c in present else pa.nulls(n, t)
+            data["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            data["_bucket"] = pa.array(
+                stable_bucket(batch[key_col], num_buckets), pa.int32()
+            )
+            return pa.table(data)
+
+        return _f
+
+    tagged = fact.map_batches(tag(0), batch_format="pyarrow").union(
+        dim.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["_side"] == 0][[key_col, *fact_cols]]
+        d = df[df["_side"] == 1][[key_col, *dim_cols]]
+        j = f.merge(d, on=key_col, how="inner")
+        return bucket_fn(j)
+
+    return tagged.groupby("_bucket").map_groups(apply, batch_format="pandas")
+
+
+# --- G4/G6: per-plan quota predicate + remaining quota -----------------------
+
+def remaining_quota(sf_dir: str):
+    """Per-user remaining quota + can_make_request flag against the
+    user's OWN plan quota (reference G4 models.py:247-308 resolving
+    user ⋈ subscription ⋈ plan, models.py:614-637; G6
+    api_routes.py:130): events are counted per user (partial-agg
+    groupby), then the usage counters co-group-join the per-user plan
+    dimension on a hash bucket of user_id — no driver pull, no
+    broadcast of a user-scale side."""
+    usage = (
+        read_table(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="used_requests"))
+    )
+    plans = _user_plan_ds(sf_dir, ["max_requests"])
+
+    def quota(j: pd.DataFrame) -> pd.DataFrame:
+        used = j["used_requests"].astype("int64")
+        mr = j["max_requests"].astype("int64")
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "admitted_within_quota": [int(within.sum())],
-                "admitted_via_credit": [int(via_credit.sum())],
-                "rejected": [int(rejected.sum())],
-                "credits_remaining": [credits - int(via_credit.sum())],
-                # float64 (not nullable Int64): a nullable BIGINT comes
-                # back from the SQL oracle as float64, and the driver's
-                # value-hash is dtype-exact
-                "first_rejected_event_id": [np.float64(first_rej) if first_rej is not None else np.nan],
+                "user_id": j["user_id"].astype("int64"),
+                "used_requests": used,
+                "max_requests": mr,
+                "remaining_requests": np.maximum(0, mr - used).astype("int64"),
+                "can_make_request": used < mr,
             }
         )
 
-    out = ds.groupby("user_id").map_groups(replay, batch_format="pandas")
+    out = _cogroup_join_apply(
+        usage,
+        plans,
+        "user_id",
+        {"used_requests": pa.int64()},
+        {"max_requests": pa.int64()},
+        quota,
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --- G4: credit-consume admission replay (per-plan quotas) -------------------
+
+def credit_admission(sf_dir: str, *, max_requests: int | None = None, credits: int | None = None):
+    """Quota admission with the credit-consume fallback (reference G4
+    can_make_request → decrement_credit_requests,
+    backend/database/models.py:247-308) against PER-PLAN quotas: each
+    user's max_requests/credits come from the plan dimension
+    (models.py:614-637), co-group-joined onto the user's events by
+    user_id hash bucket. The decision depends on how many requests
+    PRECEDED this one, so the operator is an ordered per-user replay —
+    inside each bucket a single vectorized pass (sort + grouped
+    cumcount + boolean ladders) replays EVERY user in the bucket at
+    once; dispatch is O(buckets), not O(users).
+    ``first_rejected_event_id`` is order-sensitive, so a wrong replay
+    order fails the oracle even when the counts match.
+
+    Scale: the shuffle moves (user_id, ts, event_id) triples + one
+    dimension row per user; the ladder is vectorized numpy.
+
+    Pass explicit ``max_requests``/``credits`` for a flat quota (no
+    plan-dimension join) — the ad-hoc/test path."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def replay(j: pd.DataFrame) -> pd.DataFrame:
+        j = j.sort_values(["user_id", "ts", "event_id"])
+        seq = j.groupby("user_id").cumcount().to_numpy()
+        mr = j["max_requests"].to_numpy(dtype=np.int64)
+        cr = j["credits"].to_numpy(dtype=np.int64)
+        within = seq < mr
+        via_credit = (~within) & (seq < mr + cr)
+        rejected = ~within & ~via_credit
+        # the first rejected request is exactly seq == mr + cr (the
+        # first over-limit position in replay order)
+        first_rej = np.where(seq == mr + cr, j["event_id"].to_numpy(), np.nan)
+        g = pd.DataFrame(
+            {
+                "user_id": j["user_id"].astype("int64"),
+                "_within": within,
+                "_via": via_credit,
+                "_rej": rejected,
+                "_cr": cr,
+                "_first": first_rej,
+            }
+        ).groupby("user_id", as_index=False)
+        out = g.agg(
+            admitted_within_quota=("_within", "sum"),
+            admitted_via_credit=("_via", "sum"),
+            rejected=("_rej", "sum"),
+            _cr=("_cr", "first"),
+            first_rejected_event_id=("_first", "max"),
+        )
+        for c in ("admitted_within_quota", "admitted_via_credit", "rejected"):
+            out[c] = out[c].astype("int64")
+        out["credits_remaining"] = (out["_cr"] - out["admitted_via_credit"]).astype(
+            "int64"
+        )
+        # float64 (not nullable Int64): a nullable BIGINT comes back
+        # from the SQL oracle as float64, and the driver's value-hash
+        # is dtype-exact
+        out["first_rejected_event_id"] = out["first_rejected_event_id"].astype(
+            "float64"
+        )
+        return out[
+            [
+                "user_id",
+                "admitted_within_quota",
+                "admitted_via_credit",
+                "rejected",
+                "credits_remaining",
+                "first_rejected_event_id",
+            ]
+        ]
+
+    if max_requests is not None:
+        mr_c = np.int64(max_requests)
+        cr_c = np.int64(5 if credits is None else credits)
+
+        def replay_flat(df: pd.DataFrame) -> pd.DataFrame:
+            return replay(df.assign(max_requests=mr_c, credits=cr_c))
+
+        out = _bucketed_apply(ds, "user_id", replay_flat)
+    else:
+        plans = _user_plan_ds(sf_dir, ["max_requests", "credits"])
+        out = _cogroup_join_apply(
+            ds,
+            plans,
+            "user_id",
+            {"ts": pa.timestamp("us"), "event_id": pa.int64()},
+            {"max_requests": pa.int64(), "credits": pa.int64()},
+            replay,
+        )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --- G4 + M8: device-limit admission -----------------------------------------
+
+def device_admission(sf_dir: str):
+    """Distinct-device admission against the plan's device limit
+    (reference users.device_limit + per-plan limits,
+    create_tables.sql:2-16,124-128; device registration
+    backend/auth.py:181-218): each event's device key is parsed from
+    the semi-structured props payload (the typed device_info parse,
+    projected to a stable device id), distinct (user, device) pairs are
+    pre-deduped per batch, and the per-user distinct count co-group-
+    joins the plan dimension for the ≤ device_limit predicate. Null
+    parses are excluded from the count (SQL count(DISTINCT) parity)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "props"])
+
+    def devices(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'^\{"k":\s*(?P<k>\d+)\}$')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        # stable device id: project the parsed payload onto 8 device
+        # slots (a user-agent-hash analogue)
+        dev = pc.cast(pc.bit_wise_and(k, pa.scalar(7, pa.int64())), pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "device_key": dev})
+        t = t.filter(pc.is_valid(t["device_key"]))
+        # per-batch partial dedup: the shuffle ships distinct pairs only
+        return t.group_by(["user_id", "device_key"]).aggregate([])
+
+    pairs = ds.map_batches(devices, batch_format="pyarrow", zero_copy_batch=True)
+    plans = _user_plan_ds(sf_dir, ["device_limit"])
+
+    def admit(j: pd.DataFrame) -> pd.DataFrame:
+        g = j.groupby("user_id", as_index=False).agg(
+            n_devices=("device_key", "nunique"), device_limit=("device_limit", "first")
+        )
+        g["user_id"] = g["user_id"].astype("int64")
+        g["n_devices"] = g["n_devices"].astype("int64")
+        g["device_limit"] = g["device_limit"].astype("int64")
+        g["within_limit"] = g["n_devices"] <= g["device_limit"]
+        return g
+
+    out = _cogroup_join_apply(
+        pairs,
+        plans,
+        "user_id",
+        {"device_key": pa.int64()},
+        {"device_limit": pa.int64()},
+        admit,
+    )
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
@@ -598,18 +844,23 @@ def events_hourly_window(sf_dir: str):
 
 def session_counts(sf_dir: str, *, gap_minutes: int = 30):
     """Session-window count per user: events sorted by ts within each
-    user; a gap > gap_minutes opens a new session. Partition-by-key +
-    in-group order — the ordering assumption is per-group only (the
-    groupby shuffle co-locates each user's events)."""
+    user; a gap > gap_minutes opens a new session. Hash-bucketed
+    co-location (_bucketed_apply) replaces per-user map_groups
+    dispatch: one sort + grouped diff inside each bucket sessionizes
+    every user in the bucket vectorized (dispatch O(buckets))."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values()
-        n = int((ts.diff() > gap).sum()) + 1
-        return pd.DataFrame({"user_id": [group["user_id"].iloc[0]], "n_sessions": [n]})
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts"])
+        new_session = g.groupby("user_id")["ts"].diff() > gap
+        out = (
+            new_session.groupby(g["user_id"]).sum().astype("int64") + 1
+        ).reset_index(name="n_sessions")
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = _bucketed_apply(ds, "user_id", sessions)
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
@@ -691,17 +942,20 @@ def device_info(sf_dir: str):
 
 def running_user_totals(sf_dir: str):
     """Cumulative per-user value over ts-ordered events — the ordered-
-    log replay shape (§2.9): groupby co-locates each user's events, the
-    in-group sort + cumsum is the stateful scan. Returns the final
+    log replay shape (§2.9): a hash-bucket shuffle co-locates each
+    user's events, one in-bucket sort + grouped cumsum replays every
+    user in the bucket (dispatch O(buckets)). Returns the final
     cumulative row per user (deterministic tail)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"])
 
-    def scan(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum()
-        return g.tail(1)[["user_id", "ts", "event_id", "running_value"]]
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"])
+        g["running_value"] = g.groupby("user_id")["value"].cumsum()
+        return g.groupby("user_id", as_index=False).tail(1)[
+            ["user_id", "ts", "event_id", "running_value"]
+        ]
 
-    out = ds.groupby("user_id").map_groups(scan, batch_format="pandas")
+    out = _bucketed_apply(ds, "user_id", scan)
     return _round_floats(out.to_pandas().sort_values("user_id").reset_index(drop=True))
 
 
@@ -719,13 +973,17 @@ def recent_events_per_user(sf_dir: str, *, k: int = 3):
             df.groupby("user_id", as_index=False).head(k), preserve_index=False
         )
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["ts", "event_id"], ascending=False).head(k)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["ts", "event_id"], ascending=False)
+            .groupby("user_id", as_index=False)
+            .head(k)
+        )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(final, batch_format="pandas")
+    out = _bucketed_apply(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        final,
     )
     return (
         out.to_pandas()
@@ -738,20 +996,22 @@ def recent_events_per_user(sf_dir: str, *, k: int = 3):
 
 def value_median(sf_dir: str):
     """Exact per-group median (the only aggregate here that cannot
-    pre-combine — medians need the group's values co-located, which is
-    what groupby provides; for approximate at 10^12 rows swap in a
-    mergeable KLL/t-digest sketch per batch)."""
+    pre-combine — medians need the group's values co-located, which the
+    hash-bucket shuffle provides with O(buckets) dispatch; for
+    approximate at 10^12 rows swap in the mergeable quantile sketch
+    (functions/sketch.py, approx_quantiles)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
-    def med(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [group["event_type"].iloc[0]],
-                "median_value": [float(group["value"].median())],
-            }
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("event_type", as_index=False)["value"]
+            .median()
+            .rename(columns={"value": "median_value"})
         )
+        out["median_value"] = out["median_value"].astype("float64")
+        return out
 
-    out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    out = _bucketed_apply(ds, "event_type", med)
     return _round_floats(out.to_pandas().sort_values("event_type").reset_index(drop=True))
 
 
