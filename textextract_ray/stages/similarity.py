@@ -96,7 +96,8 @@ def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id",
 # --- IVF (scale path) --------------------------------------------------------
 
 def train_centroids(ds, *, vec_col="embedding", id_col="vec_id", n_centroids=16,
-                    sample_frac=0.2, iters=10, seed=13) -> np.ndarray:
+                    sample_frac=0.2, sample_budget_rows=100_000, iters=10,
+                    seed=13) -> np.ndarray:
     """Deterministic mini k-means on a sampled subset (driver-side on
     the SAMPLE only — the corpus itself is never materialized).
 
@@ -105,13 +106,29 @@ def train_centroids(ds, *, vec_col="embedding", id_col="vec_id", n_centroids=16,
     depends on block layout / parallelism — the same job at 8 and 32
     CPUs would train different centroids and return different top-k.
     Hash-selection is layout-independent (same rows at any cluster
-    size)."""
+    size).
+
+    ``sample_budget_rows`` is an ABSOLUTE cap on the pulled sample:
+    fraction-only sampling is corpus-proportional (20 % of 10^12 rows
+    is not a sample, it is the corpus — VERDICT r2 finding 3). When
+    the fraction would exceed the budget, the effective fraction
+    shrinks to ~budget/count and the hash-bucket granularity refines so
+    the cut can express it; k-means on ≥10^5 hash-spread rows trains
+    the same centroids for all practical purposes. For corpora where
+    frac × count ≤ budget the selection is bit-identical to the
+    budget-free behavior (goldens unchanged)."""
+    import math
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ..functions.scalar import stable_bucket
 
     n_buckets = 1000
+    count = ds.count()  # parquet metadata count — no full scan
+    if count * sample_frac > sample_budget_rows:
+        sample_frac = sample_budget_rows / max(count, 1)
+        n_buckets = max(1000, math.ceil(count / sample_budget_rows) * 10)
     cut = max(1, int(sample_frac * n_buckets))
 
     def pick(batch: pa.Table) -> pa.Table:
