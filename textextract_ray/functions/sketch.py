@@ -119,8 +119,11 @@ def quantile_sketch_merge(a: dict, b: dict) -> dict:
 
 
 def quantile_sketch_value(sk: dict, q: float) -> float:
-    """Value at quantile ``q`` (0..1). Bins walk negative store
-    (descending magnitude) -> zeros -> positive store (ascending)."""
+    """Value at quantile ``q`` (0..1; out-of-range q raises). Bins walk
+    negative store (descending magnitude) -> zeros -> positive store
+    (ascending)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
     gamma = _gamma(sk["alpha"])
     total = sk["zero"] + sum(sk["pos"].values()) + sum(sk["neg"].values())
     if total == 0:
@@ -138,8 +141,11 @@ def quantile_sketch_value(sk: dict, q: float) -> float:
         acc += sk["pos"][b]
         if acc > target:
             return 2.0 * gamma**b / (gamma + 1.0)
-    bs = sorted(sk["pos"]) or sorted(sk["neg"], reverse=True)
-    return 2.0 * gamma ** bs[-1] / (gamma + 1.0)
+    # unreachable for q in [0, 1] (the walk always terminates); kept as
+    # a defensive fallback with the store's sign preserved
+    if sk["pos"]:
+        return 2.0 * gamma ** max(sk["pos"]) / (gamma + 1.0)
+    return -2.0 * gamma ** min(sk["neg"]) / (gamma + 1.0)
 
 
 # --- count-min heavy hitters -------------------------------------------------

@@ -220,6 +220,8 @@ def _auto_shards_per_partition(shard_files: list) -> int:
 
     import ray as _ray
 
+    if not shard_files:
+        raise ValueError("no input shards: shard_files is empty")
     ncpu = (
         int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     )
