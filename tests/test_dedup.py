@@ -51,6 +51,38 @@ def test_minhash_dedup_filters(doc_ds):
     assert set(out["doc_id"]) == {0, 3, 5}
 
 
+def test_minhash_dedup_string_ids(ray_session):
+    # id columns keep their native type end-to-end — string ids (e.g.
+    # urls) must not be force-cast to int64 anywhere in the ladder
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        {"url": "a://0", "text": base},
+        {"url": "b://1", "text": base},
+        {"url": "c://2", "text": "totally unrelated text about marine biology research"},
+    ]
+    out = minhash_dedup(rd.from_items(rows), "text", "url", threshold=0.5).to_pandas()
+    assert set(out["url"]) == {"a://0", "c://2"}
+
+
+def test_minhash_dedup_no_dups_passthrough(ray_session):
+    # empty drop set: the filter stage is skipped entirely (no is_in
+    # against an empty value_set of a mismatched type)
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import minhash_dedup
+
+    rows = [
+        {"url": "a://0", "text": "first entirely distinct document body here"},
+        {"url": "b://1", "text": "second unrelated text about marine biology"},
+    ]
+    out = minhash_dedup(rd.from_items(rows), "text", "url", threshold=0.5).to_pandas()
+    assert set(out["url"]) == {"a://0", "b://1"}
+
+
 def test_simhash_assignments(doc_ds):
     from textextract_ray.stages.dedup import simhash_duplicate_assignments
 

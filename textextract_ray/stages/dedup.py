@@ -8,10 +8,11 @@ near-dup), each built from map_batches + groupby primitives:
 
   * exact:   content-hash column (vectorized) → groupby(hash) →
              keep deterministic winner (min id). One shuffle.
-  * minhash: shingle→signature per batch → explode to
-             (band, key, id, sig) → groupby(band, key) → candidate
-             pairs scored by signature agreement (no second pass over
-             the texts) → winner assignment → hash-join filter.
+  * minhash: shingle→signature per batch → explode to (band, key, id)
+             (signatures do NOT ride the shuffle) → groupby(band, key)
+             → candidate pairs → signatures recomputed for candidate
+             ids only → agreement verify → winner assignment →
+             hash-join filter.
   * simhash: 64-bit fingerprint, 4×16-bit band buckets, Hamming
              verification within buckets.
   * embedding: random-hyperplane LSH buckets → within-bucket cosine.
@@ -120,10 +121,14 @@ def _min_keep_per_id(pairs):
     reduction runs driver-side in pandas instead of paying another
     all-to-all shuffle (also covers the empty case, where a Ray
     groupby over a schemaless empty dataset would raise)."""
-    import pandas as pd
+    return _min_keep_per_id_df(pairs.to_pandas())
+
+
+def _min_keep_per_id_df(df: pd.DataFrame):
+    """Driver-side half of `_min_keep_per_id` for callers that already
+    hold the pair table in pandas."""
     import ray.data as rd
 
-    df = pairs.to_pandas()
     if "id" not in df.columns or len(df) == 0:
         df = pd.DataFrame(
             {"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")}
@@ -139,10 +144,17 @@ def _min_keep_per_id(pairs):
 
 # --- MinHash + LSH near-dup --------------------------------------------------
 
-class MinHashSignatures:
+class MinHashBandKeys:
     """Actor-pool stage: per-doc shingle → MinHash signature → exploded
-    (band_id, band_key, id, sig) rows. Permutation parameters built once
-    per actor in __init__."""
+    (band_id, band_key, id) rows. Permutation parameters built once per
+    actor in __init__.
+
+    The full signature does NOT ride the shuffle: band membership alone
+    defines LSH candidacy, so each doc ships bands × ~28 B instead of
+    bands × the whole num_perm signature (~16× less shuffle volume at
+    the defaults). Signatures are recomputed later for candidate ids
+    only (`candidate_signatures`) — candidates are O(similar pairs),
+    so the recompute touches a vanishing corpus fraction."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
                  bands: int = 16, k_shingle: int = 3):
@@ -159,7 +171,7 @@ class MinHashSignatures:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         all_hashes = batch_shingle_hashes(texts, self.k)
-        out_ids, out_band, out_key, out_sig = [], [], [], []
+        out_ids, out_band, out_key = [], [], []
         for i, hashes in zip(ids, all_hashes):
             if len(hashes) == 0:
                 # empty/whitespace-only docs all share the degenerate
@@ -169,20 +181,51 @@ class MinHashSignatures:
                 continue
             sig = minhash_signature(hashes, self.a, self.b)
             keys = lsh_band_keys(sig, self.bands)
-            sig_list = sig.tolist()
             for bi, key in enumerate(keys):
                 out_ids.append(i)
                 out_band.append(bi)
                 out_key.append(key)
-                out_sig.append(sig_list)
         return pa.table(
             {
-                "id": pa.array(out_ids, pa.int64()),
+                # id keeps the column's native type (ints and strings
+                # both work — nothing here narrows to int64)
+                "id": pa.array(out_ids),
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.string()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
             }
         )
+
+
+def candidate_signatures(ds, text_col: str, id_col: str, cand_ref,
+                         *, num_perm: int = 64, k_shingle: int = 3):
+    """(id, sig) rows for the broadcast candidate id set only — the
+    deferred signature fetch for LSH candidate verification. The
+    candidate set rides the object store once (``ray.put``); each batch
+    probes it with a vectorized is_in and shingles only the hits."""
+    import ray
+
+    a, b = minhash_params(num_perm)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        from ..functions.text import batch_shingle_hashes
+
+        cand = ray.get(cand_ref)
+        col = batch[id_col]
+        vs = cand if cand.type == col.type else cand.cast(col.type)
+        sub = batch.filter(pc.fill_null(pc.is_in(col, value_set=vs), False))
+        ids = sub[id_col].to_pylist()
+        sigs = [
+            minhash_signature(h, a, b).tolist()
+            for h in batch_shingle_hashes(sub[text_col].to_pylist(), k_shingle)
+        ]
+        return pa.table(
+            {
+                "id": pa.array(ids, type=col.type),
+                "sig": pa.array(sigs, pa.list_(pa.uint64())),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def minhash_duplicate_assignments(
@@ -198,12 +241,22 @@ def minhash_duplicate_assignments(
     """Dataset of (id, keep_id) pairs: id is a near-duplicate that
     should be dropped in favor of keep_id (keep_id < id always).
 
-    Signature-agreement fraction inside each LSH bucket estimates
-    Jaccard (E[agree] = J), so no second pass over the raw texts is
-    needed — the candidate-verification join ships only signatures.
+    Three phases, shuffle-lean: (1) band rows WITHOUT signatures find
+    candidate pairs (the shuffle ships ~28 B/band-row); (2) signatures
+    are recomputed for candidate ids only (broadcast is_in probe, one
+    extra pass over the candidate docs — O(similar pairs) of the
+    corpus); (3) signature-agreement fraction verifies each pair
+    (E[agree] = J estimates Jaccard). The verified-pair result is
+    identical to verifying inside every bucket: a pair co-occurs in
+    ≥1 bucket iff it is a candidate, agreement is a pure function of
+    the two signatures, and the final min-keep reduction takes the
+    global min over agreeing candidates either way.
     """
-    sigs = ds.map_batches(
-        MinHashSignatures,
+    import ray
+    import ray.data as rd
+
+    band_rows = ds.map_batches(
+        MinHashBandKeys,
         batch_format="pyarrow",
         concurrency=(1, 8),
         fn_constructor_kwargs=dict(
@@ -212,36 +265,43 @@ def minhash_duplicate_assignments(
         ),
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # all-pairs signature agreement within the bucket (vectorized
-        # n² × num_perm); LSH keeps buckets small. A deterministic cap
-        # bounds adversarial buckets: candidates past the first 1024
-        # ids (sorted) are NOT compared — print() lands in the Ray task
-        # log so a capped bucket is visible, and zero-shingle docs are
-        # excluded upstream so the main degenerate source is gone.
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs candidates within the bucket; LSH keeps buckets
+        # small. A deterministic cap bounds adversarial buckets:
+        # candidates past the first 1024 ids (sorted) are NOT paired —
+        # print() lands in the Ray task log so a capped bucket is
+        # visible, and zero-shingle docs are excluded upstream so the
+        # main degenerate source is gone.
         if len(group) > 1024:
             print(
                 f"minhash bucket capped: {len(group)} candidates in one "
-                f"LSH bucket, comparing first 1024 by id"
+                f"LSH bucket, pairing first 1024 by id"
             )
-        if len(group) < 2:
-            return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
         g = group.sort_values("id").drop_duplicates("id").head(1024)
-        sig_mat = np.array(g["sig"].tolist(), dtype=np.uint64)
         ids = g["id"].to_numpy()
-        agree = (sig_mat[:, None, :] == sig_mat[None, :, :]).mean(axis=2)
-        match = agree >= threshold
-        out_id, out_keep = [], []
-        for j in range(1, len(ids)):
-            hits = np.where(match[:j, j])[0]
-            if len(hits):
-                out_id.append(ids[j])
-                out_keep.append(ids[hits[0]])  # min id: rows sorted by id
-        return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
+        lo, hi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id": ids[hi], "keep_id": ids[lo]})
 
-    pairs = _bucketed_group_apply(sigs, ["band_id", "band_key"], bucket_pairs)
-    # a doc can appear in many buckets: keep the smallest keep_id per id
-    return _min_keep_per_id(pairs)
+    cand = _bucketed_group_apply(band_rows, ["band_id", "band_key"], bucket_candidates)
+    # candidate-pair table is O(similar pairs) — driver-side from here.
+    # (an all-empty map_groups output loses its schema, hence the
+    # column check before drop_duplicates)
+    cand_df = cand.to_pandas()
+    if "id" not in cand_df.columns or len(cand_df) == 0:
+        return _min_keep_per_id_df(pd.DataFrame())
+    cand_df = cand_df.drop_duplicates(["id", "keep_id"])
+
+    cand_ids = pd.unique(pd.concat([cand_df["id"], cand_df["keep_id"]]))
+    cand_ref = ray.put(pa.Array.from_pandas(pd.Series(cand_ids)))
+    sig_df = candidate_signatures(
+        ds, text_col, id_col, cand_ref, num_perm=num_perm, k_shingle=k_shingle
+    ).to_pandas()
+    sig_mat = np.array(sig_df["sig"].tolist(), dtype=np.uint64)
+    row_of = {i: r for r, i in enumerate(sig_df["id"])}
+    a_rows = cand_df["id"].map(row_of).to_numpy()
+    b_rows = cand_df["keep_id"].map(row_of).to_numpy()
+    agree = (sig_mat[a_rows] == sig_mat[b_rows]).mean(axis=1)
+    return _min_keep_per_id_df(cand_df[agree >= threshold])
 
 
 def minhash_dedup(ds, text_col: str, id_col: str, **kwargs):
@@ -256,15 +316,20 @@ def minhash_dedup(ds, text_col: str, id_col: str, **kwargs):
     pairs = minhash_duplicate_assignments(ds, text_col, id_col, **kwargs)
     # small side: duplicates only; ship once as an Arrow array and probe
     # each batch with the vectorized pc.is_in kernel (same pattern as
-    # the denylist filter in stages/validate.py)
-    drop_arr = pa.array(
-        pairs.to_pandas()["id"].to_numpy(np.int64, copy=False), pa.int64()
-    )
-    drop_ref = ray.put(drop_arr)
+    # the denylist filter in stages/validate.py). The drop set keeps the
+    # id column's native type — string ids work as well as ints.
+    pairs_df = pairs.to_pandas()
+    # an empty pair dataset can round-trip with no columns at all
+    if "id" not in pairs_df.columns or len(pairs_df) == 0:
+        return ds
+    drop_series = pairs_df["id"]
+    drop_ref = ray.put(pa.Array.from_pandas(drop_series))
 
     def keep(batch: pa.Table) -> pa.Table:
         drops = ray.get(drop_ref)
-        hit = pc.is_in(batch[id_col].cast(pa.int64()), value_set=drops)
+        col = batch[id_col]
+        vs = drops if drops.type == col.type else drops.cast(col.type)
+        hit = pc.is_in(col, value_set=vs)
         return batch.filter(pc.invert(pc.fill_null(hit, False)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
