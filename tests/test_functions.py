@@ -189,3 +189,35 @@ def test_stable_bucket_shared_hash():
     assert len(out) == 4 and (out >= 0).all() and (out < 16).all()
     # deterministic
     assert (stable_bucket(["a", "b"], 16) == stable_bucket(["a", "b"], 16)).all()
+
+
+def test_hash_family_pinned_values():
+    """The engine-wide stable hash family is self-owned (no library
+    dependency can change it) — these exact values are load-bearing:
+    every golden fixture, cross-run-determinism guarantee, and bucket
+    layout is keyed to them. If this test fails, the hash family
+    changed: that invalidates all goldens and any persisted url-hash
+    partition layout, and must be treated as a breaking format change,
+    not a test to update casually."""
+    import pyarrow as pa
+
+    from textextract_ray.functions.scalar import hash_utf8, stable_bucket
+
+    vals = ["", "a", "hello world", "https://example.com/path?q=1", "\x00a", "a" * 100]
+    assert [int(x) for x in hash_utf8(pa.array(vals), seed=0)] == [
+        12035550249420947055, 15137838548802530669, 9068312024203377054,
+        9350836014146511427, 13580104900767274589, 17295701755854450386,
+    ]
+    assert [int(x) for x in hash_utf8(pa.array(vals), seed=41)] == [
+        9316492727327347496, 13967701655843792850, 11968241079277400437,
+        4835785142485730721, 4341111008432299694, 10386047934581727165,
+    ]
+    assert [int(x) for x in stable_bucket(pa.array(vals), 64)] == [47, 45, 30, 3, 29, 18]
+    # trailing-NUL / polynomial-equal strings must not collide (the
+    # length term in the family exists exactly for this)
+    tricky = hash_utf8(pa.array(["a", "a\x00", "a\x00\x00", "\x00a"]))
+    assert len(set(int(x) for x in tricky)) == 4
+    # chunk-slicing invariance: a sliced Arrow array hashes identically
+    big = pa.array([f"t{i}" for i in range(10_000)])
+    h = hash_utf8(big, seed=7)
+    assert (hash_utf8(big.slice(500, 2000), seed=7) == h[500:2500]).all()

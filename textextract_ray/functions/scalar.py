@@ -190,15 +190,88 @@ def stable_bucket(values, num_buckets: int) -> "np.ndarray":
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+# --- self-owned vectorized 64-bit string hash --------------------------------
+#
+# The engine-wide "stable" hash family used to delegate to polars
+# Series.hash, which polars documents as NOT stable across polars
+# versions — an upgrade would silently invalidate every golden fixture
+# and cross-run-determinism guarantee keyed to these hashes. This
+# family (byte-polynomial mod 2^64 + length mix + splitmix64 finalize)
+# is defined entirely by this repo and can never change underneath the
+# goldens. All arithmetic is vectorized numpy uint64 with natural
+# modular wraparound, operating directly on the Arrow flat UTF-8
+# buffer — no per-string Python loop.
+
+_POLY_M = np.uint64(0x100000001B3)  # FNV-64 prime (any odd multiplier works)
+_LEN_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer (Steele et al. 2014, public domain
+    algorithm) — full-avalanche mix so low bits are bucket-safe."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_utf8(arr, seed: int = 0) -> "np.ndarray":
+    """uint64 hash per string of an Arrow string array (no nulls —
+    callers fill first). Horner over 8-byte little-endian words
+    (h = h·M + word), then splitmix64(h ^ len·C ^ mix(seed)); the
+    length term separates strings equal up to trailing NULs.
+
+    Vectorized across strings per WORD position, not per byte: the
+    loop runs max(⌈len/8⌉) times with only the still-unfinished
+    strings active, so transients are O(active·8 B) per step — short
+    strings (tokens, urls, keys: the engine's inputs) finish in 1-3
+    steps and total transient allocation stays a small multiple of the
+    input bytes. (A per-byte positional-weight expansion was 40 B of
+    fresh pages per input byte — measured 80× slower than this shape
+    on the sandbox's slow-first-touch memory.)"""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = arr.cast(pa.large_string())  # int64 offsets
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts, lens = offs[:-1], offs[1:] - offs[:-1]
+    sm_seed = _splitmix64(np.array([seed], dtype=np.uint64))[0]
+
+    h = np.zeros(n, dtype=np.uint64)
+    active = np.nonzero(lens > 0)[0]
+    k = 0
+    j8 = np.arange(8, dtype=np.int64)
+    shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
+    while len(active):
+        pos = starts[active] + 8 * k
+        nb = np.minimum(lens[active] - 8 * k, 8)
+        idx8 = np.minimum(pos[:, None] + j8[None, :], max(len(data) - 1, 0))
+        byts = data[idx8].astype(np.uint64)
+        byts &= np.where(j8[None, :] < nb[:, None], np.uint64(0xFF), np.uint64(0))
+        word = (byts << shifts).sum(axis=1, dtype=np.uint64)
+        h[active] = h[active] * _POLY_M + word
+        k += 1
+        active = active[lens[active] > 8 * k]
+    return _splitmix64(h ^ (lens.astype(np.uint64) * _LEN_MIX) ^ sm_seed)
+
+
 def stable_hash64(values) -> "np.ndarray":
     """Full-width member of the same hash family as ``stable_bucket``
-    (identical polars siphash, seed 0): uint64 per value. Used where a
-    compact row identity must travel INSTEAD of the row itself (e.g.
-    the dedup dup-key scan ships 8 bytes/url, not the url). Collisions
-    are allowed to be resolved downstream on the real key — callers
-    must treat a hash hit as a candidate, not a verdict."""
-    import polars as pl
-
+    (identical self-owned hash, seed 0 — see ``hash_utf8``): uint64 per
+    value. Used where a compact row identity must travel INSTEAD of the
+    row itself (e.g. the dedup dup-key scan ships 8 bytes/url, not the
+    url). Collisions are allowed to be resolved downstream on the real
+    key — callers must treat a hash hit as a candidate, not a
+    verdict."""
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         if len(values) == 0:
             return np.empty(0, dtype=np.uint64)
@@ -211,7 +284,7 @@ def stable_hash64(values) -> "np.ndarray":
         arr = pa.array(
             [v if isinstance(v, str) else repr(v) for v in vals], pa.string()
         )
-    return pl.from_arrow(arr).hash(seed=0).to_numpy()
+    return hash_utf8(arr, seed=0)
 
 
 # Back-compat alias for the pre-round-2 name; same contract.

@@ -4,7 +4,7 @@ Language-ID (marker-n-gram heuristic), quality scoring, token counting,
 document fingerprinting, shingling, MinHash, SimHash. All kernels are
 batch-level (Arrow/pandas/numpy in, Arrow out) so they drop into
 ``map_batches``; hashing uses stable hash functions only (md5 for
-content fingerprints, fixed-seed siphash via ``_flat_token_hashes``
+content fingerprints, the repo-owned stable hash via ``_flat_token_hashes``
 for the sketch family) — never Python's salted ``hash()`` — so results are
 identical across Ray worker processes (the byte-identity discipline of
 the extraction oracle applied to sketches).
@@ -54,7 +54,7 @@ def rolling_fingerprint(texts: list, window: int = 4, base: int = 1_000_003) -> 
     """Rolling polynomial hash over whitespace tokens: the min of all
     ``window``-gram hashes (a winnowing-style document fingerprint,
     Schleimer et al. SIGMOD 2003). Token hashing is one shared C pass
-    (``_flat_token_hashes``, process-stable fixed-seed siphash — was a
+    (``_flat_token_hashes``, the repo-owned stable hash — was a
     per-token crc32 Python loop); the windowed combine is ``window``
     vector ops per doc."""
     h, offs = _flat_token_hashes(texts)
@@ -168,11 +168,12 @@ _SHINGLE_B = np.uint64(1_000_003)
 
 
 def _flat_token_hashes(texts: list):
-    """One C-speed hash pass over every whitespace token of every doc
-    in the batch (polars siphash, fixed seed 41 — process-stable).
-    Returns (flat uint64 hashes, doc offsets) — the shared front-end
-    for the shingle / simhash / rolling-fingerprint sketches."""
-    import polars as pl
+    """One vectorized hash pass over every whitespace token of every
+    doc in the batch (self-owned repo-stable hash, fixed seed 41 — see
+    functions.scalar.hash_utf8). Returns (flat uint64 hashes, doc
+    offsets) — the shared front-end for the shingle / simhash /
+    rolling-fingerprint sketches."""
+    from .scalar import hash_utf8
 
     toks_per_doc = [(t or "").split() for t in texts]
     lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
@@ -180,12 +181,12 @@ def _flat_token_hashes(texts: list):
     flat = [w for toks in toks_per_doc for w in toks]
     if not flat:
         return np.empty(0, dtype=np.uint64), offs
-    return pl.Series(flat).hash(seed=41).to_numpy(), offs
+    return hash_utf8(pa.array(flat, pa.string()), seed=41), offs
 
 
 def batch_shingle_hashes(texts: list, k: int = 3) -> list:
     """k-token shingle hashes for a whole batch, vectorized: every
-    token of every doc is hashed in ONE C pass (polars siphash, fixed
+    token of every doc is hashed in ONE vectorized pass (repo-owned stable hash, fixed
     seed — process-stable), then consecutive token hashes combine into
     shingle hashes with k vectorized polynomial steps (uint64
     wraparound arithmetic — deterministic, same convention as

@@ -17,7 +17,7 @@ near-dup), each built from map_batches + groupby primitives:
              verification within buckets.
   * embedding: random-hyperplane LSH buckets → within-bucket cosine.
 
-Determinism: all hashes are stable (md5 / fixed-seed siphash via
+Determinism: all hashes are stable (md5 / the repo-owned fixed-seed hash via
 _flat_token_hashes, never Python's salted hash()); winners are always
 the MIN id so output is independent of partitioning and block order.
 """
