@@ -247,6 +247,28 @@ def test_host_heavy_hitters_estimates_vs_exact(entrymod, sf_dir, ray_session):
         assert row["est_count"] <= true * 1.05 + 5  # and is tight here
 
 
+def test_heavy_hitters_thin_spread_host_nominated(ray_session):
+    """A host spread thinly across many batches — never in any batch's
+    local top — must still be nominated when its GLOBAL share clears
+    the support threshold (the round-2 advisor's counterexample to
+    local-top nomination). 8 dominant hosts per block plus one host
+    appearing once per block (~1.2% globally, threshold 0.1%)."""
+    import ray.data as rd
+
+    from textextract_ray.pipelines.textops import heavy_hitters_over
+
+    rows = []
+    for block in range(40):
+        for i in range(80):
+            rows.append({"url": f"https://common{i % 8}.example.com/p{block}-{i}"})
+        rows.append({"url": f"https://thin.example.com/only-{block}"})
+    pages = rd.from_items(rows).repartition(40)
+    df = heavy_hitters_over(pages, k=9, support_frac=0.001)
+    assert "thin.example.com" in set(df["host"]), df
+    # and its estimate is ≥ the true count (CM never underestimates)
+    assert int(df[df["host"] == "thin.example.com"]["est_count"].iloc[0]) >= 40
+
+
 def test_queries_within_driver_cap(entrymod):
     """The driver's correctness gate reports at most 50 queries (round
     2 exposed 52 and exactly the first 50 in dict order got rows —

@@ -412,49 +412,84 @@ def cap_per_host(sf_dir: str, *, cap: int = 100):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def host_heavy_hitters(sf_dir: str, *, k: int = 10, candidates_per_batch: int = 32):
+def host_heavy_hitters(sf_dir: str, *, k: int = 10, support_frac: float = 0.001):
     """Top-k hosts by count-min-estimated frequency — the heavy-hitter
     primitive for domain-frequency monitoring at 10^12 rows, where an
     exact groupby over the host universe is a full shuffle but a
-    4096×4 counter grid + a bounded candidate set is a few KB per
-    batch. Per batch: local exact host counts feed the CM sketch AND
-    nominate the batch's top ``candidates_per_batch`` hosts. Driver:
-    counters ADD (merge order irrelevant), candidate set is a UNION
-    (order irrelevant) — the result is deterministic under any Ray
-    scheduling, so the golden-fixture oracle is valid. A true top-k
-    host is always among some batch's local top (its global count is
-    spread over batches, but every batch it appears in counts it
-    locally); CM estimates only ever overestimate (Cormode &
-    Muthukrishnan 2005), and the accuracy pytest pins estimates
-    against exact counts."""
-    from ..functions.sketch import cm_add, cm_create, cm_estimate, cm_merge
+    4096×4 counter grid is a few KB per batch.
 
-    from ..functions.scalar import url_host
+    Two passes, both batching-insensitive (the golden-fixture oracle
+    needs cross-run determinism under any Ray scheduling):
+
+    1. merged CM sketch — per-batch counters ADD, merge order
+       irrelevant — plus the exact total row count N;
+    2. candidate nomination: every host whose merged-CM estimate is
+       ≥ support_frac·N. CM only ever OVERESTIMATES (Cormode &
+       Muthukrishnan 2005), so any host with true count ≥
+       support_frac·N is guaranteed nominated — no per-batch local-top
+       heuristic that could miss a host spread thinly across batches.
+       The candidate set is {host : est ≥ T}, a pure function of the
+       merged sketch — identical under any batching.
+
+    The standard (φ, ε) heavy-hitter contract applies: a host below
+    support_frac·N true count may be absent even if it would rank in
+    the top k; pick support_frac ≤ (expected k-th hitter share) for a
+    complete top-k. The accuracy pytest pins estimates against exact
+    counts."""
     from ..pipelines.extract_pipeline import _documents_as_pages
 
-    pages = _documents_as_pages(sf_dir)
+    return heavy_hitters_over(
+        _documents_as_pages(sf_dir), k=k, support_frac=support_frac
+    )
+
+
+def heavy_hitters_over(pages, *, k: int = 10, support_frac: float = 0.001):
+    """Core of `host_heavy_hitters` over an arbitrary pages Dataset
+    (url column) — see that docstring for the algorithm and
+    guarantees."""
+    import ray
+
+    from ..functions.scalar import url_host
+    from ..functions.sketch import cm_add, cm_create, cm_estimate, cm_merge
 
     def partial(batch: pa.Table) -> pa.Table:
         hosts = url_host(batch["url"]).to_pylist()
         uniq, counts = np.unique(np.asarray(hosts, dtype=object), return_counts=True)
         cm = cm_add(cm_create(), uniq.tolist(), counts)
-        order = np.lexsort((uniq, -counts))[:candidates_per_batch]
         return pa.table(
             {
                 "cm": pa.array([cm.tobytes()], pa.binary()),
-                "cands": pa.array([uniq[np.sort(order)].tolist()], pa.list_(pa.string())),
+                "n": pa.array([len(hosts)], pa.int64()),
             }
         )
 
     merged = cm_create()
-    cands: set = set()
+    total = 0
     parts = pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
-        for blob, cl in zip(b["cm"].to_pylist(), b["cands"].to_pylist()):
+        for blob, n in zip(b["cm"].to_pylist(), b["n"].to_pylist()):
             merged = cm_merge(
                 merged, np.frombuffer(blob, dtype=np.int64).reshape(merged.shape)
             )
-            cands.update(cl)
+            total += n
+    if total == 0:
+        return pd.DataFrame({"host": [], "est_count": []})
+
+    threshold = max(1, int(np.ceil(support_frac * total)))
+    cm_ref = ray.put(merged)
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cm_ref)
+        uniq = np.unique(
+            np.asarray(url_host(batch["url"]).to_pylist(), dtype=object)
+        )
+        est = cm_estimate(cm, uniq.tolist())
+        return pa.table({"host": pa.array(uniq[est >= threshold], pa.string())})
+
+    cands: set = set()
+    noms = pages.map_batches(nominate, batch_format="pyarrow", zero_copy_batch=True)
+    for b in noms.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        cands.update(b["host"].to_pylist())
     if not cands:
         return pd.DataFrame({"host": [], "est_count": []})
     cand_list = sorted(cands)
