@@ -129,6 +129,19 @@ def test_q3_hashjoin_matches_broadcast(ray_session, sf_dir):
     assert (a["revenue"] - b["revenue"]).abs().max() < 1e-6
 
 
+def test_q3_zero_budget_fully_bucketed_parity(ray_session, sf_dir, monkeypatch):
+    """With the broadcast budget forced to 0, BOTH join levels must
+    take the bucketed co-partition path (customer keys never pulled to
+    the driver) and the answer must match the broadcast plan."""
+    import textextract_ray.pipelines.relational as rel
+
+    a = rel.q3_top_orders(sf_dir)
+    monkeypatch.setattr(rel, "Q3_BROADCAST_BUDGET_KEYS", 0)
+    b = rel.q3_top_orders(sf_dir)
+    assert a["o_orderkey"].tolist() == b["o_orderkey"].tolist()
+    assert (a["revenue"] - b["revenue"]).abs().max() < 1e-6
+
+
 def test_pdf_routing_path(ray_session, fixture_pages, golden):
     """PDF rows route to the PdfExtract pool; output stays
     byte-compatible with the default path; strict mode raises."""

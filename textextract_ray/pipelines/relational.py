@@ -96,19 +96,37 @@ def q1_pricing_summary(sf_dir: str):
 
 # --- J1 + top-k: broadcast join + grouped sum + sort/limit (Q3 shape) --------
 
-# broadcast budget for the second q3 join level: above this many
-# surviving order keys, the key set is no longer a "small side" and the
+# broadcast budget for BOTH q3 join levels: above this many keys a
+# side is no longer "small", nothing is pulled to the driver, and the
 # bucketed co-partition join takes over (at 100 TB the budget is what
 # fits comfortably in every worker's plasma share)
 Q3_BROADCAST_BUDGET_KEYS = 2_000_000
 
 
-def _segment_customer_keys(sf_dir: str, segment: str):
+def _segment_customer_keys_ds(sf_dir: str, segment: str):
+    """Keys-only Dataset of the segment's customers — filtered and
+    materialized DISTRIBUTED (blocks stay in the object store)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_tbl = cust.to_pandas()
-    return pa.array(
-        sorted(cust_tbl[cust_tbl.c_mktsegment == segment]["c_custkey"]), pa.int64()
-    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        )
+
+    return cust.map_batches(pick, batch_format="pyarrow").materialize()
+
+
+def _segment_customer_keys(sf_dir: str, segment: str):
+    """(broadcastable key array | None, keys Dataset). Customer is
+    dimension-sized by ASSUMPTION only — the same budget that guards
+    the second join level guards this pull: past
+    Q3_BROADCAST_BUDGET_KEYS the array is None and callers must join
+    against the Dataset with the bucketed co-partition path instead of
+    broadcasting."""
+    ds = _segment_customer_keys_ds(sf_dir, segment)
+    if ds.count() > Q3_BROADCAST_BUDGET_KEYS:
+        return None, ds
+    return pa.array(sorted(ds.to_pandas()["c_custkey"]), pa.int64()), ds
 
 
 def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
@@ -117,15 +135,23 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     First join level is a broadcast semi-join (reference J1: the
     quota-path lookup is a broadcast dimension probe): the segment's
     customer keys are dimension-sized, collected once, shipped via
-    ray.put, probed with vectorized is_in. The SECOND level's key set
-    (surviving orders) is fact-scale × selectivity — it is built
-    DISTRIBUTED (the filtered key column materializes in the object
-    store, never as a driver list), counted, and only pulled +
-    broadcast when it fits Q3_BROADCAST_BUDGET_KEYS; past the budget
-    the query falls back to the bucketed co-partition join
-    (q3_top_orders_hashjoin), which never materializes keys anywhere.
+    ray.put, probed with vectorized is_in — but only after a
+    distributed count clears Q3_BROADCAST_BUDGET_KEYS (customer is
+    dimension-sized by assumption, the budget makes it a checked
+    fact). The SECOND level's key set (surviving orders) is fact-scale
+    × selectivity — it is built DISTRIBUTED (the filtered key column
+    materializes in the object store, never as a driver list),
+    counted, and only pulled + broadcast when it fits the same budget.
+    Past either budget the query falls back to the bucketed
+    co-partition join (q3_top_orders_hashjoin), which never
+    materializes keys anywhere.
     """
-    ckeys_ref = ray.put(_segment_customer_keys(sf_dir, segment))
+    ckeys, ckeys_ds = _segment_customer_keys(sf_dir, segment)
+    if ckeys is None:
+        # the customer side itself is past broadcast budget: fully
+        # bucketed plan, reusing the already-materialized key dataset
+        return q3_top_orders_hashjoin(sf_dir, segment=segment, k=k, _ckeys_ds=ckeys_ds)
+    ckeys_ref = ray.put(ckeys)
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
@@ -168,6 +194,47 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     return _round_floats(out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True))
 
 
+def _semi_join_order_keys_bucketed(ckeys_ds, orders, *, num_buckets: int = 64):
+    """First-level customer⋈orders semi-join as a bucketed co-group
+    (the past-budget path): both sides tagged with the same stable
+    bucket of custkey, one shuffle co-locates each key, in-bucket
+    pandas semi-join emits surviving o_orderkey rows. No key set ever
+    reaches the driver."""
+    from ..functions.scalar import stable_bucket
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"]
+        return pa.table(
+            {
+                "ckey": key,
+                "okey": pa.nulls(len(batch), pa.int64()),
+                "_bucket": pa.array(stable_bucket(key, num_buckets), pa.int32()),
+            }
+        )
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"]
+        return pa.table(
+            {
+                "ckey": key,
+                "okey": batch["o_orderkey"],
+                "_bucket": pa.array(stable_bucket(key, num_buckets), pa.int32()),
+            }
+        )
+
+    tagged = orders.map_batches(ord_side, batch_format="pyarrow").union(
+        ckeys_ds.map_batches(cust_side, batch_format="pyarrow")
+    )
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        # null-okey rows are the customer side (the key whitelist)
+        keys = df.loc[df["okey"].isna(), "ckey"].unique()
+        sub = df[df["okey"].notna() & df["ckey"].isin(keys)]
+        return pd.DataFrame({"o_orderkey": sub["okey"].astype("int64")})
+
+    return tagged.groupby("_bucket").map_groups(semi, batch_format="pandas")
+
+
 def q3_top_orders_hashjoin(
     sf_dir: str,
     *,
@@ -175,6 +242,7 @@ def q3_top_orders_hashjoin(
     k: int = 10,
     num_buckets: int = 64,
     _okeys_ds=None,
+    _ckeys_ds=None,
 ):
     """The same query as a bucketed co-partition join — THE scale path
     for big-big: both sides are tagged with the same stable hash bucket
@@ -204,16 +272,28 @@ def q3_top_orders_hashjoin(
         # check — already semi-joined and materialized
         orders_tagged = _okeys_ds.map_batches(keys_side, batch_format="pyarrow")
     else:
-        ckeys_ref = ray.put(_segment_customer_keys(sf_dir, segment))
         orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        if _ckeys_ds is None:
+            ckeys, _ckeys_ds = _segment_customer_keys(sf_dir, segment)
+        else:
+            ckeys = None  # handed over precisely because it is past budget
+        if ckeys is not None:
+            # customer fits broadcast budget: probe per batch
+            ckeys_ref = ray.put(ckeys)
 
-        def orders_side(batch: pa.Table) -> pa.Table:
-            batch = batch.filter(
-                pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
-            ).select(["o_orderkey"])
-            return keys_side(batch)
+            def orders_side(batch: pa.Table) -> pa.Table:
+                batch = batch.filter(
+                    pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref))
+                ).select(["o_orderkey"])
+                return keys_side(batch)
 
-        orders_tagged = orders.map_batches(orders_side, batch_format="pyarrow")
+            orders_tagged = orders.map_batches(orders_side, batch_format="pyarrow")
+        else:
+            # past budget: first level is itself a bucketed co-group
+            okeys = _semi_join_order_keys_bucketed(
+                _ckeys_ds, orders, num_buckets=num_buckets
+            )
+            orders_tagged = okeys.map_batches(keys_side, batch_format="pyarrow")
 
     def lineitem_side(batch: pa.Table) -> pa.Table:
         r = pc.multiply(
