@@ -192,11 +192,12 @@ def _ensure_partition_dir(pdir: str) -> None:
     import pyarrow.parquet as pq
 
     from ..schemas import EXTRACTED_SCHEMA
+    from ..state.checkpoint import fs_isdir, fs_listdir, fs_makedirs
 
-    if not os.path.isdir(pdir) or not any(
-        f.endswith(".parquet") for f in os.listdir(pdir)
+    if not fs_isdir(pdir) or not any(
+        f.endswith(".parquet") for f in fs_listdir(pdir)
     ):
-        os.makedirs(pdir, exist_ok=True)
+        fs_makedirs(pdir)
         pq.write_table(
             EXTRACTED_SCHEMA.empty_table(), os.path.join(pdir, "empty-0.parquet")
         )
@@ -382,8 +383,10 @@ def run_job(
 
         from ..schemas import COUNTERS_SCHEMA
 
+        from ..state.checkpoint import fs_makedirs
+
         metrics_dir = os.path.join(out_dir, "_metrics")
-        os.makedirs(metrics_dir, exist_ok=True)
+        fs_makedirs(metrics_dir)
         pq.write_table(
             pa.Table.from_pandas(
                 report[[f.name for f in COUNTERS_SCHEMA]], preserve_index=False

@@ -61,16 +61,38 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None) -> rd.Dataset:
 def read_pages(paths, columns=None) -> rd.Dataset:
     """Read pages shards (the input_hint table). ``paths`` may be a
     directory, one file, or an explicit shard list (the resumable driver
-    passes per-partition shard lists)."""
+    passes per-partition shard lists). Entries may be plain local paths
+    or URIs (``file://...``, any pyarrow-resolvable scheme): Ray
+    resolves the filesystem only from the FIRST path of a list and
+    normalizes the rest as plain paths, so URI lists are resolved here
+    explicitly (scheme stripped, one shared filesystem passed down)."""
     kwargs = {}
     if columns is not None:
         kwargs["columns"] = list(columns)
     if isinstance(paths, (list, tuple)):
         # expand directories: read_parquet accepts one directory fine,
         # but a LIST mixing directories and files does not
+        from pyarrow import fs as pafs
+
         expanded = []
+        filesystem = None
         for p in paths:
-            if os.path.isdir(p):
+            if "://" in str(p):
+                f, sp = pafs.FileSystem.from_uri(str(p))
+                if filesystem is None:
+                    filesystem = f
+                info = f.get_file_info(sp)
+                if info.type == pafs.FileType.Directory:
+                    expanded.extend(
+                        sorted(
+                            e.path
+                            for e in f.get_file_info(pafs.FileSelector(sp))
+                            if e.path.endswith(".parquet")
+                        )
+                    )
+                else:
+                    expanded.append(sp)
+            elif os.path.isdir(p):
                 expanded.extend(
                     sorted(
                         os.path.join(p, f)
@@ -81,4 +103,6 @@ def read_pages(paths, columns=None) -> rd.Dataset:
             else:
                 expanded.append(p)
         paths = expanded
+        if filesystem is not None:
+            kwargs["filesystem"] = filesystem
     return rd.read_parquet(paths, **kwargs)
