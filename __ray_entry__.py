@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": rel.props_extract,
         "running_user_totals": rel.running_user_totals,
         "recent_events_per_user": rel.recent_events_per_user,
-        "value_median": rel.value_median,
         "parts_by_brand": rel.parts_by_brand,
         "supplier_by_nation": rel.supplier_by_nation,
         # text analysis / training-data ops
@@ -76,12 +75,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_heavy_hitters": tx.host_heavy_hitters,
         "quality_scores": tx.quality_scores,
         "language_id": tx.language_id,
+        "pii_scrub": tx.pii_scrub,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
         "minhash_near_dups": tx.minhash_near_dups,
         "simhash_near_dups": tx.simhash_near_dups,
         "embedding_near_dups": tx.embedding_near_dups,
+        "semantic_dedup": tx.semantic_dedup,
         "ngram_jaccard": tx.ngram_jaccard,
-        "rolling_fingerprints": tx.rolling_fingerprints,
         # similarity search
         "ann_topk": tx.ann_topk,
         "ann_topk_ivf": tx.ann_topk_ivf,
@@ -366,9 +366,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rn <= 3 ORDER BY user_id, ts DESC, event_id DESC
         """,
-        "value_median": """
-            SELECT event_type, round(median(value), 4) AS median_value
-            FROM events GROUP BY event_type ORDER BY event_type
+        # hybrid oracle: sketch quantile columns from the golden
+        # fixture, the exact median column (consolidated from the
+        # former value_median query) recomputed in SQL
+        "approx_quantiles": """
+            SELECT g.event_type, g.q25, g.q50, g.q75, g.q95, m.median_value
+            FROM (
+                SELECT * EXCLUDE (sf_tag)
+                FROM read_parquet('/root/repo/fixtures/golden/approx_quantiles.parquet')
+                WHERE sf_tag = (SELECT count(*) FROM events)
+            ) g
+            JOIN (
+                SELECT event_type, round(median(value), 4) AS median_value
+                FROM events GROUP BY event_type
+            ) m USING (event_type)
+            ORDER BY g.event_type
         """,
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
@@ -420,10 +432,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9[:space:]]'))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        # hybrid oracle: md5 columns exact SQL, the rolling winnowing
+        # fingerprint (consolidated from the former rolling_fingerprints
+        # query) joined from its golden fixture
         "fingerprints": """
-            SELECT doc_id, md5(text) AS fingerprint,
-                   md5(nfc_normalize(text)) AS norm_fingerprint
-            FROM documents ORDER BY doc_id
+            SELECT d.doc_id, md5(d.text) AS fingerprint,
+                   md5(nfc_normalize(d.text)) AS norm_fingerprint,
+                   g.rolling_fp
+            FROM documents d
+            JOIN (
+                SELECT doc_id, rolling_fp
+                FROM read_parquet('/root/repo/fixtures/golden/rolling_fingerprints.parquet')
+                WHERE sf_tag = (SELECT count(*) FROM events)
+            ) g USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "ann_topk": """
             WITH q AS (
@@ -502,9 +524,43 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         # token definition = \S+ runs (the engine-wide token_count);
-        # every float column is round(4) on BOTH sides
+        # every float column is round(4) on BOTH sides. The repetition
+        # CTEs replicate repetition_features: dup_{n}gram_frac =
+        # 1 - distinct/total n-gram occurrences (the Ray side combines
+        # token HASHES where this joins token STRINGS with a \x1f
+        # separator — equal up to 2^-64 hash collisions), top bigram
+        # share via a per-doc gram GROUP BY
         "quality_scores": r"""
-            WITH f AS (
+            WITH toks AS (
+                SELECT doc_id,
+                    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                x -> x <> '') AS t
+                FROM documents
+            ), reps AS (
+                SELECT doc_id, len(t) AS rnt,
+                    CASE WHEN len(t) >= 2 THEN 1.0
+                        - CAST(len(list_distinct(list_transform(range(1, len(t)),
+                              i -> t[i] || chr(31) || t[i+1]))) AS DOUBLE) / (len(t) - 1)
+                        ELSE 0.0 END AS d2,
+                    CASE WHEN len(t) >= 3 THEN 1.0
+                        - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]))) AS DOUBLE) / (len(t) - 2)
+                        ELSE 0.0 END AS d3,
+                    CASE WHEN len(t) >= 4 THEN 1.0
+                        - CAST(len(list_distinct(list_transform(range(1, len(t) - 2),
+                              i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] || chr(31) || t[i+3]))) AS DOUBLE) / (len(t) - 3)
+                        ELSE 0.0 END AS d4
+                FROM toks
+            ), topb AS (
+                SELECT doc_id, max(c) AS maxc FROM (
+                    SELECT doc_id, gram, count(*) AS c FROM (
+                        SELECT doc_id,
+                            unnest(list_transform(range(1, len(t)),
+                                i -> t[i] || chr(31) || t[i+1])) AS gram
+                        FROM toks WHERE len(t) >= 2
+                    ) GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            ), f AS (
                 SELECT doc_id,
                     CAST(length(text) AS DOUBLE) AS nc,
                     CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
@@ -534,8 +590,60 @@ def oracle_sql() -> dict[str, str]:
                     + least(greatest(sr / 0.2, 0), 1) * 0.25
                     + (1.0 - least(greatest(pr / 0.3, 0), 1)) * 0.15
                     + (1.0 - least(greatest(ur / 0.3, 0), 1)) * 0.10
-                , 4) AS quality_score
-            FROM g ORDER BY doc_id
+                , 4) AS quality_score,
+                round(r.d2, 4) AS dup_2gram_frac,
+                round(r.d3, 4) AS dup_3gram_frac,
+                round(r.d4, 4) AS dup_4gram_frac,
+                round(CASE WHEN r.rnt >= 2
+                    THEN CAST(coalesce(tb.maxc, 0) AS DOUBLE) / (r.rnt - 1)
+                    ELSE 0.0 END, 4) AS top_bigram_frac
+            FROM g
+            JOIN reps r USING (doc_id)
+            LEFT JOIN topb tb USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # sequential scrub, same order as functions.text._PII_PATTERNS:
+        # each type is counted+replaced on the text as scrubbed so far
+        # (both engines are RE2, so match semantics are byte-identical).
+        # The src CTE plants the same doc_id-derived contact line as the
+        # Ray query — the corpus itself has no PII-shaped strings
+        "pii_scrub": r"""
+            WITH src AS (
+                SELECT doc_id,
+                    'Contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example Phone: (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' IP: 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' SSN: 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' ' || coalesce(text, '') AS t0
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(t0,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                    regexp_replace(t0,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t
+                FROM src
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn_like,
+                    regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN_LIKE>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_email, n_ssn_like,
+                    len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                    regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id,
+                regexp_replace(t, '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed,
+                CAST(n_email AS BIGINT) AS n_email,
+                CAST(n_ssn_like AS BIGINT) AS n_ssn_like,
+                CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS BIGINT) AS n_phone
+            FROM s3 ORDER BY doc_id
         """,
         # the stub frame sampler slices 4 equal strides capped at 4 KiB
         # (payload = PNG magic (8 bytes) + utf-8 text)
@@ -568,11 +676,10 @@ def oracle_sql() -> dict[str, str]:
 _GOLDEN_QUERIES = (
     "minhash_near_dups",
     "simhash_near_dups",
+    "semantic_dedup",
     "ngram_jaccard",
-    "rolling_fingerprints",
     "ann_topk_ivf",
     "approx_distinct",
-    "approx_quantiles",
     "host_heavy_hitters",
     "media_features",
 )
@@ -580,11 +687,10 @@ _GOLDEN_QUERIES = (
 _GOLDEN_ORDER = {
     "minhash_near_dups": "id, keep_id",
     "simhash_near_dups": "id, keep_id",
+    "semantic_dedup": "id, keep_id",
     "ngram_jaccard": "id_a, id_b",
-    "rolling_fingerprints": "doc_id",
     "ann_topk_ivf": "query_id, score DESC, vec_id",
     "approx_distinct": "table_col",
-    "approx_quantiles": "event_type",
     "host_heavy_hitters": "est_count DESC, host",
     "media_features": "media_id, dim_index",
 }

@@ -116,6 +116,31 @@ def test_embedding_near_dups(ray_session):
     assert 3 not in assignments
 
 
+def test_semantic_dedup_finds_planted_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    rows = [
+        {"vec_id": i, "embedding": rng.randn(8).astype(np.float32).tolist()}
+        for i in range(40)
+    ]
+    base3 = np.array(rows[3]["embedding"], dtype=np.float32)
+    base17 = np.array(rows[17]["embedding"], dtype=np.float32)
+    # planted near-dups: same direction (scaled) and tiny perturbation
+    rows.append({"vec_id": 100, "embedding": (base3 * 1.7).tolist()})
+    rows.append(
+        {"vec_id": 101, "embedding": (base17 + 0.01 * rng.randn(8).astype(np.float32)).tolist()}
+    )
+    from textextract_ray.stages.dedup import semantic_duplicate_assignments
+
+    pairs = semantic_duplicate_assignments(
+        rd.from_items(rows), "embedding", "vec_id", threshold=0.97, n_centroids=4
+    ).to_pandas()
+    assignments = dict(zip(pairs["id"], pairs["keep_id"]))
+    assert assignments.get(100) == 3
+    assert assignments.get(101) == 17
+
+
 def test_ngram_jaccard_pairs(doc_ds):
     from textextract_ray.stages.dedup import ngram_jaccard_pairs
 

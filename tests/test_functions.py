@@ -126,6 +126,38 @@ def test_quality_features_shapes():
     assert t["n_tokens"].to_pylist() == [9, 1]
 
 
+def test_repetition_features_separates_spam_from_prose():
+    clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    spam = "buy now " * 20
+    t = text.repetition_features([clean, spam, "", "one"])
+    d2 = t["dup_2gram_frac"].to_pylist()
+    assert d2[1] > 0.9 and d2[0] < 0.2
+    assert d2[2] == 0.0 and d2[3] == 0.0  # fewer than n tokens -> 0
+    assert t["dup_3gram_frac"].to_pylist()[1] > 0.9
+    assert t["dup_4gram_frac"].to_pylist()[1] > 0.9
+    # "buy now" takes 20 of 39 bigram slots
+    assert abs(t["top_bigram_frac"].to_pylist()[1] - 20 / 39) < 1e-9
+    assert t["top_bigram_frac"].to_pylist()[0] < 0.2
+
+
+def test_scrub_pii_types_counts_and_order():
+    s = "mail a@b.com ssn 123-45-6789 ip 10.0.0.1 call +1 (555) 010-9999 end"
+    t = text.scrub_pii(pa.array([s, None]))
+    out = t["text_scrubbed"].to_pylist()
+    for tok in ("<EMAIL>", "<SSN_LIKE>", "<IPV4>", "<PHONE>"):
+        assert tok in out[0]
+    for raw in ("a@b.com", "123-45-6789", "10.0.0.1", "555"):
+        assert raw not in out[0]
+    assert t["n_email"].to_pylist() == [1, 0]
+    assert t["n_ssn_like"].to_pylist() == [1, 0]
+    assert t["n_ipv4"].to_pylist() == [1, 0]
+    assert t["n_phone"].to_pylist() == [1, 0]
+    # order is load-bearing: SSN + IP got their typed placeholder before
+    # the broad phone pattern could eat those digit runs
+    assert out[0].count("<PHONE>") == 1
+    assert out[1] == ""
+
+
 def test_rolling_fingerprint_deterministic():
     a = text.rolling_fingerprint(["one two three four five six"])
     b = text.rolling_fingerprint(["one two three four five six"])

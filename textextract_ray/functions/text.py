@@ -159,6 +159,76 @@ def quality_features(col: pa.ChunkedArray | pa.Array) -> pa.Table:
     )
 
 
+def repetition_features(texts: list) -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, arXiv:2112.11446, table A1 filters — public paper): for
+    n ∈ (2, 3, 4) the fraction of n-gram occurrences that repeat an
+    earlier occurrence (``dup_{n}gram_frac``), plus the share of all
+    bigram occurrences taken by the single most frequent bigram
+    (``top_bigram_frac``). Repetitive boilerplate/spam scores high;
+    clean prose is near 0. One shared token-hash pass feeds all three
+    n-gram sizes (hash-based: a 2^-64 collision folds two n-grams
+    together — irrelevant at filter precision). Docs with fewer than
+    n tokens score 0 for that n."""
+    h, offs = _flat_token_hashes(texts)
+    n_docs = len(texts)
+    feats = {n: np.zeros(n_docs, dtype=np.float64) for n in (2, 3, 4)}
+    top_bi = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        hd = h[offs[d] : offs[d + 1]]
+        for n in (2, 3, 4):
+            m = len(hd) - n + 1
+            if m < 1:
+                continue
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                acc = acc * _SHINGLE_B + hd[j : j + m]
+            uniq, counts = np.unique(acc, return_counts=True)
+            feats[n][d] = 1.0 - len(uniq) / m
+            if n == 2:
+                top_bi[d] = counts.max() / m
+    return pa.table(
+        {
+            "dup_2gram_frac": pa.array(feats[2], pa.float64()),
+            "dup_3gram_frac": pa.array(feats[3], pa.float64()),
+            "dup_4gram_frac": pa.array(feats[4], pa.float64()),
+            "top_bigram_frac": pa.array(top_bi, pa.float64()),
+        }
+    )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Order is load-bearing: each pattern is counted+replaced on the text
+# as scrubbed so far, and the broad phone pattern would otherwise eat
+# SSN-shaped and dotted-IP digit runs.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn_like", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def scrub_pii(col: pa.ChunkedArray | pa.Array) -> pa.Table:
+    """PII redaction for training corpora: emails, SSN-shaped ids,
+    IPv4 addresses, phone-shaped digit runs each replaced by a typed
+    placeholder (``<EMAIL>``, ...), with a per-type match count per
+    document. Entirely Arrow RE2 kernels (count + replace per type) —
+    no per-row Python. Heuristic by design: a recall-oriented scrub
+    for corpus hygiene, not a compliance guarantee."""
+    scrubbed = pc.fill_null(col, "")
+    out_counts = {}
+    for name, pat in _PII_PATTERNS:
+        out_counts[f"n_{name}"] = pc.count_substring_regex(scrubbed, pat).cast(
+            pa.int64()
+        )
+        scrubbed = pc.replace_substring_regex(
+            scrubbed, pat, f"<{name.upper()}>"
+        )
+    return pa.table({"text_scrubbed": scrubbed, **out_counts})
+
+
 # --- shingles / MinHash / SimHash -------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)

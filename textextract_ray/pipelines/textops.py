@@ -61,23 +61,33 @@ def token_stats(sf_dir: str):
 
 def fingerprints(sf_dir: str):
     """md5 content fingerprint per document (the stable per-row
-    identity M10 analogue; byte-parity with DuckDB md5()) plus the
+    identity M10 analogue; byte-parity with DuckDB md5()), the
     Unicode-NFC-normalized fingerprint (the decode-canonicalization
-    family M3) from the same pass. (Consolidated from the former
-    separate ``normalized_fingerprints`` query: the driver gate
-    reports at most 50 queries.)"""
+    family M3), and the winnowing-style rolling-hash fingerprint
+    (Schleimer et al. SIGMOD 2003) — all from the same pass over the
+    same batch. (Consolidated from the former separate
+    ``normalized_fingerprints`` and ``rolling_fingerprints`` queries:
+    the driver gate reports at most 50 queries. The oracle is hybrid:
+    md5 columns are exact DuckDB SQL; rolling_fp joins the golden
+    fixture.)"""
     import unicodedata
+
+    from ..functions.text import rolling_fingerprint
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         normed = [unicodedata.normalize("NFC", t or "") for t in texts]
+        rolling = rolling_fingerprint(texts)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "fingerprint": pa.array(md5_hex(texts), pa.string()),
                 "norm_fingerprint": pa.array(md5_hex(normed), pa.string()),
+                "rolling_fp": pa.array(
+                    rolling.astype("int64") & 0x7FFFFFFFFFFFFFFF, pa.int64()
+                ),
             }
         )
 
@@ -86,24 +96,31 @@ def fingerprints(sf_dir: str):
 
 
 def quality_scores(sf_dir: str):
-    """Gopher/C4-style quality features + composite score per doc."""
+    """Gopher/C4-style quality features + composite score per doc,
+    plus the Gopher within-document repetition signals (dup-n-gram
+    fractions, top-bigram share) from the same batch — one corpus
+    pass covers the whole per-doc quality family."""
+    from ..functions.text import repetition_features
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def feats(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         f = quality_features(batch["text"])
+        rep = repetition_features(batch["text"].to_pylist())
         cols = {}
-        for c in f.column_names:
-            col = f[c]
-            # symmetric round(4) with the SQL oracle; DuckDB rounds
-            # half away from zero, so mirror that (Arrow defaults to
-            # banker's rounding, which differs at exact .5 ties)
-            cols[c] = (
-                pc.round(col, ndigits=4, round_mode="half_towards_infinity")
-                if pa.types.is_floating(col.type)
-                else col
-            )
+        for src in (f, rep):
+            for c in src.column_names:
+                col = src[c]
+                # symmetric round(4) with the SQL oracle; DuckDB rounds
+                # half away from zero, so mirror that (Arrow defaults to
+                # banker's rounding, which differs at exact .5 ties)
+                cols[c] = (
+                    pc.round(col, ndigits=4, round_mode="half_towards_infinity")
+                    if pa.types.is_floating(col.type)
+                    else col
+                )
         return pa.table({"doc_id": batch["doc_id"], **cols})
 
     out = ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
@@ -124,6 +141,49 @@ def language_id(sf_dir: str):
         )
 
     out = ds.map_batches(lid, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction over documents: emails, SSN-shaped ids, IPv4
+    addresses, and phone-shaped digit runs each replaced by a typed
+    placeholder with a per-type match count — entirely Arrow RE2
+    kernels inside map_batches. DuckDB's regex engine is RE2 too, so
+    the oracle is exact SQL with the same patterns.
+
+    The synthetic corpus contains no PII-shaped strings, so scrubbing
+    raw ``documents.text`` would pass vacuously (the
+    embedding_near_dups weakness, VERDICT r2 finding 7). Instead each
+    doc gets a deterministic doc_id-derived contact line planted in
+    front of its text — one email, phone, IPv4 and SSN-shaped token per
+    row, built identically in SQL — so every row demonstrably redacts
+    all four types; ``functions.text.scrub_pii`` itself stays fully
+    generic."""
+    from ..functions.text import scrub_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        d4 = pd.Series(ids % 10000).astype(str).str.zfill(4)
+        contact = (
+            "Contact: user" + pd.Series(ids).astype(str)
+            + "@mail.example Phone: (555) 010-" + d4
+            + " IP: 10.0." + pd.Series(ids % 256).astype(str)
+            + "." + pd.Series((ids * 7) % 256).astype(str)
+            + " SSN: 123-45-" + d4 + " "
+        )
+        planted = pc.binary_join_element_wise(
+            pa.array(contact, pa.string()), pc.fill_null(batch["text"], ""), ""
+        )
+        out = scrub_pii(planted)
+        return pa.table(
+            {"doc_id": batch["doc_id"], **{c: out[c] for c in out.column_names}}
+        )
+
+    out = ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -158,6 +218,19 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = 0.99):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return _pairs_df(embedding_duplicate_assignments(ds, "embedding", "vec_id", threshold=threshold))
+
+
+def semantic_dedup(sf_dir: str, *, threshold: float = 0.45):
+    """SemDeDup-style semantic near-dup assignments over embeddings:
+    k-means clusters (deterministic, budget-sampled) then in-cluster
+    cosine compare (golden oracle pins cross-run determinism;
+    planted-duplicate recall is pinned in pytest)."""
+    from ..stages.dedup import semantic_duplicate_assignments
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _pairs_df(
+        semantic_duplicate_assignments(ds, "embedding", "vec_id", threshold=threshold)
+    )
 
 
 def _first_queries(sf_dir: str, nq: int) -> dict:
@@ -634,7 +707,20 @@ def approx_quantiles(sf_dir: str, *, qs=(0.25, 0.5, 0.75, 0.95)):
         for q in qs:
             row[f"q{int(q * 100)}"] = round(quantile_sketch_value(merged[et], q), 4)
         rows.append(row)
-    return pd.DataFrame(rows).reset_index(drop=True)
+    sketch_df = pd.DataFrame(rows).reset_index(drop=True)
+    # exact per-group median alongside the sketch (consolidated from
+    # the former separate value_median query — the driver gate reports
+    # at most 50 queries): a second streaming pass through the bucketed
+    # group shuffle; at 10^12 rows you would keep only the sketch
+    # columns, which is exactly the trade this query demonstrates
+    from .relational import value_median
+
+    exact = value_median(sf_dir)
+    return (
+        sketch_df.merge(exact, on="event_type", how="left")
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
 
 
 def ngram_jaccard(sf_dir: str, *, threshold: float = 0.5):
@@ -650,21 +736,3 @@ def ngram_jaccard(sf_dir: str, *, threshold: float = 0.5):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def rolling_fingerprints(sf_dir: str):
-    """Winnowing-style rolling-hash fingerprint per document
-    (deterministic uint64; non-SQL — pytest pins determinism)."""
-    from ..functions.text import rolling_fingerprint
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def fp(batch: pa.Table) -> pa.Table:
-        vals = rolling_fingerprint(batch["text"].to_pylist())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "rolling_fp": pa.array(vals.astype("int64") & 0x7FFFFFFFFFFFFFFF, pa.int64()),
-            }
-        )
-
-    out = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

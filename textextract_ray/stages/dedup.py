@@ -447,26 +447,109 @@ def embedding_duplicate_assignments(
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
-        g = group.sort_values("id")
-        ids = g["id"].to_numpy()
-        mat = np.array(g["unit"].tolist(), dtype=np.float32)
-        sims = mat @ mat.T
-        out_id, out_keep = [], []
-        dropped = set()
-        for i in range(len(ids)):
-            if ids[i] in dropped:
-                continue
-            dups = np.where(sims[i, i + 1 :] >= threshold)[0] + i + 1
-            for j in dups:
-                if ids[j] not in dropped:
-                    dropped.add(ids[j])
-                    out_id.append(ids[j])
-                    out_keep.append(ids[i])
-        return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
+        return _greedy_cosine_pairs(group, threshold)
 
     pairs = _bucketed_group_apply(bucketed, ["bucket"], bucket_pairs)
+    return _min_keep_per_id(pairs)
+
+
+def _greedy_cosine_pairs(
+    group: pd.DataFrame, threshold: float, cap: int | None = None
+) -> pd.DataFrame:
+    """In-group exact cosine scan shared by the embedding LSH and the
+    semantic (cluster-then-compare) dedup paths: sort by id (so the
+    result is independent of batch/arrival order), O(|group|²) matmul
+    of the pre-normalized ``unit`` vectors, then a greedy first-seen-
+    keeps sweep emitting (id, keep_id) with keep = smallest id of the
+    duplicate chain. ``cap`` truncates degenerate groups to the
+    smallest-id rows so one hot bucket cannot go O(n²) at scale."""
+    if len(group) < 2:
+        return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
+    g = group.sort_values("id").drop_duplicates("id")
+    if cap is not None and len(g) > cap:
+        g = g.head(cap)
+    ids = g["id"].to_numpy()
+    mat = np.array(g["unit"].tolist(), dtype=np.float32)
+    sims = mat @ mat.T
+    out_id, out_keep = [], []
+    dropped = set()
+    for i in range(len(ids)):
+        if ids[i] in dropped:
+            continue
+        dups = np.where(sims[i, i + 1 :] >= threshold)[0] + i + 1
+        for j in dups:
+            if ids[j] not in dropped:
+                dropped.add(ids[j])
+                out_id.append(ids[j])
+                out_keep.append(ids[i])
+    return pd.DataFrame({"id": out_id, "keep_id": out_keep}).astype("int64")
+
+
+def semantic_duplicate_assignments(
+    ds,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    seed: int = 13,
+    cluster_cap: int = 4096,
+):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): k-means-cluster the embedding
+    space, then compare pairwise cosine ONLY within each cluster,
+    dropping all but one exemplar of every within-cluster duplicate
+    chain above ``threshold``. Returns (id, keep_id) assignments like
+    the rest of the dedup ladder (keep = smallest id — deterministic
+    under any batching; the paper keeps an arbitrary exemplar).
+
+    Scale shape: centroids train on a hash-selected, absolutely-
+    budgeted sample (``train_centroids``) and broadcast once via
+    ``ray.put``; assignment is one matmul per batch; the only shuffle
+    buckets rows by cluster id. Recall vs a full O(n²) scan is bounded
+    by the clustering — pairs straddling a cluster boundary are never
+    compared (the SemDeDup trade by design; the LSH path in
+    ``embedding_duplicate_assignments`` makes the complementary trade).
+    At corpus scale raise ``n_centroids`` so the expected cluster size
+    stays bounded; ``cluster_cap`` additionally hard-caps any one
+    cluster's compare set."""
+    import ray
+
+    from .similarity import _unit, train_centroids
+
+    cents = train_centroids(
+        ds, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids, seed=seed
+    )
+    cents_ref = ray.put(cents.astype(np.float32))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        cents_m = ray.get(cents_ref)
+        unit = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+        cl = (unit @ cents_m.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "id": batch[id_col],
+                "cluster": pa.array(cl, pa.int64()),
+                "unit": pa.array(unit.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cluster_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return _greedy_cosine_pairs(group, threshold, cap=cluster_cap)
+
+    pairs = _bucketed_group_apply(
+        assigned, ["cluster"], cluster_pairs, num_buckets=min(64, n_centroids)
+    )
     return _min_keep_per_id(pairs)
 
 

@@ -43,18 +43,27 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    names = list(entrymod._GOLDEN_QUERIES)
+    # fixture name -> (source query, column subset | None). Most
+    # fixtures are a query's full output; two are column slices of
+    # consolidated queries whose OTHER columns are exact SQL (the
+    # hybrid oracles join these fixtures back in).
+    sources = {name: (name, None) for name in entrymod._GOLDEN_QUERIES}
+    sources["rolling_fingerprints"] = ("fingerprints", ["doc_id", "rolling_fp"])
+    sources["approx_quantiles"] = (
+        "approx_quantiles",
+        ["event_type", "q25", "q50", "q75", "q95"],
+    )
     out_dir = "/root/repo/fixtures/golden"
     os.makedirs(out_dir, exist_ok=True)
 
-    for name in names:
+    for name, (src, cols) in sources.items():
         parts = []
         for sf_dir in SF_DIRS:
             tag = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
-            res = qs[name](sf_dir)
+            res = qs[src](sf_dir)
             if not isinstance(res, pd.DataFrame):
                 res = res.to_pandas()
-            res = res.copy()
+            res = res[cols].copy() if cols else res.copy()
             res["sf_tag"] = pd.Series([tag] * len(res), dtype="int64")
             parts.append(res)
             print(f"{name} @ {sf_dir}: {len(res)} rows (tag {tag})")
