@@ -69,12 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / training-data ops
         "token_stats": tx.token_stats,
         "fingerprints": tx.fingerprints,
-        "host_doc_counts": tx.host_doc_counts,
+        "decontaminate": tx.decontaminate,
         "cap_per_host": tx.cap_per_host,
         "stratified_sample": tx.stratified_sample,
         "host_heavy_hitters": tx.host_heavy_hitters,
         "quality_scores": tx.quality_scores,
-        "language_id": tx.language_id,
+        "chunk_windows": tx.chunk_windows,
         "pii_scrub": tx.pii_scrub,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
         "minhash_near_dups": tx.minhash_near_dups,
@@ -464,10 +464,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id FROM scored WHERE rn <= 10
             ORDER BY query_id, vec_id
         """,
-        "host_doc_counts": """
-            SELECT concat('host', CAST(doc_id % 20 AS VARCHAR), '.example') AS host,
-                   count(*) AS n_pages
-            FROM documents GROUP BY host ORDER BY host
+        # exact SQL over chr(31)-joined token STRINGS where the Ray
+        # side probes 64-bit gram HASHES — equal up to 2^-64 collisions
+        # (same documented trade as quality_scores' repetition columns).
+        # Benchmark side = doc_id % 97 == 0 (a deterministic eval-set
+        # stand-in; those docs are excluded from the output)
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                x -> x <> '') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(t) - 3),
+                        i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                             || chr(31) || t[i+3] || chr(31) || t[i+4])) AS grams
+                FROM toks WHERE len(t) >= 5
+            ), bench AS (
+                SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0
+            ), shared AS (
+                SELECT doc_id, count(*) AS n_shared FROM (
+                    SELECT doc_id, unnest(grams) AS gr
+                    FROM g WHERE doc_id % 97 <> 0
+                ) JOIN bench USING (gr) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                CAST(coalesce(len(g.grams), 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+                round(CASE WHEN coalesce(len(g.grams), 0) > 0
+                    THEN CAST(coalesce(s.n_shared, 0) AS DOUBLE) / len(g.grams)
+                    ELSE 0.0 END, 4) AS contam_frac,
+                coalesce(s.n_shared, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN g USING (doc_id)
+            LEFT JOIN shared s USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
+        """,
+        # chunk k covers tokens [k*stride, k*stride+window);
+        # window=64, stride=48 mirrors the Ray defaults
+        "chunk_windows": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                x -> x <> '') AS t
+                FROM documents
+            ), n AS (
+                SELECT doc_id, t, len(t) AS L,
+                    CASE WHEN len(t) <= 64 THEN 1
+                         ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS BIGINT)
+                    END AS n_chunks
+                FROM toks WHERE len(t) > 0
+            ), e AS (
+                SELECT doc_id, t, L, unnest(range(0, n_chunks)) AS k FROM n
+            )
+            SELECT doc_id,
+                CAST(k AS BIGINT) AS chunk_id,
+                CAST(k * 48 AS BIGINT) AS chunk_start,
+                CAST(least(L - k * 48, 64) AS BIGINT) AS n_tokens,
+                array_to_string(
+                    list_slice(t, k * 48 + 1, least(k * 48 + 64, L)), ' '
+                ) AS chunk_text
+            FROM e ORDER BY doc_id, chunk_id
+        """,
+        # hybrid oracle: (host, est_count) pinned by the golden fixture,
+        # the exact n_pages column (consolidated from the former
+        # host_doc_counts query) recomputed in SQL and joined on host
+        "host_heavy_hitters": """
+            SELECT g.host, g.est_count, CAST(c.n_pages AS BIGINT) AS n_pages
+            FROM (
+                SELECT * EXCLUDE (sf_tag)
+                FROM read_parquet('/root/repo/fixtures/golden/host_heavy_hitters.parquet')
+                WHERE sf_tag = (SELECT count(*) FROM events)
+            ) g
+            JOIN (
+                SELECT concat('host', CAST(doc_id % 20 AS VARCHAR), '.example') AS host,
+                       count(*) AS n_pages
+                FROM documents GROUP BY host
+            ) c USING (host)
+            ORDER BY g.est_count DESC, g.host
         """,
         "cap_per_host": """
             SELECT doc_id,
@@ -498,38 +574,18 @@ def oracle_sql() -> dict[str, str]:
                   END
             ORDER BY doc_id
         """,
-        # RE2 semantics match pyarrow.compute exactly (both are RE2);
-        # the CASE ladder replicates numpy argmax first-max-wins in the
-        # pipeline's lang order (en, de, fr, es); zh override first,
-        # then und — same precedence as functions.text.lang_id
-        "language_id": r"""
-            WITH c AS (
-                SELECT doc_id, lang,
-                    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS c_en,
-                    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|für)\b|[äöüß]')) AS c_de,
-                    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une?|des|du|dans|pour|que)\b|[éèêàçù]')) AS c_fr,
-                    len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una?|del|en|que|por|para)\b|[ñ¿¡]|ción\b')) AS c_es,
-                    len(regexp_extract_all(text, '[一-鿿]')) AS c_cjk
-                FROM documents
-            )
-            SELECT doc_id, lang,
-                CASE
-                    WHEN c_cjk > 2 * greatest(c_en, c_de, c_fr, c_es) THEN 'zh'
-                    WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
-                    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-                    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
-                    WHEN c_fr >= c_es THEN 'fr'
-                    ELSE 'es'
-                END AS pred_lang
-            FROM c ORDER BY doc_id
-        """,
         # token definition = \S+ runs (the engine-wide token_count);
         # every float column is round(4) on BOTH sides. The repetition
         # CTEs replicate repetition_features: dup_{n}gram_frac =
         # 1 - distinct/total n-gram occurrences (the Ray side combines
         # token HASHES where this joins token STRINGS with a \x1f
         # separator — equal up to 2^-64 hash collisions), top bigram
-        # share via a per-doc gram GROUP BY
+        # share via a per-doc gram GROUP BY. The lid subquery is the
+        # consolidated language_id heuristic: RE2 semantics match
+        # pyarrow.compute exactly (both are RE2); the CASE ladder
+        # replicates numpy argmax first-max-wins in the pipeline's lang
+        # order (en, de, fr, es); zh override first, then und — same
+        # precedence as functions.text.lang_id
         "quality_scores": r"""
             WITH toks AS (
                 SELECT doc_id,
@@ -596,10 +652,31 @@ def oracle_sql() -> dict[str, str]:
                 round(r.d4, 4) AS dup_4gram_frac,
                 round(CASE WHEN r.rnt >= 2
                     THEN CAST(coalesce(tb.maxc, 0) AS DOUBLE) / (r.rnt - 1)
-                    ELSE 0.0 END, 4) AS top_bigram_frac
+                    ELSE 0.0 END, 4) AS top_bigram_frac,
+                lid.lang, lid.pred_lang
             FROM g
             JOIN reps r USING (doc_id)
             LEFT JOIN topb tb USING (doc_id)
+            JOIN (
+                SELECT doc_id, lang,
+                    CASE
+                        WHEN c_cjk > 2 * greatest(c_en, c_de, c_fr, c_es) THEN 'zh'
+                        WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es'
+                    END AS pred_lang
+                FROM (
+                    SELECT doc_id, lang,
+                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS c_en,
+                        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|für)\b|[äöüß]')) AS c_de,
+                        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une?|des|du|dans|pour|que)\b|[éèêàçù]')) AS c_fr,
+                        len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una?|del|en|que|por|para)\b|[ñ¿¡]|ción\b')) AS c_es,
+                        len(regexp_extract_all(text, '[一-鿿]')) AS c_cjk
+                    FROM documents
+                )
+            ) lid USING (doc_id)
             ORDER BY doc_id
         """,
         # sequential scrub, same order as functions.text._PII_PATTERNS:
@@ -680,7 +757,6 @@ _GOLDEN_QUERIES = (
     "ngram_jaccard",
     "ann_topk_ivf",
     "approx_distinct",
-    "host_heavy_hitters",
     "media_features",
 )
 
@@ -691,7 +767,6 @@ _GOLDEN_ORDER = {
     "ngram_jaccard": "id_a, id_b",
     "ann_topk_ivf": "query_id, score DESC, vec_id",
     "approx_distinct": "table_col",
-    "host_heavy_hitters": "est_count DESC, host",
     "media_features": "media_id, dim_index",
 }
 

@@ -158,6 +158,24 @@ def test_scrub_pii_types_counts_and_order():
     assert out[1] == ""
 
 
+def test_ngram_hash_sets_overlap_and_edges():
+    texts = [
+        "a b c d e f g",          # 3 distinct 5-grams
+        "x y z w v u t",          # disjoint tokens
+        "c d e f g h i",          # shares the 5-gram "c d e f g" with doc 0
+        "one two",                # < 5 tokens -> empty slice
+        "",                       # empty -> empty slice
+    ]
+    flat, offs = text.ngram_hash_sets(texts, 5)
+    sets = [flat[offs[d] : offs[d + 1]] for d in range(len(texts))]
+    assert [len(s) for s in sets] == [3, 3, 3, 0, 0]
+    assert len(np.intersect1d(sets[0], sets[2])) == 1
+    assert len(np.intersect1d(sets[0], sets[1])) == 0
+    # per-doc slices are sorted and unique (searchsorted-probe ready)
+    for s in sets:
+        assert (np.diff(s.astype(np.uint64)) > 0).all() if len(s) > 1 else True
+
+
 def test_rolling_fingerprint_deterministic():
     a = text.rolling_fingerprint(["one two three four five six"])
     b = text.rolling_fingerprint(["one two three four five six"])

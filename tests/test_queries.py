@@ -236,15 +236,56 @@ def test_stratified_sample_rates_and_stability(entrymod, sf_dir, ray_session):
 
 def test_host_heavy_hitters_estimates_vs_exact(entrymod, sf_dir, ray_session):
     """CM estimates only overestimate; with 20 hosts in a 4096-wide
-    sketch the top-k set and estimates should match exact counts."""
+    sketch the top-k set and estimates should match exact counts. The
+    query's own n_pages column (the broadcast-probe exact count,
+    consolidated from host_doc_counts) must equal the full groupby."""
+    from textextract_ray.pipelines.textops import host_doc_counts
+
     df = entrymod.queries()["host_heavy_hitters"](sf_dir)
-    exact = entrymod.queries()["host_doc_counts"](sf_dir)
+    exact = host_doc_counts(sf_dir)
     exact_map = dict(zip(exact["host"], exact["n_pages"]))
     assert len(df) == 10
     for _, row in df.iterrows():
         true = exact_map[row["host"]]
+        assert row["n_pages"] == true  # exact column IS the exact count
         assert row["est_count"] >= true  # CM never underestimates
         assert row["est_count"] <= true * 1.05 + 5  # and is tight here
+
+
+def test_chunk_windows_invariants(entrymod, sf_dir, ray_session):
+    """Every doc's chunks start at k*stride, have the declared token
+    counts, and the last chunk ends exactly at the doc's token count —
+    full coverage, fixed overlap."""
+    df = entrymod.queries()["chunk_windows"](sf_dir)
+    assert (df["n_tokens"] > 0).all()
+    assert (df["chunk_text"].str.split().str.len() == df["n_tokens"]).all()
+    for doc_id, g in list(df.groupby("doc_id"))[:50]:
+        g = g.sort_values("chunk_id")
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        assert (g["chunk_start"] == g["chunk_id"] * 48).all()
+        # every chunk but the last is full-width; windows overlap by 16
+        assert (g["n_tokens"].iloc[:-1] == 64).all() or len(g) == 1
+        last = g.iloc[-1]
+        total = last["chunk_start"] + last["n_tokens"]
+        if len(g) > 1:
+            # the previous chunk did NOT already reach the end
+            prev = g.iloc[-2]
+            assert prev["chunk_start"] + prev["n_tokens"] < total
+
+
+def test_decontaminate_excludes_benchmark_and_flags_dups(
+    entrymod, sf_dir, ray_session
+):
+    """The benchmark side (doc_id % 97 == 0) never appears in the
+    output; planted exact-duplicate docs of benchmark docs are flagged
+    contaminated with frac 1.0; contaminated == (n_shared > 0)."""
+    df = entrymod.queries()["decontaminate"](sf_dir)
+    assert (df["doc_id"] % 97 != 0).all()
+    assert ((df["n_shared"] > 0) == df["contaminated"]).all()
+    assert (df["n_shared"] <= df["n_grams"]).all()
+    flagged = df[df["contaminated"]]
+    assert len(flagged) > 0, "gate would be vacuous: no contaminated docs"
+    assert (flagged["contam_frac"] > 0).all()
 
 
 def test_heavy_hitters_thin_spread_host_nominated(ray_session):

@@ -197,6 +197,35 @@ def repetition_features(texts: list) -> pa.Table:
     )
 
 
+def ngram_hash_sets(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document DISTINCT n-gram hash sets from the shared token-hash
+    pass (same rolling polynomial as ``repetition_features``, so one
+    hash family covers repetition AND contamination checks). Returns
+    (flat uint64 hash array, int64 offsets) with doc d's sorted unique
+    hashes at ``flat[offs[d]:offs[d+1]]``; a doc with fewer than n
+    tokens owns an empty slice. Hash-based: a 2^-64 collision folds two
+    n-grams together (the same accepted trade as the SQL oracles
+    document)."""
+    h, offs = _flat_token_hashes(texts)
+    chunks, out_offs = [], np.zeros(len(texts) + 1, dtype=np.int64)
+    for d in range(len(texts)):
+        hd = h[offs[d] : offs[d + 1]]
+        m = len(hd) - n + 1
+        if m < 1:
+            out_offs[d + 1] = out_offs[d]
+            continue
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _SHINGLE_B + hd[j : j + m]
+        u = np.unique(acc)
+        chunks.append(u)
+        out_offs[d + 1] = out_offs[d] + len(u)
+    flat = (
+        np.concatenate(chunks) if chunks else np.array([], dtype=np.uint64)
+    )
+    return flat, out_offs
+
+
 # --- PII scrubbing -----------------------------------------------------------
 
 # Order is load-bearing: each pattern is counted+replaced on the text

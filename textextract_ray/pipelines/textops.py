@@ -98,11 +98,15 @@ def fingerprints(sf_dir: str):
 def quality_scores(sf_dir: str):
     """Gopher/C4-style quality features + composite score per doc,
     plus the Gopher within-document repetition signals (dup-n-gram
-    fractions, top-bigram share) from the same batch — one corpus
-    pass covers the whole per-doc quality family."""
+    fractions, top-bigram share) and the heuristic language-ID
+    prediction, all from the same batch — one corpus pass covers the
+    whole per-doc quality family. (``pred_lang`` consolidated from the
+    former separate ``language_id`` query: the driver gate reports at
+    most 50 queries; the standalone pipeline remains as
+    ``language_id`` for direct use.)"""
     from ..functions.text import repetition_features
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def feats(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -121,7 +125,14 @@ def quality_scores(sf_dir: str):
                     if pa.types.is_floating(col.type)
                     else col
                 )
-        return pa.table({"doc_id": batch["doc_id"], **cols})
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": lang_id(batch["text"]),
+                **cols,
+            }
+        )
 
     out = ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -185,6 +196,148 @@ def pii_scrub(sf_dir: str):
 
     out = ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def decontaminate(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
+    """Test-set decontamination (Brown et al. 2020 arXiv:2005.14165
+    appendix C; Lee et al. 2021 arXiv:2107.06499 — public papers): flag
+    training documents sharing word n-grams with a held-out benchmark
+    set. Here the benchmark side is carved deterministically from the
+    corpus itself (doc_id % bench_mod == 0 — an eval-set stand-in, no
+    external data); per remaining doc we report its distinct-n-gram
+    count, how many of those n-grams appear anywhere in the benchmark
+    set, the contamination fraction, and a contaminated flag.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    thousands of docs, not billions) — its distinct n-gram hashes are
+    unioned on the driver (O(|benchmark grams|), the broadcast-side
+    budget every decontamination pipeline carries) and shipped once via
+    ``ray.put``; the corpus pass is then embarrassingly parallel — one
+    sorted-array membership probe per batch, no shuffle at all. The
+    oracle is exact SQL over chr(31)-joined token STRINGS where the Ray
+    side probes 64-bit gram HASHES — equal up to 2^-64 collisions (the
+    same documented trade as quality_scores' repetition columns)."""
+    import ray
+
+    from ..functions.text import ngram_hash_sets
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        sel = ids % bench_mod == 0
+        if not sel.any():
+            return pa.table({"gram": pa.array([], pa.uint64())})
+        texts = batch.filter(pa.array(sel))["text"].to_pylist()
+        flat, _ = ngram_hash_sets(texts, n)
+        return pa.table({"gram": pa.array(np.unique(flat), pa.uint64())})
+
+    bench: list = []
+    bds = ds.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+    for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        bench.append(b["gram"].to_numpy(zero_copy_only=False))
+    bench_sorted = (
+        np.unique(np.concatenate(bench))
+        if bench
+        else np.array([], dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench_sorted)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        keep = ids % bench_mod != 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "contam_frac": pa.array([], pa.float64()),
+                    "contaminated": pa.array([], pa.bool_()),
+                }
+            )
+        sub = batch.filter(pa.array(keep))
+        texts = sub["text"].to_pylist()
+        flat, offs = ngram_hash_sets(texts, n)
+        bg = ray.get(bench_ref)
+        # sorted-array membership: one searchsorted over the whole
+        # batch's grams, then per-doc segment sums
+        pos = np.searchsorted(bg, flat)
+        hit = (pos < len(bg)) & (bg[np.minimum(pos, len(bg) - 1)] == flat) if len(bg) else np.zeros(len(flat), dtype=bool)
+        n_grams = np.diff(offs)
+        shared = np.add.reduceat(hit, offs[:-1], dtype=np.int64) if len(flat) else np.zeros(len(texts), dtype=np.int64)
+        shared = np.where(n_grams > 0, shared, 0)
+        frac = np.where(n_grams > 0, shared / np.maximum(n_grams, 1), 0.0)
+        # round(4) half-away-from-zero to match DuckDB (np.round is
+        # banker's); frac is nonnegative so floor(x*1e4 + 0.5) does it
+        frac4 = np.floor(frac * 10000.0 + 0.5) / 10000.0
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_shared": pa.array(shared, pa.int64()),
+                "contam_frac": pa.array(frac4, pa.float64()),
+                "contaminated": pa.array(shared > 0, pa.bool_()),
+            }
+        )
+
+    out = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_windows(sf_dir: str, *, window: int = 64, stride: int = 48):
+    """Fixed-token-window chunking with overlap — the context-window
+    preparation step of an LLM training pipeline (split each document
+    into ``window``-token chunks every ``stride`` tokens, so
+    consecutive chunks overlap by ``window - stride``). A pure 1→N
+    flat-map: embarrassingly parallel, no shuffle, deterministic chunk
+    ids, exactly SQL-expressible (list_slice + array_to_string), so
+    the gate checks every chunk's text, not just counts.
+
+    Chunk k covers tokens [k*stride, k*stride+window); the last chunk
+    is the first one whose end reaches the doc's token count (shorter
+    than ``window`` only when the doc itself is). Token = \\S+ run
+    (the engine-wide tokenizer); chunk_text rejoins with single
+    spaces. Empty docs yield no chunks."""
+    import math
+    import re
+
+    tok_re = re.compile(r"\S+")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_id, out_k, out_start, out_n, out_text = [], [], [], [], []
+        ids = batch["doc_id"].to_pylist()
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            toks = tok_re.findall(text or "")
+            L = len(toks)
+            if L == 0:
+                continue
+            n_chunks = 1 if L <= window else 1 + math.ceil((L - window) / stride)
+            for k in range(n_chunks):
+                s = k * stride
+                seg = toks[s : s + window]
+                out_id.append(doc_id)
+                out_k.append(k)
+                out_start.append(s)
+                out_n.append(len(seg))
+                out_text.append(" ".join(seg))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_k, pa.int64()),
+                "chunk_start": pa.array(out_start, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
 
 
 def _pairs_df(pairs_ds) -> pd.DataFrame:
@@ -545,8 +698,15 @@ def heavy_hitters_over(pages, *, k: int = 10, support_frac: float = 0.001):
                 merged, np.frombuffer(blob, dtype=np.int64).reshape(merged.shape)
             )
             total += n
+    _empty = pd.DataFrame(
+        {
+            "host": pd.Series(dtype="object"),
+            "est_count": pd.Series(dtype="int64"),
+            "n_pages": pd.Series(dtype="int64"),
+        }
+    )
     if total == 0:
-        return pd.DataFrame({"host": [], "est_count": []})
+        return _empty
 
     threshold = max(1, int(np.ceil(support_frac * total)))
     cm_ref = ray.put(merged)
@@ -564,14 +724,50 @@ def heavy_hitters_over(pages, *, k: int = 10, support_frac: float = 0.001):
     for b in noms.iter_batches(batch_size=4096, batch_format="pyarrow"):
         cands.update(b["host"].to_pylist())
     if not cands:
-        return pd.DataFrame({"host": [], "est_count": []})
+        return _empty
     cand_list = sorted(cands)
     est = cm_estimate(merged, cand_list)
     order = np.lexsort((np.asarray(cand_list, dtype=object), -est))[:k]
+    top_hosts = np.asarray(cand_list, dtype=object)[order]
+
+    # exact verification counts for the SELECTED top-k hosts only
+    # (consolidated from the former standalone host_doc_counts query —
+    # 50-query gate cap — and a better demonstration: est_count and the
+    # exact n_pages sit side by side). The k-host set is broadcast
+    # once; the pass ships k partial counters per batch, never the host
+    # universe. The hybrid oracle recomputes n_pages exactly in SQL.
+    sel_ref = ray.put(set(top_hosts.tolist()))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        sel = ray.get(sel_ref)
+        hosts = [h for h in url_host(batch["url"]).to_pylist() if h in sel]
+        if hosts:
+            uniq, counts = np.unique(
+                np.asarray(hosts, dtype=object), return_counts=True
+            )
+        else:
+            uniq = np.array([], dtype=object)
+            counts = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "host": pa.array(uniq.tolist(), pa.string()),
+                "c": pa.array(counts.astype("int64"), pa.int64()),
+            }
+        )
+
+    exact: dict = {}
+    ex = pages.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in ex.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for hh, c in zip(b["host"].to_pylist(), b["c"].to_pylist()):
+            exact[hh] = exact.get(hh, 0) + c
+
     return pd.DataFrame(
         {
-            "host": np.asarray(cand_list, dtype=object)[order],
+            "host": top_hosts,
             "est_count": est[order].astype("int64"),
+            "n_pages": pd.Series(
+                [exact.get(hh, 0) for hh in top_hosts], dtype="int64"
+            ),
         }
     ).reset_index(drop=True)
 

@@ -49,6 +49,7 @@ def main() -> int:
     # hybrid oracles join these fixtures back in).
     sources = {name: (name, None) for name in entrymod._GOLDEN_QUERIES}
     sources["rolling_fingerprints"] = ("fingerprints", ["doc_id", "rolling_fp"])
+    sources["host_heavy_hitters"] = ("host_heavy_hitters", ["host", "est_count"])
     sources["approx_quantiles"] = (
         "approx_quantiles",
         ["event_type", "q25", "q50", "q75", "q95"],
