@@ -75,6 +75,36 @@ _KIND_FIXED["li"] = "li"
 _KIND_FIXED["td"] = _KIND_FIXED["th"] = "cell"
 _KIND_FIXED.update({t: "text" for t in _BLOCK_TAGS if t not in _KIND_FIXED})
 
+# one dict probe per tag in the hot loop: tag -> (is_block, fixed_kind,
+# is_skip_content, is_void, special) where special is one of
+# None / "a" / "pre" / "chrome" / "br". Unknown tags fall back to
+# _GENERIC_INFO (inline, inherits kind). Common inline tags are listed
+# explicitly so real-world pages stay on the single-probe fast path.
+_INLINE_TAGS = frozenset(
+    """a span b i em strong u s small sup sub code abbr cite q mark time var
+    kbd samp ins del strike font tt big dfn bdo ruby rt rp data output""".split()
+)
+_GENERIC_INFO = (False, None, False, False, None)
+_TAG_INFO = {}
+for _t in _BLOCK_TAGS | _SKIP_CONTENT_TAGS | _VOID_TAGS | _INLINE_TAGS | _CHROME_TAGS:
+    _spec = None
+    if _t == "a":
+        _spec = "a"
+    elif _t == "pre":
+        _spec = "pre"
+    elif _t == "br":
+        _spec = "br"
+    elif _t in _CHROME_TAGS:
+        _spec = "chrome"
+    _TAG_INFO[_t] = (
+        _t in _BLOCK_TAGS,
+        _KIND_FIXED.get(_t),
+        _t in _SKIP_CONTENT_TAGS,
+        _t in _VOID_TAGS,
+        _spec,
+    )
+del _t, _spec
+
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"          # comments (unclosed -> to EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
@@ -163,8 +193,9 @@ def _canonicalize(parts: list, pre: bool) -> str:
         t = t.replace("\r\n", "\n").replace("\r", "\n")
         return t.strip("\n")
     t = _SPACE_RUN_RE.sub(" ", t)
-    t = _NL_TRIM_RE.sub("\n", t)
-    t = _NL_RUN_RE.sub("\n", t)
+    if "\n" in t:  # the two newline passes are identities without one
+        t = _NL_TRIM_RE.sub("\n", t)
+        t = _NL_RUN_RE.sub("\n", t)
     return t.strip()
 
 
@@ -205,21 +236,19 @@ def _parse_blocks(doc: str) -> list:
     def block_kind() -> str:
         return kind_stack[-1] if kind_stack else "text"
 
-    kind_fixed = _KIND_FIXED
-
-    def add_text(text: str):
+    def add_text(text: str, _unescape=_htmllib.unescape, _ws_sub=_WS_RUN_RE.sub):
         nonlocal cur
         if pre_depth > 0:
             if cur is None:
                 cur = _Block(block_kind(), True, chrome_depth > 0)
-            cur.parts.append(_htmllib.unescape(text))
+            cur.parts.append(_unescape(text))
         elif text.isspace():
             # word-separating whitespace across inline tags: keep a
             # single space only if a block is already open
             if cur is not None:
                 cur.parts.append(" ")
         else:
-            unescaped = _WS_RUN_RE.sub(" ", _htmllib.unescape(text))
+            unescaped = _ws_sub(" ", _unescape(text))
             if unescaped:
                 if cur is None:
                     cur = _Block(block_kind(), False, chrome_depth > 0)
@@ -234,7 +263,8 @@ def _parse_blocks(doc: str) -> list:
     # matches behind `pos` are discarded.
     pos = 0
     n = len(doc)
-    block_tags = _BLOCK_TAGS
+    tag_info = _TAG_INFO
+    generic = _GENERIC_INFO
     for m in _TOKEN_RE.finditer(doc):
         start = m.start()
         if start < pos:
@@ -250,41 +280,48 @@ def _parse_blocks(doc: str) -> list:
                     cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
                 cur.parts.append("<")
             continue
+        info = tag_info.get(tag)
+        if info is None:
+            # keys are lowercase, so a hit proves `tag` needs no .lower()
+            tag = tag.lower()
+            info = tag_info.get(tag, generic)
+        is_block, fixed_kind, is_skip, is_void, spec = info
+        if spec == "br":  # <br> AND </br> both emit a newline
+            if cur is None:
+                cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
+            cur.parts.append("\n")
+            continue
         closing = g1 == "/"
-        tag = tag.lower()
-        self_closing = g4 == "/" or tag in _VOID_TAGS
+        self_closing = g4 == "/" or is_void
 
-        if not closing and tag in _SKIP_CONTENT_TAGS and not self_closing:
+        if is_skip and not closing and not self_closing:
             # consume to the matching close tag (or EOF) verbatim
             mm = _CLOSE_RES[tag].search(doc, pos)
             pos = mm.end() if mm else n
             continue
 
-        if tag == "br":
-            if cur is None:
-                cur = _Block(block_kind(), pre_depth > 0, chrome_depth > 0)
-            cur.parts.append("\n")
-            continue
         if self_closing:
-            if tag in block_tags:
+            if is_block:
                 flush()
             continue
         if not closing:
-            if tag in block_tags:
+            if is_block:
                 flush()
             stack.append(tag)
-            k = kind_fixed.get(tag)
             kind_stack.append(
-                k if k is not None else (kind_stack[-1] if kind_stack else "text")
+                fixed_kind
+                if fixed_kind is not None
+                else (kind_stack[-1] if kind_stack else "text")
             )
-            if tag == "a":
-                link_depth += 1
-            elif tag == "pre":
-                pre_depth += 1
-            elif tag in _CHROME_TAGS:
-                chrome_depth += 1
+            if spec is not None:
+                if spec == "a":
+                    link_depth += 1
+                elif spec == "pre":
+                    pre_depth += 1
+                else:  # chrome
+                    chrome_depth += 1
         else:
-            if tag in block_tags:
+            if is_block:
                 flush()
             # pop to the nearest matching open tag; ignore unmatched closes
             if tag in stack:
