@@ -50,7 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "credit_admission": rel.credit_admission,
         "device_admission": rel.device_admission,
         "device_info": rel.device_info,
-        "recent_events": rel.recent_events,
+        # global latest-N + per-user latest-k in one scan (consolidated
+        # from the former separate recent_events / recent_events_per_user
+        # slots — 50-query gate cap)
+        "recent_events": rel.recent_events_combined,
         "latest_order_per_customer": rel.latest_release_per_user,
         "filter_regex_count": rel.filter_regex_count,
         "dedup_exact": rel.dedup_exact_documents,
@@ -63,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts": rel.session_counts,
         "props_extract": rel.props_extract,
         "running_user_totals": rel.running_user_totals,
-        "recent_events_per_user": rel.recent_events_per_user,
         "parts_by_brand": rel.parts_by_brand,
         "supplier_by_nation": rel.supplier_by_nation,
         # text analysis / training-data ops
@@ -76,6 +78,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": tx.quality_scores,
         "chunk_windows": tx.chunk_windows,
         "pii_scrub": tx.pii_scrub,
+        # CCNet-style LM-perplexity bucketing; vocab_size=24 (of the
+        # synthetic corpus's 31 distinct tokens) so the OOV floor path
+        # is genuinely exercised, not vacuous
+        "perplexity_buckets": lambda sf_dir: tx.perplexity_buckets(
+            sf_dir, vocab_size=24
+        ),
         # dedup ladder (sketch-based: deterministic, pytest-checked)
         "minhash_near_dups": tx.minhash_near_dups,
         "simhash_near_dups": tx.simhash_near_dups,
@@ -199,9 +207,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN uplan u ON u.user_id = e.user_id
             GROUP BY e.user_id, u.max_requests ORDER BY e.user_id
         """,
+        # consolidated: global latest-100 ('global') + per-user latest-3
+        # ('user') from one events scan
         "recent_events": """
-            SELECT event_id, ts, user_id, event_type
-            FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+            WITH g AS (
+                SELECT 'global' AS scope, user_id, event_id, ts, event_type
+                FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+            ), u AS (
+                SELECT 'user' AS scope, user_id, event_id, ts, event_type FROM (
+                    SELECT user_id, event_id, ts, event_type,
+                           row_number() OVER (
+                               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                           ) AS rn
+                    FROM events
+                ) WHERE rn <= 3
+            )
+            SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM u)
+            ORDER BY scope, user_id, ts DESC, event_id DESC
         """,
         "credit_admission": f"""
             WITH plan AS (SELECT * FROM {_plan_values()}),
@@ -357,15 +379,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rn = 1 ORDER BY user_id
         """,
-        "recent_events_per_user": """
-            SELECT user_id, ts, event_id FROM (
-                SELECT user_id, ts, event_id,
-                       row_number() OVER (
-                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-                       ) AS rn
-                FROM events
-            ) WHERE rn <= 3 ORDER BY user_id, ts DESC, event_id DESC
-        """,
         # hybrid oracle: sketch quantile columns from the golden
         # fixture, the exact median column (consolidated from the
         # former value_median query) recomputed in SQL
@@ -419,6 +432,41 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text) + 8 AS n_bytes,
                    'ok' AS status
             FROM documents ORDER BY media_id
+        """,
+        # CCNet unigram-LM perplexity, exact SQL: same tokenizer
+        # (lowercase [a-z]+ runs, RE2 both sides), same top-24 vocab
+        # (count desc, token asc), same count-1 OOV floor; per-doc
+        # float sums differ only in association order (≤1e-12 rel),
+        # absorbed by the symmetric round(4); bucket thresholds carry
+        # a 5e-5 offset so rounded values can never tie them
+        "perplexity_buckets": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents
+            ),
+            cnt AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+            tot AS (SELECT sum(n)::DOUBLE AS total FROM cnt),
+            vocab AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 24),
+            scored AS (
+                SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(CASE WHEN v.n IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                       sum(ln(coalesce(v.n, 1) / tot.total)) AS lp
+                FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+                GROUP BY t.doc_id
+            ),
+            final AS (
+                SELECT d.doc_id,
+                       coalesce(s.n_tokens, 0) AS n_tokens,
+                       coalesce(s.n_oov, 0) AS n_oov,
+                       round(CASE WHEN s.n_tokens IS NULL THEN 1.0
+                                  ELSE exp(-s.lp / s.n_tokens) END, 4) AS perplexity
+                FROM documents d LEFT JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, n_oov, perplexity,
+                   CASE WHEN perplexity < 90.00005 THEN 'head'
+                        WHEN perplexity < 130.00005 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM final ORDER BY doc_id
         """,
         "token_stats": """
             -- \S+ runs == the pipeline's token_count (string_split on

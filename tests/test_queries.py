@@ -333,3 +333,36 @@ def test_distinct_langs_unique(sf_dir, ray_session, con):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_perplexity_buckets_semantics(tmp_path, ray_session):
+    """Unigram-LM perplexity: a gibberish doc (all OOV under a small
+    vocab) scores strictly higher than common-word docs; n_oov matches
+    a pure-python recount; two runs are identical (vocab selection and
+    scoring are layout-deterministic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.textops import perplexity_buckets
+
+    common = "the cat sat on the mat and the dog ran to the cat"
+    texts = [common, common + " and the mat sat", "zyx qwv jkp bdg zyx qwv"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    a = perplexity_buckets(str(tmp_path), vocab_size=8)
+    b = perplexity_buckets(str(tmp_path), vocab_size=8)
+    assert a.equals(b)  # run-deterministic
+    ppl = dict(zip(a["doc_id"], a["perplexity"]))
+    assert ppl[3] > ppl[1] and ppl[3] > ppl[2]
+
+    # pure-python OOV recount under the same top-8 (count desc, token asc) vocab
+    import re
+    from collections import Counter
+
+    toks = [re.findall(r"[a-z]+", t.lower()) for t in texts]
+    cnt = Counter(t for doc in toks for t in doc)
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]}
+    want_oov = [sum(t not in vocab for t in doc) for doc in toks]
+    assert a.sort_values("doc_id")["n_oov"].tolist() == want_oov

@@ -716,6 +716,56 @@ def recent_events(sf_dir: str, *, limit: int = 100):
     return out.reset_index(drop=True)
 
 
+def recent_events_combined(sf_dir: str, *, limit: int = 100, k: int = 3):
+    """Global latest-N and per-user latest-k from ONE scan of events
+    (consolidates the former separate ``recent_events`` and
+    ``recent_events_per_user`` gate slots — the driver reports at most
+    50 queries; both standalone pipelines remain for direct use).
+
+    One candidate pass emits each batch's global top-``limit`` rows
+    tagged ``scope='global'`` and its per-user head(``k``) rows tagged
+    ``scope='user'``; the candidate set (O(blocks·limit + users·k), far
+    smaller than events) is materialized once and consumed by both
+    finals — a driver merge for the global side, the hash-bucketed
+    per-key final for the user side — so events itself streams through
+    exactly once."""
+    limit = max(1, min(100, limit))
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["ts", "event_id"], ascending=False)
+        glob = df.head(limit).assign(scope="global")
+        peru = df.groupby("user_id", as_index=False).head(k).assign(scope="user")
+        return pa.Table.from_pandas(
+            pd.concat([glob, peru], ignore_index=True), preserve_index=False
+        )
+
+    cand = ds.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    gdf = (
+        cand.filter(expr="scope == 'global'")
+        .to_pandas()
+        .sort_values(["ts", "event_id"], ascending=False)
+        .head(limit)
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["ts", "event_id"], ascending=False)
+            .groupby("user_id", as_index=False)
+            .head(k)
+        )
+
+    udf = _bucketed_apply(cand.filter(expr="scope == 'user'"), "user_id", final).to_pandas()
+    out = pd.concat([gdf, udf], ignore_index=True)
+    out = out[["scope", "user_id", "event_id", "ts", "event_type"]]
+    return out.sort_values(
+        ["scope", "user_id", "ts", "event_id"], ascending=[True, True, False, False]
+    ).reset_index(drop=True)
+
+
 # --- O3/O4: latest-stable-version selection ----------------------------------
 
 def latest_release_per_user(sf_dir: str):

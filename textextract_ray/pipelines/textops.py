@@ -932,3 +932,126 @@ def ngram_jaccard(sf_dir: str, *, threshold: float = 0.5):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+
+
+def perplexity_buckets(
+    sf_dir: str,
+    *,
+    vocab_size: int = 4096,
+    head: float = 90.00005,
+    tail: float = 130.00005,
+):
+    """CCNet-style LM-perplexity quality bucketing (Wenzek et al.,
+    LREC 2020 "CCNet"): train a unigram LM on the corpus itself, score
+    every document's perplexity under it, and bucket into
+    head/middle/tail by fixed thresholds (CCNet's thresholds are
+    likewise precomputed constants, not per-run quantiles, so reruns
+    and partitioning never move a document between buckets).
+
+    Two passes, both streaming:
+
+    1. **Vocab training** — per batch: vectorized Arrow lowercase →
+       ``split_pattern_regex`` → ``value_counts`` partial token counts
+       (shuffle ships (token, n) partials, never text), one groupby
+       sum, then exact global top-``vocab_size`` by per-block local
+       top-V nomination + an O(blocks·V) driver merge (exact because
+       post-groupby counts are globally unique per token; same
+       pattern as ``recent_events``). At 100 TB the distinct-token
+       table is bounded by vocabulary (~10^8 rows), orders of
+       magnitude below the corpus.
+    2. **Scoring** — the V-row vocab (tokens + log-probs) is broadcast
+       once via ``ray.put``; each batch does a vectorized
+       ``pc.index_in`` lookup and ``np.bincount`` per-doc reduction.
+       OOV tokens take the count-1 floor ``ln(1/total)``.
+
+    Thresholds carry a 5e-5 offset so a 4-dp-rounded perplexity can
+    never tie a threshold (bucket assignment is exact under the
+    symmetric round(4) used for the DuckDB oracle parity)."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _token_lists(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(col, ""))
+        return pc.split_pattern_regex(low, pattern="[^a-z]+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_token_lists(batch["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"tok": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = counts.sum("n") or 0
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_oov": pd.Series(dtype="int64"),
+            "perplexity": pd.Series(dtype="float64"),
+            "ppl_bucket": pd.Series(dtype="object"),
+        }
+    )
+    if total == 0:
+        return empty
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "tok"], ascending=[False, True]
+        ).head(vocab_size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    vocab = cand.sort_values(["n", "tok"], ascending=[False, True]).head(vocab_size)
+    vocab_toks = pa.array(vocab["tok"].tolist(), pa.string())
+    logp = np.log(vocab["n"].to_numpy(np.float64) / float(total))
+    oov_lp = float(np.log(1.0 / float(total)))
+    vref = ray.put((vocab_toks, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        va, lp_vals = ray.get(vref)
+        lists = _token_lists(batch["text"])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        idx = (
+            pc.fill_null(pc.index_in(flat, value_set=va), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_rows = batch.num_rows
+        tok_lp = np.where(idx >= 0, lp_vals[np.clip(idx, 0, None)], oov_lp)
+        lp_sum = np.bincount(parent, weights=tok_lp, minlength=n_rows)
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        n_oov = np.bincount(
+            parent, weights=(idx < 0).astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        ppl = np.where(n_tok > 0, np.exp(-lp_sum / np.maximum(n_tok, 1)), 1.0)
+        ppl_r = pc.round(
+            pa.array(ppl, pa.float64()), ndigits=4, round_mode="half_towards_infinity"
+        ).to_numpy(zero_copy_only=False)
+        bucket = np.where(ppl_r < head, "head", np.where(ppl_r < tail, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "perplexity": pa.array(ppl_r, pa.float64()),
+                "ppl_bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
