@@ -105,12 +105,21 @@ for _t in _BLOCK_TAGS | _SKIP_CONTENT_TAGS | _VOID_TAGS | _INLINE_TAGS | _CHROME
     )
 del _t, _spec
 
+# Alternation order is a hot-path choice: the two tag alternatives
+# come first because ~99% of '<' positions are tags; the compound
+# link-farm boundary '</a></li><li><a ...>' (the single most common
+# 4-tag run in list-heavy pages) matches as ONE token whose handler
+# replicates the four generic transitions exactly. The non-tag
+# alternatives are mutually exclusive with the tag ones ('!' / '?'
+# can't start a tag name), so the reorder cannot change what matches.
 _TOKEN_RE = re.compile(
-    r"<!--.*?(?:-->|$)"          # comments (unclosed -> to EOF)
+    r"</a></li><li><a(?![a-zA-Z0-9:-])"  # compound boundary…
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"  # …attrs + self-close
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"
+    r"|<!--.*?(?:-->|$)"         # comments (unclosed -> to EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                 # doctype
     r"|<\?[^>]*>"                # processing instruction
-    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"
     r"|<",                       # stray '<' treated as text
     re.DOTALL,
 )
@@ -221,6 +230,7 @@ def _parse_blocks(doc: str) -> list:
     blocks: list = []
     stack: list = []       # open tag names
     kind_stack: list = []  # incremental block-kind (nearest special tag wins)
+    open_counts: dict = {}  # tag -> open count (O(1) `tag in stack` probe)
     skip_depth = 0    # inside script/style/template/noscript/svg/head
     link_depth = 0
     pre_depth = 0
@@ -240,7 +250,9 @@ def _parse_blocks(doc: str) -> list:
         nonlocal cur
         if pre_depth > 0:
             if cur is None:
-                cur = _Block(block_kind(), True, chrome_depth > 0)
+                cur = _Block(
+                    kind_stack[-1] if kind_stack else "text", True, chrome_depth > 0
+                )
             cur.parts.append(_unescape(text))
         elif text.isspace():
             # word-separating whitespace across inline tags: keep a
@@ -251,7 +263,9 @@ def _parse_blocks(doc: str) -> list:
             unescaped = _ws_sub(" ", _unescape(text))
             if unescaped:
                 if cur is None:
-                    cur = _Block(block_kind(), False, chrome_depth > 0)
+                    cur = _Block(
+                        kind_stack[-1] if kind_stack else "text", False, chrome_depth > 0
+                    )
                 cur.parts.append(unescaped)
                 if link_depth > 0:
                     cur.link_chars += len(unescaped.strip())
@@ -266,13 +280,54 @@ def _parse_blocks(doc: str) -> list:
     tag_info = _TAG_INFO
     generic = _GENERIC_INFO
     for m in _TOKEN_RE.finditer(doc):
-        start = m.start()
+        start, end = m.span()
         if start < pos:
             continue  # inside a consumed script/style/template body
         if start > pos:
             add_text(doc[pos:start])
-        pos = m.end()
-        g1, tag, g4 = m.group(1, 2, 4)
+        pos = end
+        g1, tag, g4, comp = m.group(3, 4, 6, 2)
+        if comp is not None:
+            # compound '</a></li><li><a ...>' boundary: one token, but
+            # state transitions byte-identical to the four generic
+            # iterations it replaces (close a, close li, open li,
+            # open a) — no text can occur inside the matched span
+            if open_counts.get("a", 0) > 0:
+                while stack:
+                    t = stack.pop()
+                    open_counts[t] -= 1
+                    kind_stack.pop()
+                    if t == "a":
+                        link_depth = max(0, link_depth - 1)
+                    elif t == "pre":
+                        pre_depth = max(0, pre_depth - 1)
+                    elif t in _CHROME_TAGS:
+                        chrome_depth = max(0, chrome_depth - 1)
+                    if t == "a":
+                        break
+            flush()
+            if open_counts.get("li", 0) > 0:
+                while stack:
+                    t = stack.pop()
+                    open_counts[t] -= 1
+                    kind_stack.pop()
+                    if t == "a":
+                        link_depth = max(0, link_depth - 1)
+                    elif t == "pre":
+                        pre_depth = max(0, pre_depth - 1)
+                    elif t in _CHROME_TAGS:
+                        chrome_depth = max(0, chrome_depth - 1)
+                    if t == "li":
+                        break
+            stack.append("li")
+            open_counts["li"] = open_counts.get("li", 0) + 1
+            kind_stack.append("li")
+            if comp != "/":  # <a .../> self-close opens nothing
+                stack.append("a")
+                open_counts["a"] = open_counts.get("a", 0) + 1
+                kind_stack.append(kind_stack[-1])
+                link_depth += 1
+            continue
         if tag is None:
             # comment / doctype / PI / stray '<'
             if pos - start == 1:
@@ -308,6 +363,7 @@ def _parse_blocks(doc: str) -> list:
             if is_block:
                 flush()
             stack.append(tag)
+            open_counts[tag] = open_counts.get(tag, 0) + 1
             kind_stack.append(
                 fixed_kind
                 if fixed_kind is not None
@@ -324,9 +380,10 @@ def _parse_blocks(doc: str) -> list:
             if is_block:
                 flush()
             # pop to the nearest matching open tag; ignore unmatched closes
-            if tag in stack:
+            if open_counts.get(tag, 0) > 0:
                 while stack:
                     t = stack.pop()
+                    open_counts[t] -= 1
                     kind_stack.pop()
                     if t == "a":
                         link_depth = max(0, link_depth - 1)
