@@ -135,6 +135,13 @@ _CLOSE_RES = {
 }
 _WS_RUN_RE = re.compile(r"\s+")
 _SPACE_RUN_RE = re.compile(r"[ \t\f\v\xa0]+")
+# identity detectors: when every whitespace run is already a single
+# ' ', the \s+ -> ' ' (resp. space-class) sub is a no-op; one C-side
+# search is cheaper than sub's scan+rebuild on the (very common) clean
+# text runs. \s and the space class are each other's complements here,
+# so `no match` proves the corresponding sub returns its input.
+_WS_NONIDENTITY_RE = re.compile(r"[^\S ]| {2,}")
+_SPACE_NONIDENTITY_RE = re.compile(r"[\t\f\v\xa0]| {2,}")
 _NL_TRIM_RE = re.compile(r" *\n *")
 _NL_RUN_RE = re.compile(r"\n{2,}")
 
@@ -201,7 +208,8 @@ def _canonicalize(parts: list, pre: bool) -> str:
     if pre:
         t = t.replace("\r\n", "\n").replace("\r", "\n")
         return t.strip("\n")
-    t = _SPACE_RUN_RE.sub(" ", t)
+    if _SPACE_NONIDENTITY_RE.search(t) is not None:
+        t = _SPACE_RUN_RE.sub(" ", t)
     if "\n" in t:  # the two newline passes are identities without one
         t = _NL_TRIM_RE.sub("\n", t)
         t = _NL_RUN_RE.sub("\n", t)
@@ -260,7 +268,9 @@ def _parse_blocks(doc: str) -> list:
             if cur is not None:
                 cur.parts.append(" ")
         else:
-            unescaped = _ws_sub(" ", _unescape(text))
+            unescaped = _unescape(text)
+            if _WS_NONIDENTITY_RE.search(unescaped) is not None:
+                unescaped = _ws_sub(" ", unescaped)
             if unescaped:
                 if cur is None:
                     cur = _Block(
