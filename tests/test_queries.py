@@ -366,3 +366,23 @@ def test_perplexity_buckets_semantics(tmp_path, ray_session):
     vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]}
     want_oov = [sum(t not in vocab for t in doc) for doc in toks]
     assert a.sort_values("doc_id")["n_oov"].tolist() == want_oov
+
+
+def test_training_order_is_seeded_permutation(sf_dir, ray_session):
+    """Global shuffle for training order: a permutation of doc_ids,
+    identical across runs, different (and decorrelated) across seeds."""
+    import numpy as np
+
+    from textextract_ray.pipelines.textops import training_order
+
+    a = training_order(sf_dir, seed=1)
+    b = training_order(sf_dir, seed=1)
+    c = training_order(sf_dir, seed=2)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # run-deterministic
+    assert sorted(a["doc_id"]) == sorted(c["doc_id"])  # same corpus
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()  # seed moves the order
+    # not the identity order, and rank correlation with doc_id ~ 0
+    ranks = np.argsort(np.argsort(a["doc_id"].to_numpy()))
+    n = len(ranks)
+    corr = np.corrcoef(np.arange(n), ranks)[0, 1]
+    assert abs(corr) < 0.2

@@ -1055,3 +1055,38 @@ def perplexity_buckets(
 
     out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def training_order(sf_dir: str, *, seed: int = 0):
+    """Deterministic global shuffle for training order: every doc gets
+    ``shuffle_key = hash64(doc_id, seed)`` (the repo-owned hash family,
+    ``functions.scalar.hash_utf8``) and the corpus is range-partitioned
+    and sorted by it — the standard pre-training epoch-order shuffle,
+    reproducible from the seed alone (retries, repartitioning, and
+    layout changes cannot move a document).
+
+    Scale note: ``Dataset.sort`` is the one deliberate all-to-all here
+    (SCALE.md shuffle inventory); only (doc_id, key) pairs ride it —
+    the trained consumer joins text back by doc_id, or at 100 TB the
+    key column is attached at write time so epochs are a sorted read,
+    not a shuffle per epoch. A different epoch = a different seed."""
+    from ..functions.scalar import hash_utf8
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        k = hash_utf8(batch["doc_id"].cast(pa.string()), seed=seed)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                # int64 view of the uint64 key: Ray sort + pandas both
+                # handle it natively and the order is irrelevant to
+                # shuffle quality (any fixed bijection works)
+                "shuffle_key": pa.array(k.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "shuffle_key"
+    )
+    return out.to_pandas().reset_index(drop=True)
