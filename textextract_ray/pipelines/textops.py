@@ -1086,7 +1086,9 @@ def training_order(sf_dir: str, *, seed: int = 0):
             }
         )
 
+    # doc_id breaks 64-bit hash ties (~never at real corpus sizes, but
+    # determinism should not depend on that)
     out = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True).sort(
-        "shuffle_key"
+        ["shuffle_key", "doc_id"]
     )
     return out.to_pandas().reset_index(drop=True)
