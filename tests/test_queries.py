@@ -386,3 +386,27 @@ def test_training_order_is_seeded_permutation(sf_dir, ray_session):
     n = len(ranks)
     corr = np.corrcoef(np.arange(n), ranks)[0, 1]
     assert abs(corr) < 0.2
+
+
+def test_perplexity_buckets_layout_invariant(tmp_path, sf_dir, ray_session):
+    """The vocab top-V is exact regardless of block layout (local-top
+    nomination + driver merge): the same corpus split across many tiny
+    parquet files scores identically to the single-file original."""
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.textops import perplexity_buckets
+
+    single = perplexity_buckets(sf_dir, vocab_size=24)
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    # same table as a DIRECTORY of 8 tiny shards at the path read_table
+    # resolves (<dir>/documents.parquet) — pyarrow reads both layouts
+    shard_dir = tmp_path / "sharded" / "documents.parquet"
+    shard_dir.mkdir(parents=True)
+    n = t.num_rows
+    step = max(1, n // 7)
+    for i, lo in enumerate(range(0, n, step)):
+        pq.write_table(t.slice(lo, step), str(shard_dir / f"part-{i:02d}.parquet"))
+
+    many = perplexity_buckets(str(tmp_path / "sharded"), vocab_size=24)
+    pd.testing.assert_frame_equal(single, many)
