@@ -60,8 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_region": rel.customer_nation_region,
         "period_usage": rel.period_usage,
         "events_in_range": rel.events_in_range,
-        "events_hourly_window": rel.events_hourly_window,
-        "events_sliding_window": rel.events_sliding_window,
+        # tumbling + sliding in one scan (consolidated from the former
+        # events_hourly_window / events_sliding_window slots — 50-cap)
+        "events_windows": rel.events_windows,
         "asof_latest_order": rel.asof_latest_order,
         "session_counts": rel.session_counts,
         "props_extract": rel.props_extract,
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": lambda sf_dir: tx.perplexity_buckets(
             sf_dir, vocab_size=24
         ),
+        # GPT-style concat-then-chunk sequence packing (distributed
+        # prefix sum, no global sort)
+        "pack_sequences": tx.pack_sequences,
         # dedup ladder (sketch-based: deterministic, pytest-checked)
         "minhash_near_dups": tx.minhash_near_dups,
         "simhash_near_dups": tx.simhash_near_dups,
@@ -333,19 +337,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-02-10'
             GROUP BY user_id ORDER BY user_id
         """,
-        "events_hourly_window": """
-            SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   count(*) AS n_events, round(sum(value), 4) AS total_value
-            FROM events GROUP BY event_type, window_start
-            ORDER BY event_type, window_start
-        """,
-        "events_sliding_window": """
-            SELECT event_type, window_start, count(*) AS n_events FROM (
-                SELECT event_type, date_trunc('hour', ts) AS window_start FROM events
+        "events_windows": """
+            WITH x AS (
+                SELECT 'hourly' AS scope, event_type,
+                       date_trunc('hour', ts) AS window_start, value FROM events
                 UNION ALL
-                SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
-            ) GROUP BY event_type, window_start
-            ORDER BY event_type, window_start
+                SELECT 'sliding', event_type,
+                       date_trunc('hour', ts), value FROM events
+                UNION ALL
+                SELECT 'sliding', event_type,
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+            )
+            SELECT scope, event_type, window_start,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM x GROUP BY scope, event_type, window_start
+            ORDER BY scope, event_type, window_start
+        """,
+        # concat-then-chunk packing: global_start is an exclusive prefix
+        # sum of \\S+ token counts in doc_id order; capacity 512 mirrors
+        # the Ray default. Empty docs span 0 sequences
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS global_start
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(global_start AS BIGINT) AS global_start,
+                   CAST(global_start // 512 AS BIGINT) AS seq_id,
+                   CAST(global_start % 512 AS BIGINT) AS seq_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (global_start + n_tokens - 1) // 512
+                             - global_start // 512 + 1 END AS BIGINT) AS n_seqs
+            FROM c ORDER BY doc_id
         """,
         "asof_latest_order": """
             SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate

@@ -410,3 +410,85 @@ def test_perplexity_buckets_layout_invariant(tmp_path, sf_dir, ray_session):
 
     many = perplexity_buckets(str(tmp_path / "sharded"), vocab_size=24)
     pd.testing.assert_frame_equal(single, many)
+
+
+def test_pack_sequences_matches_naive_prefix_sum(sf_dir, ray_session):
+    """Concat-then-chunk packing equals a single-process prefix sum over
+    the same \\S+ token counts in doc_id order — the distributed
+    two-pass (bucket totals → exclusive offsets → in-bucket cumsum)
+    introduces no drift, including across sequence boundaries."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.textops import pack_sequences
+
+    got = pack_sequences(sf_dir, capacity=512)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist()), key=lambda r: r[0]
+    )
+    pos = 0
+    want = []
+    for doc_id, text in docs:
+        nt = len(re.findall(r"\S+", text or ""))
+        n_seqs = 0 if nt == 0 else (pos + nt - 1) // 512 - pos // 512 + 1
+        want.append((doc_id, nt, pos, pos // 512, pos % 512, n_seqs))
+        pos += nt
+    assert list(map(tuple, got.to_numpy())) == want
+    # long docs genuinely cross boundaries in this corpus
+    assert (got["n_seqs"] > 1).any()
+
+
+def test_pack_sequences_edge_cases_and_layout(tmp_path, ray_session):
+    """Empty docs span 0 sequences but still hold a correct offset; a
+    doc longer than capacity spans several sequences; doc_id gaps are
+    fine; and the result is invariant to parquet block layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.textops import pack_sequences
+
+    texts = {
+        1: "a b c",           # 3 tokens → seq 0
+        2: "",                # empty → n_seqs 0, start 3
+        5: " ".join(["t"] * 23),  # crosses 8-token sequences 0..3
+        9: "x",
+        100: "y z",
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": [texts[k] for k in sorted(texts)],
+        }
+    )
+    single = tmp_path / "one"
+    single.mkdir()
+    pq.write_table(table, str(single / "documents.parquet"))
+    got = pack_sequences(str(single), capacity=8)
+
+    assert got["doc_id"].tolist() == [1, 2, 5, 9, 100]
+    assert got["global_start"].tolist() == [0, 3, 3, 26, 27]
+    assert got["seq_id"].tolist() == [0, 0, 0, 3, 3]
+    assert got["seq_offset"].tolist() == [0, 3, 3, 2, 3]
+    assert got["n_seqs"].tolist() == [1, 0, 4, 1, 1]
+
+    sharded = tmp_path / "many" / "documents.parquet"
+    sharded.mkdir(parents=True)
+    for i in range(table.num_rows):
+        pq.write_table(table.slice(i, 1), str(sharded / f"part-{i}.parquet"))
+    again = pack_sequences(str(tmp_path / "many"), capacity=8, num_buckets=3)
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_events_windows_scopes(sf_dir, ray_session, con):
+    """The consolidated tumbling+sliding query: each event lands in one
+    hourly window and exactly two sliding windows, and the per-scope
+    totals agree with an independent SQL recount."""
+    from textextract_ray.pipelines.relational import events_windows
+
+    got = events_windows(sf_dir)
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    by_scope = got.groupby("scope")["n_events"].sum()
+    assert int(by_scope["hourly"]) == n_events
+    assert int(by_scope["sliding"]) == 2 * n_events

@@ -946,27 +946,45 @@ def events_in_range(sf_dir: str, *, lo: str = "2024-01-10", hi: str = "2024-02-1
     return _round_floats(agg.to_pandas().sort_values("user_id").reset_index(drop=True))
 
 
-# --- streaming-shaped: tumbling window ---------------------------------------
+# --- streaming-shaped: tumbling + sliding windows -----------------------------
 
-def events_hourly_window(sf_dir: str):
-    """Tumbling 1-hour event-time window per event_type (Ray Data has
-    no watermarks — SURVEY.md §2.9: bounded replay, so a window is just
-    a truncated-timestamp group key)."""
+def events_windows(sf_dir: str):
+    """Tumbling 1-hour window AND sliding 2-hour/1-hour-step window per
+    event_type from ONE events scan (scope column 'hourly'/'sliding');
+    consolidated from the former separate events_hourly_window /
+    events_sliding_window queries — the driver gate reports at most 50.
+
+    Ray Data has no watermarks (SURVEY.md §2.9: bounded replay), so a
+    window is just a truncated-timestamp group key: the assignment is a
+    vectorized 1→3 flat-map (one hourly row; a 2-hour sliding window
+    with 1-hour step puts each event in exactly two windows) and ONE
+    grouped count+sum pays the single shuffle for both window shapes."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
+    def explode(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour").combine_chunks()
+        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
+        types = batch["event_type"].combine_chunks()
+        vals = batch["value"].combine_chunks()
+        n = batch.num_rows
         return pa.table(
-            {"event_type": batch["event_type"], "window_start": hour, "value": batch["value"]}
+            {
+                "scope": pa.array(["hourly"] * n + ["sliding"] * (2 * n), pa.string()),
+                "event_type": pa.concat_arrays([types, types, types]),
+                "window_start": pa.concat_arrays([hour, hour, prev]),
+                "value": pa.concat_arrays([vals, vals, vals]),
+            }
         )
 
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "window_start"])
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["scope", "event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     )
     return _round_floats(
-        out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+        out.to_pandas()
+        .sort_values(["scope", "event_type", "window_start"])
+        .reset_index(drop=True)
     )
 
 
@@ -1182,38 +1200,6 @@ def supplier_by_nation(sf_dir: str):
 
 
 # --- streaming-shaped: sliding window ----------------------------------------
-
-def events_sliding_window(sf_dir: str):
-    """Sliding 2-hour window, 1-hour step, per event_type: each event
-    belongs to exactly two windows, so the window assignment is a
-    vectorized 1→2 flat-map (duplicate + shift) followed by one grouped
-    count — no window state, no watermarks (§2.9 bounded replay)."""
-    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
-
-    def explode(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
-        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
-        types = batch["event_type"]
-        return pa.table(
-            {
-                "event_type": pa.concat_arrays(
-                    [types.combine_chunks(), types.combine_chunks()]
-                ),
-                "window_start": pa.concat_arrays(
-                    [hour.combine_chunks(), prev.combine_chunks()]
-                ),
-            }
-        )
-
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"))
-    )
-    return (
-        out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
-    )
-
 
 # --- as-of join (the operator Ray Data lacks) --------------------------------
 

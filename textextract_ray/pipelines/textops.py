@@ -1057,6 +1057,106 @@ def perplexity_buckets(
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def pack_sequences(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
+    """GPT-style sequence packing (concat-then-chunk): the corpus is one
+    token stream in doc_id order, cut into fixed ``capacity``-token
+    training sequences. Each doc gets its global token offset, the id of
+    the sequence its first token lands in, its offset within that
+    sequence, and how many sequences it spans (long docs cross
+    boundaries; empty docs span 0).
+
+    The global offset is a distributed exclusive prefix sum with NO
+    all-to-all sort: doc_ids are cut into ``num_buckets`` contiguous
+    ranges; pass 1 pre-aggregates per-bucket token totals inside
+    map_batches (shuffle carries O(batches × buckets) partial rows) and
+    the driver turns the ≤num_buckets totals into exclusive bucket
+    offsets; pass 2 co-locates each bucket (one map_groups per bucket,
+    cumsum vectorized inside) and adds its offset. At 100 TB the
+    (doc_id, n_tokens) projection between passes is ~1%% of corpus
+    bytes — persist it to parquet instead of recomputing the tokenize;
+    at gate scale the recompute is cheaper than the write."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences_ds(ds, capacity=capacity, num_buckets=num_buckets)
+
+
+def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
+    from ray.data.aggregate import Max, Min
+
+    empty = pd.DataFrame(
+        {
+            c: pd.Series(dtype="int64")
+            for c in (
+                "doc_id",
+                "n_tokens",
+                "global_start",
+                "seq_id",
+                "seq_offset",
+                "n_seqs",
+            )
+        }
+    )
+    bounds = ds.select_columns(["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+    if bounds.get("min(doc_id)") is None:
+        return empty
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = hi - lo + 1
+    nb = min(num_buckets, span)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": token_count(batch["text"]).cast(pa.int64()),
+                "_bucket": pa.array((ids - lo) * nb // span, pa.int32()),
+            }
+        )
+
+    # pass 1: per-batch partial totals → tiny groupby → exclusive offsets
+    def partial_totals(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("_bucket", as_index=False)["n_tokens"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    totals = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial_totals, batch_format="pyarrow")
+        .groupby("_bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values("_bucket")
+    )
+    cum = totals["bucket_tokens"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    offsets = dict(zip(totals["_bucket"].astype(int), cum))
+
+    # pass 2: within-bucket cumsum + broadcast bucket offset
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        base = offsets[int(df["_bucket"].iloc[0])]
+        nt = df["n_tokens"].to_numpy(np.int64)
+        start = base + np.cumsum(nt) - nt
+        last = start + np.maximum(nt, 1) - 1  # last token (start itself if empty)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": nt,
+                "global_start": start,
+                "seq_id": start // capacity,
+                "seq_offset": start % capacity,
+                "n_seqs": np.where(nt == 0, 0, last // capacity - start // capacity + 1),
+            }
+        )
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def training_order(sf_dir: str, *, seed: int = 0):
     """Deterministic global shuffle for training order: every doc gets
     ``shuffle_key = hash64(doc_id, seed)`` (the repo-owned hash family,
