@@ -44,8 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / metering operators (SURVEY.md §2.5-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
-        "usage_daily": rel.usage_daily,
-        "usage_monthly": rel.usage_monthly,
+        # daily + monthly counters in one scan (consolidated from the
+        # former usage_daily / usage_monthly slots — 50-cap)
+        "usage_rollup": rel.usage_rollup,
         "remaining_quota": rel.remaining_quota,
         "credit_admission": rel.credit_admission,
         "device_admission": rel.device_admission,
@@ -75,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": tx.decontaminate,
         "cap_per_host": tx.cap_per_host,
         "stratified_sample": tx.stratified_sample,
+        # weighted multi-epoch corpus mixing (up/down-sampling by
+        # source weight, deterministic per-copy hash)
+        "corpus_mix": tx.corpus_mix,
         "host_heavy_hitters": tx.host_heavy_hitters,
         "quality_scores": tx.quality_scores,
         "chunk_windows": tx.chunk_windows,
@@ -181,17 +185,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
             LIMIT 10
         """,
-        "usage_daily": """
-            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        "usage_rollup": """
+            WITH x AS (
+                SELECT 'day' AS scope, user_id,
+                       strftime(ts, '%Y-%m-%d') AS bucket, value, event_type
+                FROM events
+                UNION ALL
+                SELECT 'month', user_id, strftime(ts, '%Y-%m'), value, event_type
+                FROM events
+            )
+            SELECT scope, user_id, bucket,
                    count(*) AS requests_count,
                    round(sum(value), 4) AS total_value,
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
-            FROM events GROUP BY user_id, day ORDER BY user_id, day
-        """,
-        "usage_monthly": """
-            SELECT user_id, strftime(ts, '%Y-%m') AS month,
-                   count(*) AS requests_count
-            FROM events GROUP BY user_id, month ORDER BY user_id, month
+            FROM x GROUP BY scope, user_id, bucket
+            ORDER BY scope, user_id, bucket
         """,
         # per-plan quotas: the user ⋈ subscription ⋈ plan resolution
         # (reference models.py:614-637) — both sides join the SAME
@@ -636,6 +644,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 100 ORDER BY doc_id
+        """,
+        # weighted multi-epoch mixing: floor(w) full copies + one
+        # hash-sampled fractional copy per doc; thresholds inlined from
+        # the pipeline's MIX_WEIGHTS (same md5-prefix trick as
+        # stratified_sample, keyed on 'doc_id:copy_idx')
+        "corpus_mix": f"""
+            WITH p AS (
+                SELECT doc_id, lang,
+                    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+                              WHEN 'fr' THEN 0 WHEN 'es' THEN 1
+                              ELSE 0 END AS full_copies,
+                    CASE lang
+                        WHEN 'en' THEN '{format(int(0.25 * 16**8), "08x")}'
+                        WHEN 'de' THEN '{format(0, "08x")}'
+                        WHEN 'fr' THEN '{format(int(0.5 * 16**8), "08x")}'
+                        WHEN 'es' THEN '{format(int(0.5 * 16**8), "08x")}'
+                        ELSE '{format(int(0.25 * 16**8), "08x")}'
+                    END AS frac_threshold
+                FROM documents
+            ), c AS (
+                SELECT doc_id, lang, full_copies, frac_threshold,
+                       unnest(range(full_copies + 1)) AS copy_idx
+                FROM p
+            )
+            SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+            FROM c
+            WHERE copy_idx < full_copies
+               OR substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(copy_idx AS VARCHAR)), 1, 8) < frac_threshold
+            ORDER BY doc_id, copy_idx
         """,
         # deterministic hash sampling: fixed-width lowercase hex compares
         # lexicographically == numerically, so the md5-prefix threshold

@@ -152,7 +152,7 @@ def main() -> None:
                 [
                     "q1_pricing_summary",
                     "q3_top_orders",
-                    "usage_daily",
+                    "usage_rollup",
                     "dedup_exact",
                     "token_stats",
                     "minhash_near_dups",

@@ -492,3 +492,75 @@ def test_events_windows_scopes(sf_dir, ray_session, con):
     by_scope = got.groupby("scope")["n_events"].sum()
     assert int(by_scope["hourly"]) == n_events
     assert int(by_scope["sliding"]) == 2 * n_events
+
+
+def test_pack_bins_constraints_and_determinism(tmp_path, sf_dir, ray_session):
+    """Boundary-respecting packing: no bin exceeds capacity (oversize
+    docs excepted — they sit alone, flagged truncated), every doc is
+    assigned exactly once, docs never split, bins never cross doc_id
+    range buckets, and the result is layout- and run-deterministic."""
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.textops import pack_bins
+
+    got = pack_bins(sf_dir, capacity=512)
+    assert len(got) == 500 and got["doc_id"].is_unique
+
+    fill = got[~got["truncated"]].groupby("bin_id")["n_tokens"].sum()
+    assert (fill <= 512).all()
+    # truncated == longer than capacity, and such docs open their own bin
+    assert (got["truncated"] == (got["n_tokens"] > 512)).all()
+    big = got[got["truncated"]]
+    if len(big):
+        others = got[~got["truncated"]].query("n_tokens > 0")
+        assert not set(big["bin_id"]) & set(others["bin_id"])
+
+    # next-fit in doc_id order: bin ids are non-decreasing in doc_id
+    assert (got.sort_values("doc_id")["bin_id"].diff().dropna() >= 0).all()
+
+    again = pack_bins(sf_dir, capacity=512)
+    pd.testing.assert_frame_equal(got, again)
+
+    # layout invariance: one-row-per-file sharding packs identically
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shard_dir = tmp_path / "sharded" / "documents.parquet"
+    shard_dir.mkdir(parents=True)
+    step = max(1, t.num_rows // 11)
+    for i, lo in enumerate(range(0, t.num_rows, step)):
+        pq.write_table(t.slice(lo, step), str(shard_dir / f"p{i:02d}.parquet"))
+    many = pack_bins(str(tmp_path / "sharded"), capacity=512)
+    pd.testing.assert_frame_equal(got, many)
+
+    # utilization sanity: next-fit wastes < 50% (its 2x bound) over
+    # non-oversize bins
+    used = fill.sum()
+    assert used >= 0.5 * 512 * fill.size
+
+
+def test_corpus_mix_copy_semantics(sf_dir, ray_session, con):
+    """Weight w → floor(w) guaranteed copies per doc plus a fractional
+    copy at rate frac(w): every doc of an upsampled source appears at
+    least floor(w) times, never more than floor(w)+1, and the realized
+    fractional rate is within sampling noise of frac(w). Repeat runs
+    are identical (hash-derived, no RNG state)."""
+    from textextract_ray.pipelines.textops import MIX_WEIGHTS, corpus_mix
+
+    got = corpus_mix(sf_dir)
+    again = corpus_mix(sf_dir)
+    pd.testing.assert_frame_equal(got, again)
+
+    n_by_lang = dict(
+        con.execute("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall()
+    )
+    copies = got.groupby(["lang", "doc_id"]).size()
+    for lang, n_docs in n_by_lang.items():
+        w = MIX_WEIGHTS[lang]
+        full = int(w)
+        per_doc = copies[lang] if full > 0 else None
+        if full > 0:
+            # every doc present, with full..full+1 copies
+            assert len(per_doc) == n_docs
+            assert per_doc.min() >= full and per_doc.max() <= full + 1
+        frac = w - full
+        n_extra = int((got["lang"] == lang).sum()) - full * n_docs
+        assert abs(n_extra / n_docs - frac) < 0.15, (lang, n_extra, n_docs)

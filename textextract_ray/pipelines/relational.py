@@ -384,6 +384,49 @@ def usage_monthly(sf_dir: str):
     return out.to_pandas().sort_values(["user_id", "month"]).reset_index(drop=True)
 
 
+def usage_rollup(sf_dir: str):
+    """Daily AND monthly usage counters from ONE events scan (scope
+    column 'day'/'month') — G1's usage_stats upsert and G2's monthly
+    count consolidated into a single gate query (driver 50-cap; the
+    separate usage_daily/usage_monthly remain as library functions).
+    The bucket assignment is a vectorized 1→2 flat-map; one grouped
+    count/sum/error-sum pays a single shuffle of per-batch partials
+    for both granularities."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        day = date_bucket(batch["ts"]).combine_chunks()
+        month = month_bucket(batch["ts"]).combine_chunks()
+        err = pc.equal(batch["event_type"], "error").cast(pa.int64()).combine_chunks()
+        users = batch["user_id"].combine_chunks()
+        vals = batch["value"].combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "scope": pa.array(["day"] * n + ["month"] * n, pa.string()),
+                "user_id": pa.concat_arrays([users, users]),
+                "bucket": pa.concat_arrays([day, month]),
+                "value": pa.concat_arrays([vals, vals]),
+                "is_error": pa.concat_arrays([err, err]),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["scope", "user_id", "bucket"])
+        .aggregate(
+            Count(alias_name="requests_count"),
+            Sum("value", alias_name="total_value"),
+            Sum("is_error", alias_name="error_count"),
+        )
+    )
+    return _round_floats(
+        out.to_pandas()
+        .sort_values(["scope", "user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
 # --- plan dimension + bucketed co-group join machinery -----------------------
 
 # The reference resolves each user's quota through user ⋈ subscription

@@ -825,6 +825,73 @@ def stratified_sample(sf_dir: str, *, rates=None, default_rate=STRATA_DEFAULT_RA
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# training-mix weights: epochs per language source (floor = full
+# copies, fraction = hash-sampled extra copy). >1 upsamples, <1
+# downsamples — the Pile/CCNet corpus-mixing recipe
+MIX_WEIGHTS = {"en": 2.25, "de": 1.0, "fr": 0.5, "es": 1.5, "zh": 0.25}
+MIX_DEFAULT_WEIGHT = 0.25
+
+
+def corpus_mix(sf_dir: str, *, weights=None, default_weight=MIX_DEFAULT_WEIGHT):
+    """Weighted multi-epoch corpus mixing: a source with weight w
+    contributes floor(w) full copies of every doc plus one more copy
+    kept iff the first 8 hex digits of md5('doc_id:copy_idx') fall
+    under frac(w) — the standard up/down-sampling mix recipe for
+    training-data assembly (GPT-3 / Pile style), with the same
+    deterministic-hash properties as stratified_sample: embarrassingly
+    parallel (pure per-row decision, no shuffle, no RNG state), stable
+    under re-partitioning/retries, and exactly SQL-expressible. The
+    copy index rides along so downstream epoch assembly (e.g.
+    training_order per copy) can key on (doc_id, copy_idx)."""
+    from ..functions.text import md5_hex
+
+    weights = dict(MIX_WEIGHTS if weights is None else weights)
+
+    def params(w: float) -> tuple[int, str]:
+        full = int(np.floor(w))
+        return full, format(int((w - full) * 16**8), "08x")
+
+    table = {lang: params(w) for lang, w in weights.items()}
+    default = params(default_weight)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def mix(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        full = np.array([table.get(l, default)[0] for l in langs], dtype=np.int64)
+        thr = np.array([table.get(l, default)[1] for l in langs], dtype=object)
+        # full copies: vectorized repeat with per-copy indices
+        rep_ids = np.repeat(ids, full)
+        rep_langs = np.repeat(langs, full)
+        starts = np.repeat(np.cumsum(full) - full, full)
+        rep_idx = np.arange(len(rep_ids), dtype=np.int64) - starts
+        # fractional copy (copy_idx = full): kept under the hash threshold
+        keys = np.array(
+            [
+                h[:8]
+                for h in md5_hex([f"{int(i)}:{int(c)}" for i, c in zip(ids, full)])
+            ],
+            dtype=object,
+        )
+        fmask = keys < thr  # fixed-width hex: lexicographic == numeric
+        out_ids = np.concatenate([rep_ids, ids[fmask]])
+        out_langs = np.concatenate([rep_langs, langs[fmask]])
+        out_idx = np.concatenate([rep_idx, full[fmask]])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "lang": pa.array(out_langs, pa.string()),
+                "copy_idx": pa.array(out_idx, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        out.to_pandas().sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    )
+
+
 def approx_distinct(sf_dir: str):
     """Approximate distinct counts via mergeable HyperLogLog sketches:
     one 4 KiB register set per batch (map_batches partial), merged in a
@@ -1143,6 +1210,93 @@ def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
                 "seq_id": start // capacity,
                 "seq_offset": start % capacity,
                 "n_seqs": np.where(nt == 0, 0, last // capacity - start // capacity + 1),
+            }
+        )
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_bins(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
+    """Boundary-respecting sequence packing (T5-style): each doc is
+    assigned WHOLE to a training sequence of at most ``capacity``
+    tokens — next-fit in doc_id order, a new bin opens when the next
+    doc would overflow. Docs longer than ``capacity`` get a bin of
+    their own with ``truncated=True`` (the consumer clips them).
+
+    Distribution: contiguous doc_id-range buckets (same layout-
+    invariant cut as pack_sequences); bins never cross buckets, so one
+    co-located pass packs each bucket independently — no global state,
+    no sort. The in-bucket next-fit is O(bins · log n) vectorized
+    (per-bin ``searchsorted`` on the token cumsum), not a per-row
+    Python loop. ``bin_id = bucket << 32 | local_bin`` is globally
+    unique but sparse; a consumer needing dense ids renumbers with the
+    same two-pass bucket-offset pattern pack_sequences uses for token
+    offsets. Waste (bin underfill) is bounded by next-fit's 2× bound
+    and measured in pytest instead of promised here."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_bins_ds(ds, capacity=capacity, num_buckets=num_buckets)
+
+
+def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
+    from ray.data.aggregate import Max, Min
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "bin_id": pd.Series(dtype="int64"),
+            "truncated": pd.Series(dtype="bool"),
+        }
+    )
+    bounds = ds.select_columns(["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+    if bounds.get("min(doc_id)") is None:
+        return empty
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = hi - lo + 1
+    nb = min(num_buckets, span)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": token_count(batch["text"]).cast(pa.int64()),
+                "_bucket": pa.array((ids - lo) * nb // span, pa.int32()),
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        bucket = int(df["_bucket"].iloc[0])
+        nt = df["n_tokens"].to_numpy(np.int64)
+        # next-fit: one searchsorted per BIN (not per row) on the
+        # capacity-clipped cumsum (oversize docs count as `capacity`
+        # so each necessarily closes its own bin)
+        clipped = np.minimum(nt, capacity)
+        cum = np.cumsum(clipped)
+        n = len(nt)
+        bin_of = np.empty(n, dtype=np.int64)
+        i, b = 0, 0
+        while i < n:
+            base = cum[i - 1] if i else 0
+            j = int(np.searchsorted(cum, base + capacity, side="right"))
+            j = max(j, i + 1)  # an oversize doc still occupies one bin
+            bin_of[i:j] = b
+            i, b = j, b + 1
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": nt,
+                "bin_id": (np.int64(bucket) << np.int64(32)) | bin_of,
+                "truncated": nt > capacity,
             }
         )
 
