@@ -564,3 +564,44 @@ def test_corpus_mix_copy_semantics(sf_dir, ray_session, con):
         frac = w - full
         n_extra = int((got["lang"] == lang).sum()) - full * n_docs
         assert abs(n_extra / n_docs - frac) < 0.15, (lang, n_extra, n_docs)
+
+
+def test_classifier_scores_deterministic_and_vectorized(tmp_path, sf_dir, ray_session):
+    """Actor-pool model inference: identical scores across runs and
+    parquet layouts (weights are a pure function of feature index, the
+    feature hash is the repo-owned family); empty/one-token docs take
+    the no-feature path (score = sigmoid(bias) = 0.5 exactly); both
+    labels occur on the corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.textops import classifier_scores
+
+    got = classifier_scores(sf_dir)
+    again = classifier_scores(sf_dir)
+    pd.testing.assert_frame_equal(got, again)
+    assert set(got["label"]) == {"keep", "drop"}
+    assert got["score"].between(0, 1).all()
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    shard_dir = tmp_path / "sharded" / "documents.parquet"
+    shard_dir.mkdir(parents=True)
+    step = max(1, t.num_rows // 9)
+    for i, lo in enumerate(range(0, t.num_rows, step)):
+        pq.write_table(t.slice(lo, step), str(shard_dir / f"p{i}.parquet"))
+    many = classifier_scores(str(tmp_path / "sharded"))
+    pd.testing.assert_frame_equal(got, many)
+
+    # no-feature path: only the empty doc (a one-token doc still gets
+    # one clipped shingle — batch_shingle_hashes' documented n<k case)
+    edge = tmp_path / "edge"
+    edge.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": ["", "hello", "a b c"]}
+        ),
+        str(edge / "documents.parquet"),
+    )
+    e = classifier_scores(str(edge))
+    assert e["n_features"].tolist() == [0, 1, 2]
+    assert e["score"].tolist()[0] == 0.5

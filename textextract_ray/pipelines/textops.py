@@ -1311,6 +1311,28 @@ def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def classifier_scores(sf_dir: str, *, threshold: float = 0.5):
+    """Model-inference filtering pass: score every doc with the
+    fasttext-shaped quality classifier (stages/classify.py) in an
+    actor pool — weights materialize once per ACTOR in ``__init__``
+    (the model-load amortization pattern, same as the extraction
+    parsers), batches score vectorized. Deterministic stand-in
+    weights (no ML runtime in the container — documented there), so
+    the checks pin reproducibility and plumbing, not model quality."""
+    from ..stages.classify import QualityClassifier
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        QualityClassifier,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def training_order(sf_dir: str, *, seed: int = 0):
     """Deterministic global shuffle for training order: every doc gets
     ``shuffle_key = hash64(doc_id, seed)`` (the repo-owned hash family,
