@@ -267,3 +267,41 @@ def test_dedup_by_url_distributed_fallback_matches_driver_path(
     # dups actually existed in the fixture (else this test is vacuous)
     raw = extract_dataset(read_pages(fixture_pages), dedup=False).count()
     assert raw > len(driver)
+
+
+def test_dedup_by_url_canonicalize_mode(ray_session):
+    """Opt-in canonical-url dedup: tracking-param/case/port variants of
+    one logical page collapse to a single winner (first per canonical
+    key), while the default raw-url mode keeps them apart and golden
+    behavior unchanged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.extract_pipeline import dedup_by_url
+
+    tbl = pa.table(
+        {
+            "url": [
+                "https://site.example/art/1?utm_campaign=x",
+                "https://Site.example:443/art//1/",
+                "https://site.example/art/2",
+            ],
+            "extracted_text": ["a", "a", "b"],
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    raw = dedup_by_url(ds).to_pandas()
+    assert len(raw) == 3  # raw keys differ → nothing deduped
+
+    canon = dedup_by_url(ds, canonicalize=True).to_pandas().sort_values("url")
+    assert len(canon) == 2
+    # winner keeps its ORIGINAL url; both variants map to one key
+    assert (canon["extracted_text"].tolist()) == ["a", "b"] or (
+        canon["extracted_text"].tolist()
+    ) == ["b", "a"]
+
+    # past-budget bucketed arm agrees with the driver fast path
+    canon_bucketed = dedup_by_url(
+        ds, canonicalize=True, driver_budget_rows=0
+    ).to_pandas()
+    assert len(canon_bucketed) == 2

@@ -72,6 +72,7 @@ def dedup_by_url(
     num_buckets: int = 256,
     driver_budget_rows: int = DEDUP_DRIVER_BUDGET_ROWS,
     driver_budget_bytes: int = DEDUP_DRIVER_BUDGET_BYTES,
+    canonicalize: bool = False,
 ):
     """Exact dedup by url — the shuffle carries KEYS, not payloads.
 
@@ -108,6 +109,14 @@ def dedup_by_url(
     column varies) and ANY occurrence is a valid winner — content
     determinism does not depend on block arrival order. Stays in Arrow
     end-to-end (pandas would mangle the ``spans`` list column).
+
+    ``canonicalize=True`` keys the dedup on ``canonicalize_url(url)``
+    (tracking params / fragments / case / default ports stripped —
+    functions.scalar) instead of the raw url, catching the
+    same-page-different-tracking duplicates real crawls are full of.
+    Opt-in: the output rows keep their original urls (the winner per
+    canonical key is first-per-CANONICAL-url), and raw-key behavior —
+    including every golden fixture — is unchanged at the default.
     """
     import numpy as np
 
@@ -115,12 +124,15 @@ def dedup_by_url(
     import ray.data as rd
     import pyarrow.compute as pc
 
-    from ..functions.scalar import stable_bucket, stable_hash64
+    from ..functions.scalar import canonicalize_url, stable_bucket, stable_hash64
 
     ds = extracted_ds.materialize()
 
+    def dedup_key(batch: pa.Table):
+        return canonicalize_url(batch["url"]) if canonicalize else batch["url"]
+
     def url_hashes(batch: pa.Table) -> pa.Table:
-        return pa.table({"h": pa.array(stable_hash64(batch["url"]), pa.uint64())})
+        return pa.table({"h": pa.array(stable_hash64(dedup_key(batch)), pa.uint64())})
 
     h = (
         ds.map_batches(url_hashes, batch_format="pyarrow")
@@ -134,7 +146,7 @@ def dedup_by_url(
     dup_ref = _ray.put(pa.array(dup_h, pa.uint64()))
 
     def dup_mask(batch: pa.Table):
-        hh = pa.array(stable_hash64(batch["url"]), pa.uint64())
+        hh = pa.array(stable_hash64(dedup_key(batch)), pa.uint64())
         return pc.fill_null(pc.is_in(hh, value_set=_ray.get(dup_ref)), False)
 
     def keep_unique(batch: pa.Table) -> pa.Table:
@@ -144,7 +156,8 @@ def dedup_by_url(
         return batch.filter(dup_mask(batch))
 
     def first_per_url(tbl: pa.Table) -> pa.Table:
-        urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+        keys = canonicalize_url(tbl["url"]) if canonicalize else tbl["url"]
+        urls = np.asarray(keys.to_pylist(), dtype=object)
         _, first_idx = np.unique(urls, return_index=True)
         return tbl.take(np.sort(first_idx))
 
@@ -170,7 +183,7 @@ def dedup_by_url(
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "url_bucket",
-            pa.array(stable_bucket(batch["url"], num_buckets), pa.int32()),
+            pa.array(stable_bucket(dedup_key(batch), num_buckets), pa.int32()),
         )
 
     resolved = (
