@@ -64,3 +64,55 @@ def test_ivf_recall_reasonable(vec_ds):
     # the query vector itself is always found (it sits in a probed bucket)
     for q in range(3):
         assert q in set(out[out.query_id == q]["vec_id"].tolist())
+
+
+def test_embedding_pca_matches_numpy_and_is_layout_stable(sf_dir, ray_session, tmp_path):
+    """Distributed PCA from mergeable (n, Σx, XᵀX) partials equals
+    single-process numpy PCA on the same vectors (same sign
+    convention), explained variance is sane and sorted, and a
+    many-tiny-files layout reproduces the result to float tolerance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from textextract_ray.sources import read_table
+    from textextract_ray.stages.similarity import embedding_pca
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got, evr = embedding_pca(ds, k=4)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = np.array(t["embedding"].to_pylist(), np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist())
+    o = np.argsort(ids)
+    x = x[o]
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    w = evecs[:, order]
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(4)])
+    flip[flip == 0] = 1.0
+    w = w * flip
+    want = (x - mu) @ w
+
+    assert got["vec_id"].tolist() == sorted(ids.tolist())
+    np.testing.assert_allclose(
+        got[[f"pc{j}" for j in range(4)]].to_numpy(), want, rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(evr[:4], evals[order] / evals.sum(), rtol=1e-9)
+    assert (np.diff(evr) <= 1e-12).all() and evr.sum() <= 1.0 + 1e-9
+
+    # layout stability: shard to 1-row files, same result
+    import ray.data as rd
+
+    shard_dir = tmp_path / "emb" 
+    shard_dir.mkdir()
+    step = max(1, t.num_rows // 13)
+    for i, lo in enumerate(range(0, t.num_rows, step)):
+        pq.write_table(t.slice(lo, step), str(shard_dir / f"p{i}.parquet"))
+    got2, evr2 = embedding_pca(rd.read_parquet(str(shard_dir)), k=4)
+    np.testing.assert_allclose(
+        got2[[f"pc{j}" for j in range(4)]].to_numpy(),
+        got[[f"pc{j}" for j in range(4)]].to_numpy(),
+        rtol=1e-7, atol=1e-9,
+    )

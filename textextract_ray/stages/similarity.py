@@ -228,3 +228,71 @@ def ivf_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10,
         return group.take(order[: min(k, len(group))])
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def embedding_pca(ds, *, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed PCA over an embedding column via mergeable
+    sufficient statistics — the standard pattern for corpus-scale
+    linear algebra:
+
+    1. each batch emits ONE row of partials: (n, Σx, XᵀX) — O(d²)
+       floats per BLOCK, so the driver pull is O(blocks·d²), never the
+       vectors;
+    2. the driver assembles the covariance (d×d, tiny — d=64 here),
+       eigendecomposes, and fixes each component's sign by forcing its
+       largest-|coefficient| positive (eigenvector sign is otherwise
+       arbitrary → would break run determinism);
+    3. the top-k projection broadcasts once via ``ray.put`` and a
+       streaming map projects every vector: coords = (x − μ) @ W.
+
+    Returns (projected pandas frame sorted by id, explained-variance
+    ratios). Projection columns are pc0..pc{k-1} float64. Summation
+    order varies with block layout, so values are reproducible to
+    float tolerance (~1e-9 relative), not bit-exact — callers that
+    need exactness round, as the oracles do."""
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = _as_matrix(batch[vec_col])
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()]),
+                "xtx": pa.array([(x.T @ x).ravel().tolist()]),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 vectors")
+    s = np.sum(np.stack([np.asarray(v, np.float64) for v in parts["s"]]), axis=0)
+    xtx = np.sum(np.stack([np.asarray(v, np.float64) for v in parts["xtx"]]), axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = (xtx.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    w = w * flip
+    evr = evals[order] / max(evals.sum(), 1e-300)
+    wref = ray.put((mean, w))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, ww = ray.get(wref)
+        x = _as_matrix(batch[vec_col])
+        coords = (x - mu) @ ww
+        cols = {id_col: batch[id_col]}
+        for j in range(coords.shape[1]):
+            cols[f"pc{j}"] = pa.array(coords[:, j], pa.float64())
+        return pa.table(cols)
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    return out, evr
