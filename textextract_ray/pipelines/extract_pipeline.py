@@ -27,9 +27,12 @@ def extract_dataset(
     concurrency=None,
     giant_threshold: int | None = None,
     dedup: bool = True,
+    canonicalize_urls: bool = False,
     validate_schema: bool = True,
 ):
-    """pages Dataset -> extracted Dataset, optionally url-deduped.
+    """pages Dataset -> extracted Dataset, optionally url-deduped
+    (``canonicalize_urls=True`` keys the dedup on the canonical url —
+    see dedup_by_url).
 
     ``validate_schema`` casts every batch to PAGES_SCHEMA at the
     pipeline boundary (explicit DDL-style validation — no inference at
@@ -58,7 +61,7 @@ def extract_dataset(
         giant_threshold=giant_threshold,
     )
     if dedup:
-        extracted = dedup_by_url(extracted)
+        extracted = dedup_by_url(extracted, canonicalize=canonicalize_urls)
     return extracted
 
 
