@@ -605,3 +605,31 @@ def test_classifier_scores_deterministic_and_vectorized(tmp_path, sf_dir, ray_se
     e = classifier_scores(str(edge))
     assert e["n_features"].tolist() == [0, 1, 2]
     assert e["score"].tolist()[0] == 0.5
+
+
+def test_epoch_stream_composes_mix_and_shuffle(sf_dir, ray_session):
+    """Epoch assembly: the multiset of (doc_id, copy_idx) equals
+    corpus_mix exactly; the order is seed-reproducible, changes with
+    the seed, and copies of the same doc land decorrelated (keyed per
+    copy — adjacent duplicate doc_ids would mean per-doc keying)."""
+    import numpy as np
+
+    from textextract_ray.pipelines.textops import corpus_mix, epoch_stream
+
+    a = epoch_stream(sf_dir, seed=3)
+    b = epoch_stream(sf_dir, seed=3)
+    c = epoch_stream(sf_dir, seed=4)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["position"].tolist() == list(range(len(a)))
+
+    mix = corpus_mix(sf_dir)
+    key = lambda df: sorted(zip(df["doc_id"], df["copy_idx"]))
+    assert key(a) == key(mix) == key(c)
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()  # seed moves order
+
+    # multi-copy docs: their positions are spread, not adjacent
+    multi = a[a["doc_id"].isin(mix[mix["copy_idx"] > 0]["doc_id"])]
+    gaps = multi.groupby("doc_id")["position"].apply(
+        lambda s: np.diff(np.sort(s)).min() if len(s) > 1 else np.inf
+    )
+    assert (gaps > 1).mean() > 0.9  # rare adjacency allowed by chance

@@ -843,6 +843,13 @@ def corpus_mix(sf_dir: str, *, weights=None, default_weight=MIX_DEFAULT_WEIGHT):
     under re-partitioning/retries, and exactly SQL-expressible. The
     copy index rides along so downstream epoch assembly (e.g.
     training_order per copy) can key on (doc_id, copy_idx)."""
+    out = _corpus_mix_ds(sf_dir, weights=weights, default_weight=default_weight)
+    return (
+        out.to_pandas().sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    )
+
+
+def _corpus_mix_ds(sf_dir: str, *, weights=None, default_weight=MIX_DEFAULT_WEIGHT):
     from ..functions.text import md5_hex
 
     weights = dict(MIX_WEIGHTS if weights is None else weights)
@@ -886,10 +893,7 @@ def corpus_mix(sf_dir: str, *, weights=None, default_weight=MIX_DEFAULT_WEIGHT):
             }
         )
 
-    out = ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        out.to_pandas().sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
-    )
+    return ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def approx_distinct(sf_dir: str):
@@ -1309,6 +1313,47 @@ def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
     if out.empty:
         return empty
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def epoch_stream(sf_dir: str, *, seed: int = 0, weights=None):
+    """Training-epoch assembly — the composition the mixing and
+    shuffle operators exist for: corpus_mix expands each doc to its
+    weighted copies, every copy gets an independent shuffle key
+    ``hash64('doc_id:copy_idx', seed)``, and a range sort produces the
+    final sample order for one training epoch. Copies of the same doc
+    land at decorrelated positions (keyed per copy, not per doc), the
+    whole stream is reproducible from the seed, and a new epoch is a
+    new seed. Same scale shape as training_order: the mix expansion is
+    a shuffle-free map and only (doc_id, copy_idx, key) rides the one
+    deliberate distributed sort (``Dataset.sort``)."""
+    from ..functions.scalar import hash_utf8
+
+    mixed = _corpus_mix_ds(sf_dir, weights=weights)
+
+    def key(batch: pa.Table) -> pa.Table:
+        k = hash_utf8(
+            pa.array(
+                [
+                    f"{i}:{c}"
+                    for i, c in zip(
+                        batch["doc_id"].to_pylist(), batch["copy_idx"].to_pylist()
+                    )
+                ],
+                pa.string(),
+            ),
+            seed=seed,
+        )
+        return batch.append_column(
+            "shuffle_key", pa.array(k.astype(np.int64), pa.int64())
+        )
+
+    out = (
+        mixed.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["shuffle_key", "doc_id", "copy_idx"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    return out.assign(position=np.arange(len(out), dtype=np.int64))
 
 
 def classifier_scores(sf_dir: str, *, threshold: float = 0.5):
