@@ -389,41 +389,61 @@ def usage_rollup(sf_dir: str):
     column 'day'/'month') — G1's usage_stats upsert and G2's monthly
     count consolidated into a single gate query (driver 50-cap; the
     separate usage_daily/usage_monthly remain as library functions).
-    The bucket assignment is a vectorized 1→2 flat-map; one grouped
-    count/sum/error-sum pays a single shuffle of per-batch partials
-    for both granularities."""
+
+    Hierarchical rollup: events shuffle ONCE into the (user, day)
+    aggregate; the month level is a second groupby over the day-agg
+    DATASET (sums of sums — count/value/error are all reaggregable),
+    whose input is |users|×|days| rows, not the corpus. The naive
+    alternative — exploding every event into one row per granularity —
+    doubles the corpus through the first shuffle for no information.
+    Float note: month total_value is a sum of day sums — association
+    order differs from the oracle's flat sum by ≤1e-12 relative,
+    absorbed by the symmetric round(4) (same documented trade as
+    perplexity_buckets)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        day = date_bucket(batch["ts"]).combine_chunks()
-        month = month_bucket(batch["ts"]).combine_chunks()
-        err = pc.equal(batch["event_type"], "error").cast(pa.int64()).combine_chunks()
-        users = batch["user_id"].combine_chunks()
-        vals = batch["value"].combine_chunks()
-        n = batch.num_rows
+    def day_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "scope": pa.array(["day"] * n + ["month"] * n, pa.string()),
-                "user_id": pa.concat_arrays([users, users]),
-                "bucket": pa.concat_arrays([day, month]),
-                "value": pa.concat_arrays([vals, vals]),
-                "is_error": pa.concat_arrays([err, err]),
+                "user_id": batch["user_id"],
+                "bucket": date_bucket(batch["ts"]),
+                "value": batch["value"],
+                "is_error": pc.equal(batch["event_type"], "error").cast(pa.int64()),
             }
         )
 
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["scope", "user_id", "bucket"])
+    day = ds.map_batches(day_rows, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["user_id", "bucket"]
+    ).aggregate(
+        Count(alias_name="requests_count"),
+        Sum("value", alias_name="total_value"),
+        Sum("is_error", alias_name="error_count"),
+    ).materialize()  # day-agg-sized (users×days), reused by both levels
+
+    def to_month(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("bucket"),
+            "bucket",
+            pc.utf8_slice_codeunits(batch["bucket"], 0, 7),  # 'YYYY-MM-DD'→'YYYY-MM'
+        )
+
+    month = (
+        day.map_batches(to_month, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "bucket"])
         .aggregate(
-            Count(alias_name="requests_count"),
-            Sum("value", alias_name="total_value"),
-            Sum("is_error", alias_name="error_count"),
+            Sum("requests_count", alias_name="requests_count"),
+            Sum("total_value", alias_name="total_value"),
+            Sum("error_count", alias_name="error_count"),
         )
     )
+    cols = ["user_id", "bucket", "requests_count", "total_value", "error_count"]
+    d = day.to_pandas()[cols].assign(scope="day")
+    m = month.to_pandas()[cols].assign(scope="month")
+    out = pd.concat([d, m], ignore_index=True)[
+        ["scope", "user_id", "bucket", "requests_count", "total_value", "error_count"]
+    ]
     return _round_floats(
-        out.to_pandas()
-        .sort_values(["scope", "user_id", "bucket"])
-        .reset_index(drop=True)
+        out.sort_values(["scope", "user_id", "bucket"]).reset_index(drop=True)
     )
 
 
