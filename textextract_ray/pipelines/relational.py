@@ -1018,36 +1018,65 @@ def events_windows(sf_dir: str):
     events_sliding_window queries — the driver gate reports at most 50.
 
     Ray Data has no watermarks (SURVEY.md §2.9: bounded replay), so a
-    window is just a truncated-timestamp group key: the assignment is a
-    vectorized 1→3 flat-map (one hourly row; a 2-hour sliding window
-    with 1-hour step puts each event in exactly two windows) and ONE
-    grouped count+sum pays the single shuffle for both window shapes."""
+    window is just a truncated-timestamp group key. Hierarchical
+    rollup: events shuffle ONCE into the hourly aggregate; the sliding
+    level derives from it — a 2-hour window starting at w contains
+    exactly the events of hours w and w+1h, so sliding(w) =
+    hourly(w) + hourly(w+1h), a 1→2 flat-map + groupby over the
+    hour-bucket-sized table instead of a second pass over the corpus.
+    Same float trade as usage_rollup (sums of sums, absorbed by the
+    symmetric round(4))."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour").combine_chunks()
-        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
-        types = batch["event_type"].combine_chunks()
-        vals = batch["value"].combine_chunks()
-        n = batch.num_rows
+    def hour_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "scope": pa.array(["hourly"] * n + ["sliding"] * (2 * n), pa.string()),
-                "event_type": pa.concat_arrays([types, types, types]),
-                "window_start": pa.concat_arrays([hour, hour, prev]),
-                "value": pa.concat_arrays([vals, vals, vals]),
+                "event_type": batch["event_type"],
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "value": batch["value"],
             }
         )
 
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["scope", "event_type", "window_start"])
+    hourly = (
+        ds.map_batches(hour_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .materialize()  # hour-bucket-sized, reused by both levels
     )
+
+    def slide(batch: pa.Table) -> pa.Table:
+        # the groupby key comes back timestamp[s]; pin us so w and
+        # w−1h concat to one type
+        w = batch["window_start"].cast(pa.timestamp("us")).combine_chunks()
+        prev = pc.subtract(w, pa.scalar(3_600_000_000, pa.duration("us")))
+        types = batch["event_type"].combine_chunks()
+        n = batch["n_events"].combine_chunks()
+        v = batch["total_value"].combine_chunks()
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([types, types]),
+                "window_start": pa.concat_arrays([w, prev]),
+                "n_events": pa.concat_arrays([n, n]),
+                "total_value": pa.concat_arrays([v, v]),
+            }
+        )
+
+    sliding = (
+        hourly.map_batches(slide, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("total_value", alias_name="total_value"),
+        )
+    )
+    cols = ["event_type", "window_start", "n_events", "total_value"]
+    h = hourly.to_pandas()[cols].assign(scope="hourly")
+    s = sliding.to_pandas()[cols].assign(scope="sliding")
+    out = pd.concat([h, s], ignore_index=True)[
+        ["scope", "event_type", "window_start", "n_events", "total_value"]
+    ]
     return _round_floats(
-        out.to_pandas()
-        .sort_values(["scope", "event_type", "window_start"])
-        .reset_index(drop=True)
+        out.sort_values(["scope", "event_type", "window_start"]).reset_index(drop=True)
     )
 
 
