@@ -89,14 +89,22 @@ def bench_queries(sf_dir: str, names: list) -> dict:
     import __ray_entry__ as em
 
     qs = em.queries()
+    # BENCH_REPEATS>1 reports min-of-N per query — the control-protocol
+    # knob for this box's 2-3x run-to-run variance (BASELINE.md);
+    # default 1 keeps the driver's invocation semantics unchanged
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "1")))
     times = {}
     for name in names:
-        t0 = time.perf_counter()
-        res = qs[name](sf_dir)
-        # force execution for lazy results
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            # force execution for lazy results
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 
