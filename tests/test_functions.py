@@ -297,6 +297,9 @@ def test_canonicalize_url_parity_and_dedup():
         "https://A.B/x?msclkid=9&mc_eid=8&ref_src=t",
     ]
     got = canonicalize_url(pa.array(urls)).to_pylist()
+    # non-absolute inputs pass through unchanged (no doubled garbage)
+    odd = ["www.example.com/Page?x=1", "mailto:Foo@Bar", "/rel/path", ""]
+    assert canonicalize_url(pa.array(odd)).to_pylist() == odd
     assert got[0] == "https://example.com/a/b/c?q=1"
     assert got[1] == "http://example.com/"
     assert got[3] == "https://h.example/path"

@@ -300,8 +300,17 @@ def test_dedup_by_url_canonicalize_mode(ray_session):
         canon["extracted_text"].tolist()
     ) == ["b", "a"]
 
-    # past-budget bucketed arm agrees with the driver fast path
-    canon_bucketed = dedup_by_url(
-        ds, canonicalize=True, driver_budget_rows=0
-    ).to_pandas()
-    assert len(canon_bucketed) == 2
+    # deterministic winner: min raw url per canonical key, regardless
+    # of block arrival order and in BOTH resolution arms (canonical-key
+    # duplicates can differ in content, so arrival-order winners would
+    # make output layout-dependent)
+    rev = rd.from_arrow(tbl.take([2, 1, 0]))
+    win = "https://Site.example:443/art//1/"  # 'S' < 's' lexicographically
+    for d in (ds, rev):
+        for budget in (10_000, 0):  # driver fast path / bucketed arm
+            got = dedup_by_url(
+                d, canonicalize=True, driver_budget_rows=budget
+            ).to_pandas()
+            assert len(got) == 2
+            assert win in set(got["url"]), (budget, got["url"].tolist())
+            assert "_ckey" not in got.columns

@@ -452,6 +452,7 @@ def test_pack_sequences_edge_cases_and_layout(tmp_path, ray_session):
     texts = {
         1: "a b c",           # 3 tokens → seq 0
         2: "",                # empty → n_seqs 0, start 3
+        3: None,              # NULL text counts 0 tokens (oracle coalesce)
         5: " ".join(["t"] * 23),  # crosses 8-token sequences 0..3
         9: "x",
         100: "y z",
@@ -459,7 +460,7 @@ def test_pack_sequences_edge_cases_and_layout(tmp_path, ray_session):
     table = pa.table(
         {
             "doc_id": pa.array(sorted(texts), pa.int64()),
-            "text": [texts[k] for k in sorted(texts)],
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
         }
     )
     single = tmp_path / "one"
@@ -467,11 +468,11 @@ def test_pack_sequences_edge_cases_and_layout(tmp_path, ray_session):
     pq.write_table(table, str(single / "documents.parquet"))
     got = pack_sequences(str(single), capacity=8)
 
-    assert got["doc_id"].tolist() == [1, 2, 5, 9, 100]
-    assert got["global_start"].tolist() == [0, 3, 3, 26, 27]
-    assert got["seq_id"].tolist() == [0, 0, 0, 3, 3]
-    assert got["seq_offset"].tolist() == [0, 3, 3, 2, 3]
-    assert got["n_seqs"].tolist() == [1, 0, 4, 1, 1]
+    assert got["doc_id"].tolist() == [1, 2, 3, 5, 9, 100]
+    assert got["global_start"].tolist() == [0, 3, 3, 3, 26, 27]
+    assert got["seq_id"].tolist() == [0, 0, 0, 0, 3, 3]
+    assert got["seq_offset"].tolist() == [0, 3, 3, 3, 2, 3]
+    assert got["n_seqs"].tolist() == [1, 0, 0, 4, 1, 1]
 
     sharded = tmp_path / "many" / "documents.parquet"
     sharded.mkdir(parents=True)

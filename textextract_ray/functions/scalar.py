@@ -127,7 +127,11 @@ def canonicalize_url(url_col: pa.ChunkedArray | pa.Array) -> pa.Array:
     no lookaround, so the url splits into scheme://host, path, and
     query with anchored regexes and each part canonicalizes
     independently — every step is a plain replace both engines run
-    identically."""
+    identically. Inputs without a ``scheme://host`` shape (relative
+    paths, mailto:, garbage) pass through UNCHANGED — the head/tail
+    split would otherwise fall through to the whole string twice and
+    emit a doubled nonsense key."""
+    absolute = pc.match_substring_regex(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
     c = pc.replace_substring_regex(url_col, pattern=r"#.*$", replacement="")
     head = pc.utf8_lower(
         pc.replace_substring_regex(c, pattern=r"^([^:/?#]+://[^/?#]*).*$", replacement=r"\1")
@@ -146,7 +150,8 @@ def canonicalize_url(url_col: pa.ChunkedArray | pa.Array) -> pa.Array:
     query = pc.replace_substring_regex(query, pattern=r"&" + _TRACKING_RE, replacement="")
     query = pc.replace_substring_regex(query, pattern=r"^&", replacement="?")
     query = pc.replace_substring_regex(query, pattern=r"^\?$", replacement="")
-    return pc.binary_join_element_wise(head, path, query, "")
+    canon = pc.binary_join_element_wise(head, path, query, "")
+    return pc.if_else(pc.fill_null(absolute, False), canon, url_col)
 
 
 EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"

@@ -117,9 +117,14 @@ def dedup_by_url(
     (tracking params / fragments / case / default ports stripped —
     functions.scalar) instead of the raw url, catching the
     same-page-different-tracking duplicates real crawls are full of.
-    Opt-in: the output rows keep their original urls (the winner per
-    canonical key is first-per-CANONICAL-url), and raw-key behavior —
-    including every golden fixture — is unchanged at the default.
+    Opt-in: the output rows keep their original urls, raw-key behavior —
+    including every golden fixture — is unchanged at the default, and
+    the canonical key is computed ONCE into a materialized helper
+    column (dropped before returning), not re-derived per filter pass.
+    Unlike raw-key duplicates (byte-identical rows from the pure
+    extractor), canonical-key duplicates can carry different content —
+    so the winner is the MIN-RAW-URL row per key, deterministic under
+    any block arrival order.
     """
     import numpy as np
 
@@ -129,13 +134,24 @@ def dedup_by_url(
 
     from ..functions.scalar import canonicalize_url, stable_bucket, stable_hash64
 
-    ds = extracted_ds.materialize()
+    key_col = "_ckey" if canonicalize else "url"
 
-    def dedup_key(batch: pa.Table):
-        return canonicalize_url(batch["url"]) if canonicalize else batch["url"]
+    def strip(dset):
+        return dset.drop_columns(["_ckey"]) if canonicalize else dset
+
+    if canonicalize:
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            return batch.append_column("_ckey", canonicalize_url(batch["url"]))
+
+        ds = extracted_ds.map_batches(
+            add_key, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        ds = extracted_ds.materialize()
 
     def url_hashes(batch: pa.Table) -> pa.Table:
-        return pa.table({"h": pa.array(stable_hash64(dedup_key(batch)), pa.uint64())})
+        return pa.table({"h": pa.array(stable_hash64(batch[key_col]), pa.uint64())})
 
     h = (
         ds.map_batches(url_hashes, batch_format="pyarrow")
@@ -145,11 +161,11 @@ def dedup_by_url(
     uniq_h, counts = np.unique(h, return_counts=True)
     dup_h = uniq_h[counts > 1]
     if dup_h.size == 0:
-        return ds
+        return strip(ds)
     dup_ref = _ray.put(pa.array(dup_h, pa.uint64()))
 
     def dup_mask(batch: pa.Table):
-        hh = pa.array(stable_hash64(dedup_key(batch)), pa.uint64())
+        hh = pa.array(stable_hash64(batch[key_col]), pa.uint64())
         return pc.fill_null(pc.is_in(hh, value_set=_ray.get(dup_ref)), False)
 
     def keep_unique(batch: pa.Table) -> pa.Table:
@@ -159,10 +175,14 @@ def dedup_by_url(
         return batch.filter(dup_mask(batch))
 
     def first_per_url(tbl: pa.Table) -> pa.Table:
-        keys = canonicalize_url(tbl["url"]) if canonicalize else tbl["url"]
-        urls = np.asarray(keys.to_pylist(), dtype=object)
-        _, first_idx = np.unique(urls, return_index=True)
-        return tbl.take(np.sort(first_idx))
+        # winner per key = the min-raw-url row (within equal urls, any
+        # row: they are byte-identical up to timing) — deterministic
+        # regardless of block arrival order in BOTH key modes
+        keys = np.asarray(tbl[key_col].to_pylist(), dtype=object)
+        urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, keys))
+        _, first_idx = np.unique(keys[order], return_index=True)
+        return tbl.take(np.sort(order[first_idx]))
 
     uniq = ds.map_batches(keep_unique, batch_format="pyarrow")
     # materialized so the byte size is known up front AND the past-
@@ -178,7 +198,7 @@ def dedup_by_url(
         winners = first_per_url(
             pa.concat_tables(tables).combine_chunks()
         )
-        return uniq.union(rd.from_arrow(winners))
+        return strip(uniq.union(rd.from_arrow(winners)))
 
     def first_per_url_bucket(bucket: pa.Table) -> pa.Table:
         return first_per_url(bucket).drop_columns(["url_bucket"])
@@ -186,7 +206,7 @@ def dedup_by_url(
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "url_bucket",
-            pa.array(stable_bucket(dedup_key(batch), num_buckets), pa.int32()),
+            pa.array(stable_bucket(batch[key_col], num_buckets), pa.int32()),
         )
 
     resolved = (
@@ -194,7 +214,7 @@ def dedup_by_url(
         .groupby("url_bucket")
         .map_groups(first_per_url_bucket, batch_format="pyarrow")
     )
-    return uniq.union(resolved)
+    return strip(uniq.union(resolved))
 
 
 def _ensure_partition_dir(pdir: str) -> None:

@@ -1150,9 +1150,41 @@ def pack_sequences(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
     return pack_sequences_ds(ds, capacity=capacity, num_buckets=num_buckets)
 
 
-def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
+def _bucketed_token_counts(ds, num_buckets: int):
+    """Shared packer front-end: cut doc_ids into ``num_buckets``
+    contiguous ranges and emit a (doc_id, n_tokens, _bucket) counts
+    projection. Returns ``(counts_fn, nb)`` for ``map_batches``, or
+    ``None`` on an empty dataset. Null text counts 0 tokens (matching
+    the oracles' ``coalesce(text, '')``); the bucket cut divides by a
+    range WIDTH rather than multiplying by num_buckets, so 64-bit
+    snowflake-style doc_id spans cannot overflow int64."""
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Max, Min
 
+    bounds = ds.select_columns(["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+    if not bounds or bounds.get("min(doc_id)") is None:
+        return None
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = hi - lo + 1
+    nb = min(num_buckets, span)
+    width = (span + nb - 1) // nb  # ceil: max bucket id is nb-1
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": token_count(text).cast(pa.int64()),
+                "_bucket": pa.array((ids - lo) // width, pa.int32()),
+            }
+        )
+
+    return counts, nb
+
+
+def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
     empty = pd.DataFrame(
         {
             c: pd.Series(dtype="int64")
@@ -1166,22 +1198,10 @@ def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
             )
         }
     )
-    bounds = ds.select_columns(["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
-    if bounds.get("min(doc_id)") is None:
+    front = _bucketed_token_counts(ds, num_buckets)
+    if front is None:
         return empty
-    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
-    span = hi - lo + 1
-    nb = min(num_buckets, span)
-
-    def counts(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": token_count(batch["text"]).cast(pa.int64()),
-                "_bucket": pa.array((ids - lo) * nb // span, pa.int32()),
-            }
-        )
+    counts, _ = front
 
     # pass 1: per-batch partial totals → tiny groupby → exclusive offsets
     def partial_totals(batch: pa.Table) -> pa.Table:
@@ -1250,8 +1270,6 @@ def pack_bins(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
 
 
 def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
-    from ray.data.aggregate import Max, Min
-
     empty = pd.DataFrame(
         {
             "doc_id": pd.Series(dtype="int64"),
@@ -1260,22 +1278,10 @@ def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
             "truncated": pd.Series(dtype="bool"),
         }
     )
-    bounds = ds.select_columns(["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
-    if bounds.get("min(doc_id)") is None:
+    front = _bucketed_token_counts(ds, num_buckets)
+    if front is None:
         return empty
-    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
-    span = hi - lo + 1
-    nb = min(num_buckets, span)
-
-    def counts(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": token_count(batch["text"]).cast(pa.int64()),
-                "_bucket": pa.array((ids - lo) * nb // span, pa.int32()),
-            }
-        )
+    counts, _ = front
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id").reset_index(drop=True)
@@ -1331,18 +1337,14 @@ def epoch_stream(sf_dir: str, *, seed: int = 0, weights=None):
     mixed = _corpus_mix_ds(sf_dir, weights=weights)
 
     def key(batch: pa.Table) -> pa.Table:
-        k = hash_utf8(
-            pa.array(
-                [
-                    f"{i}:{c}"
-                    for i, c in zip(
-                        batch["doc_id"].to_pylist(), batch["copy_idx"].to_pylist()
-                    )
-                ],
-                pa.string(),
-            ),
-            seed=seed,
+        import pyarrow.compute as pc
+
+        joined = pc.binary_join_element_wise(
+            batch["doc_id"].cast(pa.string()),
+            batch["copy_idx"].cast(pa.string()),
+            ":",
         )
+        k = hash_utf8(joined, seed=seed)
         return batch.append_column(
             "shuffle_key", pa.array(k.astype(np.int64), pa.int64())
         )

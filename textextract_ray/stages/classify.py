@@ -12,6 +12,9 @@ path: the per-batch cost is one vectorized hash pass (the same
 repo-owned family the sketches use), one ``np.take``, one
 ``reduceat``.
 
+Only empty/whitespace-only docs take the no-feature sigmoid(bias)
+path — sub-bigram docs still yield one clipped shingle.
+
 The container has no fasttext/sklearn, so the weights are a
 deterministic splitmix64 function of the feature index instead of a
 trained artifact (documented stand-in, same plumbing); scores are
@@ -33,8 +36,11 @@ class QualityClassifier:
     concurrency=N)``: linear model over hashed token bigrams.
 
     score = sigmoid(mean_w + bias) where mean_w averages the weight of
-    each bigram feature (hash % dim); docs with no bigram (empty /
-    single-token) score sigmoid(bias). ``label`` thresholds the score.
+    each bigram feature (hash % dim). Docs with NO feature — empty or
+    whitespace-only — score sigmoid(bias); a doc with fewer than 2
+    tokens still gets one clipped shingle feature
+    (batch_shingle_hashes' documented n<k case). ``label`` thresholds
+    the score.
     """
 
     def __init__(self, dim: int = 1 << 18, seed: int = 23, threshold: float = 0.5):
