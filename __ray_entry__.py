@@ -270,8 +270,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer c JOIN plan p ON p.mktsegment = c.c_mktsegment
             ),
             d AS (
+                -- same anchored parse as device_info: non-minimal JSON
+                -- is unparseable in BOTH engines; NULL keys count 0
+                -- devices but keep the user
                 SELECT user_id,
-                       CAST(json_extract(props, '$.k') AS INTEGER) % 8 AS device_key
+                       CASE WHEN regexp_matches(props, '^\\{{"k":\\s*(\\d+)\\}}$')
+                            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 8
+                       END AS device_key
                 FROM events
             )
             SELECT d.user_id,

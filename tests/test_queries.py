@@ -634,3 +634,37 @@ def test_epoch_stream_composes_mix_and_shuffle(sf_dir, ray_session):
         lambda s: np.diff(np.sort(s)).min() if len(s) > 1 else np.inf
     )
     assert (gaps > 1).mean() > 0.9  # rare adjacency allowed by chance
+
+
+def test_device_admission_keeps_unparseable_users(tmp_path, ray_session):
+    """A user whose EVERY event has unparseable props still appears
+    with n_devices=0 (count(DISTINCT) over all-NULL is 0, not an
+    absent row) — both engines use the device_info anchored parse, so
+    non-minimal JSON counts as unparseable consistently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_ray.pipelines.relational import device_admission
+
+    _tiny_events(
+        tmp_path,
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [f"2024-01-01T00:0{i}:00" for i in range(4)],
+            "user_id": [1, 1, 2, 2],
+            "props": ['{"k": 3, "v": 1}', "not-json", '{"k": 5}', '{"k": 13}'],
+        },
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING", "BUILDING"], pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    df = device_admission(str(tmp_path)).set_index("user_id")
+    assert df.loc[1, "n_devices"] == 0  # non-minimal JSON + garbage → 0, kept
+    assert df.loc[2, "n_devices"] == 1  # 5 % 8 == 13 % 8 == 5: one device
+    assert bool(df.loc[1, "within_limit"])

@@ -254,6 +254,25 @@ def _parse_blocks(doc: str) -> list:
     def block_kind() -> str:
         return kind_stack[-1] if kind_stack else "text"
 
+    def pop_to(target: str) -> None:
+        # pop semantics shared by the two compound-token closes (the
+        # generic close path keeps its own inline copy for speed — it
+        # is the hot loop); a future special-tag change must update
+        # both, which the byte-identity digest test enforces
+        nonlocal link_depth, pre_depth, chrome_depth
+        while stack:
+            t = stack.pop()
+            open_counts[t] -= 1
+            kind_stack.pop()
+            if t == "a":
+                link_depth = max(0, link_depth - 1)
+            elif t == "pre":
+                pre_depth = max(0, pre_depth - 1)
+            elif t in _CHROME_TAGS:
+                chrome_depth = max(0, chrome_depth - 1)
+            if t == target:
+                break
+
     def add_text(text: str, _unescape=_htmllib.unescape, _ws_sub=_WS_RUN_RE.sub):
         nonlocal cur
         if pre_depth > 0:
@@ -303,36 +322,18 @@ def _parse_blocks(doc: str) -> list:
             # iterations it replaces (close a, close li, open li,
             # open a) — no text can occur inside the matched span
             if open_counts.get("a", 0) > 0:
-                while stack:
-                    t = stack.pop()
-                    open_counts[t] -= 1
-                    kind_stack.pop()
-                    if t == "a":
-                        link_depth = max(0, link_depth - 1)
-                    elif t == "pre":
-                        pre_depth = max(0, pre_depth - 1)
-                    elif t in _CHROME_TAGS:
-                        chrome_depth = max(0, chrome_depth - 1)
-                    if t == "a":
-                        break
+                pop_to("a")
             flush()
             if open_counts.get("li", 0) > 0:
-                while stack:
-                    t = stack.pop()
-                    open_counts[t] -= 1
-                    kind_stack.pop()
-                    if t == "a":
-                        link_depth = max(0, link_depth - 1)
-                    elif t == "pre":
-                        pre_depth = max(0, pre_depth - 1)
-                    elif t in _CHROME_TAGS:
-                        chrome_depth = max(0, chrome_depth - 1)
-                    if t == "li":
-                        break
+                pop_to("li")
             stack.append("li")
             open_counts["li"] = open_counts.get("li", 0) + 1
             kind_stack.append("li")
-            if comp != "/":  # <a .../> self-close opens nothing
+            # NOTE: comp is always '' on the current token regex (the
+            # greedy attrs class consumes a trailing '/', so the (/?)
+            # group never captures) — this guard is defensive for a
+            # future regex that does capture the self-close slash
+            if comp != "/":
                 stack.append("a")
                 open_counts["a"] = open_counts.get("a", 0) + 1
                 kind_stack.append(kind_stack[-1])

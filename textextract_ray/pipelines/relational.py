@@ -687,8 +687,10 @@ def credit_admission(sf_dir: str, *, max_requests: int | None = None, credits: i
             ]
         ]
 
-    if max_requests is not None:
-        mr_c = np.int64(max_requests)
+    if max_requests is not None or credits is not None:
+        # either explicit arg selects the flat path — credits= alone
+        # must not be silently dropped in favor of the plan dimension
+        mr_c = np.int64(40 if max_requests is None else max_requests)
         cr_c = np.int64(5 if credits is None else credits)
 
         def replay_flat(df: pd.DataFrame) -> pd.DataFrame:
@@ -719,17 +721,21 @@ def device_admission(sf_dir: str):
     projected to a stable device id), distinct (user, device) pairs are
     pre-deduped per batch, and the per-user distinct count co-group-
     joins the plan dimension for the ≤ device_limit predicate. Null
-    parses are excluded from the count (SQL count(DISTINCT) parity)."""
+    parses count 0 devices but KEEP the user in the output (SQL
+    count(DISTINCT) over all-NULL is 0, not an absent row — a user
+    whose every event is unparseable is still admitted/denied against
+    the limit; both sides use the device_info anchored parse, so
+    non-minimal JSON is 'unparseable' in BOTH engines)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "props"])
 
     def devices(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(batch["props"], pattern=r'^\{"k":\s*(?P<k>\d+)\}$')
         k = pc.struct_field(m, "k").cast(pa.int64())
         # stable device id: project the parsed payload onto 8 device
-        # slots (a user-agent-hash analogue)
+        # slots (a user-agent-hash analogue). Null parses stay as null
+        # pairs so the user survives the count (nunique skips them)
         dev = pc.cast(pc.bit_wise_and(k, pa.scalar(7, pa.int64())), pa.int64())
         t = pa.table({"user_id": batch["user_id"], "device_key": dev})
-        t = t.filter(pc.is_valid(t["device_key"]))
         # per-batch partial dedup: the shuffle ships distinct pairs only
         return t.group_by(["user_id", "device_key"]).aggregate([])
 

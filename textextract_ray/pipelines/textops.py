@@ -265,8 +265,11 @@ def decontaminate(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
         pos = np.searchsorted(bg, flat)
         hit = (pos < len(bg)) & (bg[np.minimum(pos, len(bg) - 1)] == flat) if len(bg) else np.zeros(len(flat), dtype=bool)
         n_grams = np.diff(offs)
-        shared = np.add.reduceat(hit, offs[:-1], dtype=np.int64) if len(flat) else np.zeros(len(texts), dtype=np.int64)
-        shared = np.where(n_grams > 0, shared, 0)
+        # per-doc segment sums via cumsum-diff: safe for zero-gram docs
+        # anywhere incl. the batch TAIL (reduceat raises on an offset
+        # == len(flat), which trailing sub-n-token docs produce)
+        csum = np.concatenate(([0], np.cumsum(hit.astype(np.int64))))
+        shared = csum[offs[1:]] - csum[offs[:-1]]
         frac = np.where(n_grams > 0, shared / np.maximum(n_grams, 1), 0.0)
         # round(4) half-away-from-zero to match DuckDB (np.round is
         # banker's); frac is nonnegative so floor(x*1e4 + 0.5) does it
@@ -736,6 +739,12 @@ def heavy_hitters_over(pages, *, k: int = 10, support_frac: float = 0.001):
     # exact n_pages sit side by side). The k-host set is broadcast
     # once; the pass ships k partial counters per batch, never the host
     # universe. The hybrid oracle recomputes n_pages exactly in SQL.
+    # This second corpus pass is inherent to exact counts for a set
+    # chosen by the first pass: emitting counts during nomination would
+    # undercount hosts nominated only in OTHER batches, and emitting
+    # counts for ALL hosts is the per-batch-distinct groupby the CM
+    # sketch exists to avoid. At 100 TB you would drop this exact-count
+    # garnish and ship est_count alone.
     sel_ref = ray.put(set(top_hosts.tolist()))
 
     def exact_partial(batch: pa.Table) -> pa.Table:

@@ -76,6 +76,17 @@ def read_pages(paths, columns=None) -> rd.Dataset:
 
         expanded = []
         filesystem = None
+        uri_schemes = {str(p).split("://", 1)[0] for p in paths if "://" in str(p)}
+        plain = [p for p in paths if "://" not in str(p)]
+        # one filesystem is passed to read_parquet for the WHOLE list —
+        # a mixed list would silently resolve the other entries against
+        # the first entry's filesystem (wrong data or FileNotFound)
+        if len(uri_schemes) > 1 or (uri_schemes and plain):
+            raise ValueError(
+                "read_pages: all shard paths must share one filesystem; got "
+                f"schemes {sorted(uri_schemes)}"
+                + (f" plus {len(plain)} plain local path(s)" if plain else "")
+            )
         for p in paths:
             if "://" in str(p):
                 f, sp = pafs.FileSystem.from_uri(str(p))

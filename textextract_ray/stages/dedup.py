@@ -188,8 +188,11 @@ class MinHashBandKeys:
         return pa.table(
             {
                 # id keeps the column's native type (ints and strings
-                # both work — nothing here narrows to int64)
-                "id": pa.array(out_ids),
+                # both work — nothing here narrows to int64); typed
+                # explicitly so an ALL-skipped batch (every doc empty)
+                # does not emit a null-typed block that breaks schema
+                # unification
+                "id": pa.array(out_ids, type=batch[self.id_col].type),
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.string()),
             }
