@@ -56,3 +56,84 @@ def test_frame_sample_flatmap(media_ds):
     assert len(df) == 16  # 4 media x 4 frames
     assert set(df["frame_index"]) == {0, 1, 2, 3}
     assert (df["frame"].str.len() > 0).all()
+
+
+def test_png_codec_round_trip_all_filters():
+    """Own stdlib PNG codec: encode→decode is identity for gray /
+    gray+alpha / RGB / RGBA across ALL five row filters (each filter
+    exercises a distinct reconstruction branch)."""
+    import numpy as np
+
+    from textextract_ray.png import png_decode, png_encode
+
+    rng = np.random.RandomState(3)
+    shapes = [(7, 5), (6, 4, 2), (5, 9, 3), (8, 3, 4)]
+    for shape in shapes:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            data = png_encode(px, filter_type=ft)
+            out = png_decode(data)
+            np.testing.assert_array_equal(out, px), (shape, ft)
+
+
+def test_png_codec_rejects_malformed():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from textextract_ray.png import has_valid_ihdr, png_decode, png_encode
+
+    good = png_encode(np.zeros((4, 4), dtype=np.uint8))
+    assert has_valid_ihdr(good)
+
+    # corrupt one IDAT byte → CRC failure
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad))
+
+    # 16-bit depth: patch IHDR + refresh its CRC → unsupported-subset error
+    deep = bytearray(good)
+    deep[24] = 16
+    deep[29:33] = struct.pack(">I", zlib.crc32(bytes(deep[12:29])) & 0xFFFFFFFF)
+    assert has_valid_ihdr(bytes(deep))
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(bytes(deep))
+
+    # magic-prefix-only synthetic payload (the driver corpus shape)
+    assert not has_valid_ihdr(b"\x89PNG\r\n\x1a\n" + b"hello world")
+
+
+def test_decode_image_real_png_vs_stub(ray_session):
+    """DecodeImage routes structurally-valid PNGs through the REAL
+    codec (true dimensions) while magic-only synthetic payloads keep
+    the deterministic stub path — so the driver-gate oracle formula
+    still holds for the synthetic corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.png import png_encode
+    from textextract_ray.stages.multimodal import decode_images
+
+    real = png_encode(np.zeros((12, 34, 3), dtype=np.uint8))
+    fake = b"\x89PNG\r\n\x1a\n" + "some text payload".encode()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "media": pa.array([real, fake], pa.binary()),
+                "media_type": pa.array(["image", "image"], pa.string()),
+            }
+        )
+    )
+    out = decode_images(ds).to_pandas().set_index("media_id")
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (34, 12)
+    assert out.loc[1, "status"] == "ok"
+    n = len(fake)
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (
+        n * 7 % 1024 + 16,
+        n * 13 % 1024 + 16,
+    )

@@ -1,0 +1,176 @@
+"""Pure-stdlib PNG codec (encode + decode), no PIL required.
+
+Upgrades the multimodal DecodeImage stage from "stubbed codec" to a
+REAL decode path for the one image format a stdlib-only container can
+fully handle: PNG is zlib (stdlib) + chunk framing + per-row filters
+(RFC 2083 / W3C PNG spec). Analogous in spirit to the repo's stdlib
+PDF text extractor (textextract_ray/pdf.py; reference image handling
+src/ocr.py:43-67).
+
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+6 (RGBA), non-interlaced, all five row filters (None/Sub/Up/Average/
+Paeth). Interlaced (Adam7) and sub-8-bit images raise ValueError —
+callers surface that as a decode_error status row, never a task crash.
+
+Performance note: filters Sub/Average/Paeth reconstruct sequentially
+along the row (the left neighbor is the RECONSTRUCTED byte), so those
+rows decode in a per-byte Python loop; filter None/Up rows are
+vectorized. Our own encoder emits filter 0 (fully vectorized decode);
+arbitrary real-world PNGs decode correctly but at Python speed — at
+production scale you would swap in PIL inside the same actor, which
+DecodeImage already prefers when importable.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channels
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def png_encode(pixels: "np.ndarray", *, filter_type: int = 0) -> bytes:
+    """Encode a uint8 array as a valid PNG: (h, w) gray, or (h, w, c)
+    with c in {2: gray+alpha, 3: RGB, 4: RGBA}. ``filter_type`` applies
+    the same filter to every row (0 is the fast path; 1-4 exist so
+    tests can exercise every decoder branch with real filtered data)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w, c = px.shape[0], px.shape[1], 1
+        color_type = 0
+    elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
+        h, w, c = px.shape
+        color_type = {2: 4, 3: 2, 4: 6}[c]
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter_type {filter_type}")
+
+    flat = px.reshape(h, w * c).astype(np.int64)
+    prev = np.zeros(w * c, dtype=np.int64)
+    rows = []
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, dtype=np.int64), cur[:-c]])
+        up = prev
+        upleft = np.concatenate([np.zeros(c, dtype=np.int64), prev[:-c]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - up
+        elif filter_type == 3:
+            filt = cur - (left + up) // 2
+        else:  # Paeth
+            p = left + up - upleft
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, upleft)
+            )
+            filt = cur - pred
+        rows.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def has_valid_ihdr(data: bytes) -> bool:
+    """Cheap structural probe: PNG signature followed by a well-formed
+    IHDR chunk (the multimodal stage uses this to route REAL PNGs to
+    the decoder while magic-prefix-only synthetic payloads keep the
+    deterministic stub path)."""
+    if not data.startswith(_SIGNATURE) or len(data) < 33:
+        return False
+    length, tag = struct.unpack(">I4s", data[8:16])
+    if tag != b"IHDR" or length != 13:
+        return False
+    crc = struct.unpack(">I", data[29:33])[0]
+    return crc == (zlib.crc32(data[12:29]) & 0xFFFFFFFF)
+
+
+def png_decode(data: bytes) -> "np.ndarray":
+    """Decode a PNG to a uint8 array: (h, w) for gray, (h, w, c)
+    otherwise. Raises ValueError on anything malformed or outside the
+    supported subset (see module docstring)."""
+    if not data.startswith(_SIGNATURE):
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(data):
+        length, tag = struct.unpack(">I4s", data[pos : pos + 8])
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise ValueError(f"truncated chunk {tag!r}")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in chunk {tag!r}")
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    c = _CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft, body = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if ft == 0:
+            cur = body.copy()
+        elif ft == 2:  # Up — vectorized
+            cur = body + prev
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
+                cur[x] = (int(body[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w) if c == 1 else out.reshape(h, w, c)

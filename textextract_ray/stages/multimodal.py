@@ -8,14 +8,17 @@ stages shaped exactly like production ones (state in ``__init__``,
 small batch sizes for large payloads, Arrow in/out, fixed output
 schemas).
 
-STUB NOTICE: this container has no image/audio codecs (no PIL, no
-ffmpeg), so the codec call inside each stage is stubbed. Each stage
-first tries the real library; without it, it either (a) raises
-``NotImplementedError`` when ``strict=True``, or (b) runs a
-DETERMINISTIC FAKE decode — metadata derived purely from the payload
-bytes (magic number, length) — so schemas, batch flow, and output
-layout are fully real and testable. Swap ``_fake_*`` for the codec
-calls on a machine that has them.
+CODEC NOTICE: this container has no PIL/ffmpeg, but PNG needs only
+stdlib zlib — ``textextract_ray.png`` is a real pure-stdlib PNG codec,
+and DecodeImage uses it for any payload with a VALID PNG structure
+(signature + well-formed IHDR): real width/height, real decode errors.
+The decode ladder is PIL (if importable) → own PNG codec → stub. The
+stub remains for every other format and for magic-prefix-only
+synthetic payloads (the driver corpus): metadata derived purely from
+the payload bytes (magic number, length), deterministic and
+SQL-expressible, so schemas, batch flow, and output layout stay
+testable. ``strict=True`` raises instead of stubbing. ffmpeg-shaped
+stages (FrameSample) stay stubbed — video decode has no stdlib path.
 """
 
 from __future__ import annotations
@@ -92,10 +95,17 @@ class DecodeImage:
 
             with self._pil.open(io.BytesIO(payload)) as im:
                 return im.format.lower(), im.width, im.height, "ok"
+        from ..png import has_valid_ihdr, png_decode
+
+        if has_valid_ihdr(payload):
+            # real decode (own stdlib codec): real dims, and a real
+            # decode_error status if the pixel data is malformed
+            px = png_decode(payload)
+            return "png", int(px.shape[1]), int(px.shape[0]), "ok"
         if self.strict:
             raise NotImplementedError(
-                "image decode requires PIL; not available in this container "
-                "(stub path: DecodeImage(strict=False))"
+                "non-PNG image decode requires PIL; not available in this "
+                "container (stub path: DecodeImage(strict=False))"
             )
         fmt = sniff_format(payload)
         w, h = _fake_dims(payload)
