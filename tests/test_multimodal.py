@@ -73,7 +73,7 @@ def test_png_codec_round_trip_all_filters():
         for ft in range(5):
             data = png_encode(px, filter_type=ft)
             out = png_decode(data)
-            np.testing.assert_array_equal(out, px), (shape, ft)
+            np.testing.assert_array_equal(out, px, err_msg=str((shape, ft)))
 
 
 def test_png_codec_rejects_malformed():
@@ -137,3 +137,65 @@ def test_decode_image_real_png_vs_stub(ray_session):
         n * 7 % 1024 + 16,
         n * 13 % 1024 + 16,
     )
+
+
+def test_png_codec_bomb_and_subset_routing(ray_session):
+    """Hardening: a high-ratio crafted IDAT cannot allocate past the
+    IHDR-derived size (bounded inflate → ValueError, no OOM); corrupt
+    zlib streams surface as ValueError per the documented contract;
+    and a VALID palette PNG (outside the stdlib subset) routes to the
+    stub with status ok — or NotImplementedError under strict — never
+    to decode_error."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from textextract_ray.png import (
+        UnsupportedPngError,
+        _chunk,
+        _SIGNATURE,
+        png_decode,
+        png_encode,
+    )
+    from textextract_ray.stages.multimodal import DecodeImage
+
+    # decompression bomb: IHDR says 4x4 gray, IDAT inflates to 50 MB
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * (50 << 20)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        png_decode(bomb)
+
+    # corrupt zlib stream with a VALID chunk CRC → ValueError, not zlib.error
+    garbage = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"\x99" * 30) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        png_decode(garbage)
+
+    # valid palette PNG (color type 3): UnsupportedPngError from the
+    # codec; stub 'ok' from the stage; NotImplementedError in strict
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes(range(12))
+    pal_rows = zlib.compress(b"\x00\x00\x01" + b"\x00\x02\x03")
+    palette = (
+        _SIGNATURE
+        + _chunk(b"IHDR", pal_ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", pal_rows)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedPngError):
+        png_decode(palette)
+    fmt, w, h, status = DecodeImage()._decode(palette)
+    assert (fmt, status) == ("png", "ok")  # stub path, not decode_error
+    with pytest.raises(NotImplementedError):
+        DecodeImage(strict=True)._decode(palette)
+
+    # round-trip still good after the bounded-inflate change
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    np.testing.assert_array_equal(png_decode(png_encode(px)), px)

@@ -34,6 +34,13 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+class UnsupportedPngError(ValueError):
+    """A structurally VALID PNG outside the supported subset (palette,
+    16-bit, interlaced). Distinct from malformed-data ValueError so
+    callers can fall back (e.g. to a stub or PIL) for valid images
+    while still surfacing corrupt ones as decode errors."""
+
+
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
@@ -122,6 +129,10 @@ def png_decode(data: bytes) -> "np.ndarray":
         if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
             raise ValueError(f"bad CRC in chunk {tag!r}")
         if tag == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR chunk")
+            if length != 13:
+                raise ValueError(f"IHDR length {length} != 13")
             ihdr = payload
         elif tag == b"IDAT":
             idat.append(payload)
@@ -132,17 +143,26 @@ def png_decode(data: bytes) -> "np.ndarray":
         raise ValueError("missing IHDR or IDAT")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth}")
+        raise UnsupportedPngError(f"unsupported bit depth {depth}")
     if color_type not in _CHANNELS:
-        raise ValueError(f"unsupported color type {color_type}")
+        raise UnsupportedPngError(f"unsupported color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported compression/filter method")
     if interlace != 0:
-        raise ValueError("interlaced PNG unsupported")
+        raise UnsupportedPngError("interlaced PNG unsupported")
     c = _CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * c
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: the exact output size is known from IHDR, so a
+    # crafted high-ratio IDAT (decompression bomb) can never allocate
+    # past expected+1 bytes, and anything that disagrees with the
+    # dimensions is malformed
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) != expected or not d.eof or d.unconsumed_tail:
         raise ValueError("IDAT length does not match dimensions")
 
     out = np.zeros((h, stride), dtype=np.uint8)

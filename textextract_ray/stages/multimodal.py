@@ -28,6 +28,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..png import UnsupportedPngError, has_valid_ihdr, png_decode
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -95,13 +97,23 @@ class DecodeImage:
 
             with self._pil.open(io.BytesIO(payload)) as im:
                 return im.format.lower(), im.width, im.height, "ok"
-        from ..png import has_valid_ihdr, png_decode
-
         if has_valid_ihdr(payload):
-            # real decode (own stdlib codec): real dims, and a real
-            # decode_error status if the pixel data is malformed
-            px = png_decode(payload)
-            return "png", int(px.shape[1]), int(px.shape[0]), "ok"
+            try:
+                # real decode (own stdlib codec): real dims, and a real
+                # decode_error status if the pixel data is malformed
+                px = png_decode(payload)
+                return "png", int(px.shape[1]), int(px.shape[0]), "ok"
+            except UnsupportedPngError:
+                # VALID image outside the stdlib codec's subset
+                # (palette/16-bit/interlaced): not a decode error —
+                # strict demands a real codec, non-strict stubs it
+                if not self.strict:
+                    w, h = _fake_dims(payload)
+                    return "png", w, h, "ok"
+                raise NotImplementedError(
+                    "PNG outside the stdlib codec subset requires PIL; "
+                    "not available in this container"
+                ) from None
         if self.strict:
             raise NotImplementedError(
                 "non-PNG image decode requires PIL; not available in this "
