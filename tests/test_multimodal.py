@@ -199,3 +199,51 @@ def test_png_codec_bomb_and_subset_routing(ray_session):
     # round-trip still good after the bounded-inflate change
     px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     np.testing.assert_array_equal(png_decode(png_encode(px)), px)
+
+
+def test_decode_audio_real_wav_and_stub(ray_session):
+    """DecodeAudio parses real RIFF/WAV via stdlib wave (true sample
+    rate / channels / frame count / duration), stubs other formats
+    deterministically, and surfaces malformed RIFF as a decode_error
+    status row."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.stages.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x01" * 2 * 8000)  # 8000 frames = 500 ms
+    real = buf.getvalue()
+    broken = b"RIFF" + b"\x00" * 4 + b"WAVEjunkjunk"
+    other = b"\xff\xd8\xff not audio"
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], pa.int64()),
+                "media": pa.array([real, broken, other], pa.binary()),
+                "media_type": pa.array(["audio"] * 3, pa.string()),
+            }
+        )
+    )
+    out = decode_audio(ds).to_pandas().set_index("media_id")
+    assert out.loc[1, ["format", "sample_rate", "channels", "n_frames", "duration_ms"]].tolist() == [
+        "wav", 16000, 2, 8000, 500
+    ]
+    assert out.loc[1, "status"] == "ok"
+    assert out.loc[2, "status"].startswith("decode_error")
+    assert out.loc[3, "status"] == "stubbed"
+
+    two = decode_audio(rd.from_arrow(pa.table(
+        {"media_id": pa.array([1], pa.int64()),
+         "media": pa.array([other], pa.binary()),
+         "media_type": pa.array(["audio"], pa.string())}
+    ))).to_pandas()
+    assert two["sample_rate"].iloc[0] == 8000 + len(other) % 40000  # deterministic stub

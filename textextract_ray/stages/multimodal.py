@@ -213,6 +213,102 @@ class FrameSample:
         )
 
 
+AUDIO_META_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("format", pa.string()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("channels", pa.int32()),
+        pa.field("sample_width", pa.int32()),  # bytes per sample
+        pa.field("n_frames", pa.int64()),
+        pa.field("duration_ms", pa.int64()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload -> typed audio metadata.
+
+    WAV/PCM decodes for REAL via the stdlib ``wave`` module (RIFF is
+    the one audio container a codec-less box can fully parse — the
+    audio analogue of the stdlib PNG codec); other formats get the
+    deterministic stub (metadata derived from payload bytes) or, with
+    ``strict=True``, NotImplementedError. Malformed RIFF payloads
+    become ``decode_error`` status rows, never task crashes."""
+
+    def __init__(self, *, strict: bool = False):
+        self.strict = strict
+
+    def _decode(self, payload: bytes) -> tuple:
+        import io
+        import wave
+
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(payload)) as w:
+                rate, ch, width, n = (
+                    w.getframerate(),
+                    w.getnchannels(),
+                    w.getsampwidth(),
+                    w.getnframes(),
+                )
+            dur = int(n * 1000 / rate) if rate else 0
+            return "wav", rate, ch, width, n, dur, "ok"
+        if self.strict:
+            raise NotImplementedError(
+                "non-WAV audio decode requires ffmpeg/soundfile; not "
+                "available in this container (stub: DecodeAudio(strict=False))"
+            )
+        n = len(payload)
+        # deterministic stub, same spirit as _fake_dims
+        return (
+            sniff_format(payload),
+            8000 + n % 40000,
+            1 + n % 2,
+            2,
+            n,
+            int(n * 1000 / (8000 + n % 40000)),
+            "stubbed",
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        rows = []
+        for p in payloads:
+            try:
+                rows.append(self._decode(p or b""))
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                rows.append(("wav", 0, 0, 0, 0, 0, f"decode_error: {type(exc).__name__}"))
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(list(cols[0]), pa.string()),
+                pa.array(list(cols[1]), pa.int32()),
+                pa.array(list(cols[2]), pa.int32()),
+                pa.array(list(cols[3]), pa.int32()),
+                pa.array(list(cols[4]), pa.int64()),
+                pa.array(list(cols[5]), pa.int64()),
+                pa.array(list(cols[6]), pa.string()),
+            ],
+            schema=AUDIO_META_SCHEMA,
+        )
+
+
+def decode_audio(media_ds, *, batch_size: int = 32, concurrency=(1, 8), strict: bool = False):
+    return media_ds.map_batches(
+        DecodeAudio,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"strict": strict},
+    )
+
+
 def decode_images(media_ds, *, batch_size: int = 32, concurrency=(1, 8), strict: bool = False):
     """media Dataset -> image metadata Dataset. Small batch_size: a
     batch × concurrency of multi-MB payloads must fit worker heaps."""
