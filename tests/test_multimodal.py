@@ -247,3 +247,81 @@ def test_decode_audio_real_wav_and_stub(ray_session):
          "media_type": pa.array(["audio"], pa.string())}
     ))).to_pandas()
     assert two["sample_rate"].iloc[0] == 8000 + len(other) % 40000  # deterministic stub
+
+
+def _minimal_jpeg(w, h, marker=0xC0, pre=b"", fill=b""):
+    """SOI [+pre segment] + SOF with the given code; enough structure
+    for a header parse (no entropy data needed)."""
+    sof_payload = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    seg = bytes([0xFF, marker]) + (len(sof_payload) + 2).to_bytes(2, "big") + sof_payload
+    return b"\xff\xd8" + pre + fill + seg + b"\xff\xd9"
+
+
+def _minimal_gif(w, h, gct=False, trailer=b"\x3b"):
+    flags = 0x91 if gct else 0x11  # GCT flag + 4-color table when set
+    head = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([flags, 0, 0])
+    )
+    if gct:
+        head += b"\x01\x02\x03" * 4
+    return head + trailer
+
+
+def test_jpeg_gif_header_parsers():
+    """imagemeta parses real SOF / logical-screen structures exactly
+    and returns None for magic-prefix-only junk (so the stub path in
+    the decode ladder stays reachable for synthetic payloads)."""
+    from textextract_ray.imagemeta import gif_dims, jpeg_dims
+
+    # baseline, progressive, APP0-prefixed, fill-byte-padded
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    assert jpeg_dims(_minimal_jpeg(640, 480)) == (640, 480)
+    assert jpeg_dims(_minimal_jpeg(31, 7, marker=0xC2)) == (31, 7)
+    assert jpeg_dims(_minimal_jpeg(9, 5, pre=app0)) == (9, 5)
+    assert jpeg_dims(_minimal_jpeg(9, 5, pre=app0, fill=b"\xff\xff")) == (9, 5)
+    # junk, truncation, zero dims, DHT-not-SOF, EOI-before-SOF
+    assert jpeg_dims(b"\xff\xd8\xff" + b"y" * 50) is None
+    assert jpeg_dims(_minimal_jpeg(640, 480)[:8]) is None
+    assert jpeg_dims(_minimal_jpeg(0, 480)) is None
+    assert jpeg_dims(_minimal_jpeg(4, 4, marker=0xC4) ) is None
+    assert jpeg_dims(b"\xff\xd8\xff\xd9") is None
+
+    assert gif_dims(_minimal_gif(320, 200)) == (320, 200)
+    assert gif_dims(_minimal_gif(320, 200, gct=True)) == (320, 200)
+    assert gif_dims(_minimal_gif(1, 1, trailer=b"\x2c")) == (1, 1)
+    assert gif_dims(b"GIF89a" + b"z" * 10) is None  # junk next-block byte
+    assert gif_dims(_minimal_gif(0, 200)) is None
+    assert gif_dims(_minimal_gif(3, 3)[:12]) is None
+
+
+def test_decode_image_real_jpeg_gif_headers(ray_session):
+    """The ladder returns REAL dims for structurally valid JPEG/GIF
+    (even under strict), and keeps the deterministic stub for
+    magic-prefix-only payloads."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.stages.multimodal import decode_images
+
+    jpg = _minimal_jpeg(1920, 1080)
+    gif = _minimal_gif(64, 32, gct=True)
+    stub_jpg = b"\xff\xd8\xff" + b"y" * 50
+
+    ds = rd.from_arrow(pa.table(
+        {"media_id": pa.array([1, 2, 3], pa.int64()),
+         "media": pa.array([jpg, gif, stub_jpg], pa.binary()),
+         "media_type": pa.array(["image"] * 3, pa.string())}
+    ))
+    out = decode_images(ds).to_pandas().set_index("media_id")
+    assert out.loc[1, ["format", "width", "height"]].tolist() == ["jpeg", 1920, 1080]
+    assert out.loc[2, ["format", "width", "height"]].tolist() == ["gif", 64, 32]
+    n = len(stub_jpg)
+    assert out.loc[3, ["width", "height"]].tolist() == [(n * 7) % 1024 + 16, (n * 13) % 1024 + 16]
+
+    strict = decode_images(ds.filter(lambda r: r["media_id"] <= 2), strict=True).to_pandas()
+    assert sorted(strict["format"]) == ["gif", "jpeg"]  # header parse is a real decode

@@ -28,6 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..imagemeta import gif_dims, jpeg_dims
 from ..png import UnsupportedPngError, has_valid_ihdr, png_decode
 
 MEDIA_SCHEMA = pa.schema(
@@ -114,6 +115,18 @@ class DecodeImage:
                     "PNG outside the stdlib codec subset requires PIL; "
                     "not available in this container"
                 ) from None
+        # JPEG/GIF: real *header* metadata via stdlib struct parsing
+        # (imagemeta.py) — dims come from the actual SOF / logical
+        # screen descriptor, so this is a real decode of everything
+        # this stage emits, valid even under strict. The parsers
+        # return None for magic-prefix-only junk, which falls through
+        # to the stub (or the strict raise) exactly as before.
+        dims = jpeg_dims(payload)
+        if dims is not None:
+            return "jpeg", dims[0], dims[1], "ok"
+        dims = gif_dims(payload)
+        if dims is not None:
+            return "gif", dims[0], dims[1], "ok"
         if self.strict:
             raise NotImplementedError(
                 "non-PNG image decode requires PIL; not available in this "
