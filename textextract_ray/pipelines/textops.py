@@ -1424,3 +1424,197 @@ def training_order(sf_dir: str, *, seed: int = 0):
         ["shuffle_key", "doc_id"]
     )
     return out.to_pandas().reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (C4 / Dolma style)
+# ---------------------------------------------------------------------------
+
+PARA_DEDUP_BROADCAST_BUDGET = 5_000_000  # drop-pair rows the driver may hold
+
+
+def paragraph_dedup_ds(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 30,
+    num_buckets: int = 64,
+    drop_empty: bool = True,
+    broadcast_budget: int = PARA_DEDUP_BROADCAST_BUDGET,
+):
+    """Corpus-wide duplicate-PARAGRAPH removal (C4 §2.2 / Dolma style):
+    every paragraph (``sep``-delimited span) of length >= ``min_chars``
+    survives only at its globally first occurrence — smallest
+    (doc_id, para_idx) — and later occurrences are cut out of their
+    documents; spans shorter than ``min_chars`` (headers, blank lines)
+    bypass dedup and are always kept. Deterministic and
+    layout-invariant: the winner is an order statistic, not an
+    encounter order.
+
+    Distributed shape (SCALE.md inventory): one hash-bucket shuffle of
+    the *eligible paragraphs* co-locates equal texts
+    (exactness on the full string, no collision risk), each bucket
+    emits only its LOSERS as (doc_id, para_idx) pairs — O(duplicate
+    occurrences), not O(corpus). Reassembly never reshuffles the
+    corpus: under ``broadcast_budget`` the drop pairs broadcast via
+    ``ray.put`` and documents stream through a vectorized patch map
+    (untouched docs take a pure ``is_in`` fast path); past the budget
+    a tag-union + doc_id-bucket co-group patches without any driver
+    materialization. Returns (id_col, text_col, n_dropped) rows;
+    documents whose every span is cut disappear when ``drop_empty``.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.scalar import stable_bucket
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        parts = pc.split_pattern(text, sep)
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lens) - lens
+        para_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        t = pa.table(
+            {
+                id_col: pc.take(batch[id_col], parents),
+                "para_idx": pa.array(para_idx, pa.int64()),
+                "para": flat,
+            }
+        )
+        return t.filter(pc.greater_equal(pc.utf8_length(t["para"]), min_chars))
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["para", id_col, "para_idx"], kind="mergesort")
+        dup = df.duplicated(subset=["para"], keep="first")
+        return df.loc[dup, [id_col, "para_idx"]]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(stable_bucket(batch["para"], num_buckets), pa.int32())
+        )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        out = losers(df.drop(columns=["_bucket"]))
+        if len(out) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "para_idx": pd.Series(dtype="int64")}
+            )
+        return out
+
+    drops = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(apply, batch_format="pandas")
+        .materialize()  # O(duplicate occurrences), reused twice below
+    )
+
+    def patch_rows(ids, texts, drop_map):
+        out_id, out_text, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            cut = drop_map.get(i)
+            t = t or ""
+            if not cut:
+                new, n = t, 0
+            else:
+                paras = t.split(sep)
+                kept = [p for j, p in enumerate(paras) if j not in cut]
+                new, n = sep.join(kept), len(paras) - len(kept)
+            if drop_empty and not new:
+                continue
+            out_id.append(i)
+            out_text.append(new)
+            out_n.append(n)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                text_col: pa.array(out_text, pa.string()),
+                "n_dropped": pa.array(out_n, pa.int32()),
+            }
+        )
+
+    if drops.count() <= broadcast_budget:
+        dmap: dict = {}
+        for row in drops.to_pandas().itertuples(index=False):
+            dmap.setdefault(int(row[0]), set()).add(int(row[1]))
+        ref = ray.put(dmap)
+
+        def patch(batch: pa.Table) -> pa.Table:
+            drop_map = ray.get(ref)
+            if not drop_map:
+                n = pa.array(np.zeros(len(batch), np.int32), pa.int32())
+                t = pa.table(
+                    {
+                        id_col: batch[id_col],
+                        text_col: pc.fill_null(batch[text_col], ""),
+                        "n_dropped": n,
+                    }
+                )
+                if drop_empty:
+                    t = t.filter(pc.greater(pc.utf8_length(t[text_col]), 0))
+                return t
+            return patch_rows(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist(), drop_map
+            )
+
+        return docs.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)
+
+    # co-group fallback: union(docs side=0, drops side=1) bucketed by
+    # doc_id; each bucket patches its own documents — no driver state
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pc.fill_null(batch[text_col], ""),
+                "para_idx": pa.nulls(len(batch), pa.int64()),
+                "_bucket": pa.array(
+                    stable_bucket(batch[id_col].cast(pa.string()), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.nulls(len(batch), pa.string()),
+                "para_idx": batch["para_idx"],
+                "_bucket": pa.array(
+                    stable_bucket(batch[id_col].cast(pa.string()), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df[df["para_idx"].notna()]
+        drop_map = {
+            int(k): set(int(v) for v in g)
+            for k, g in dd.groupby(id_col)["para_idx"]
+        }
+        side = df[df["para_idx"].isna()]
+        t = patch_rows(
+            side[id_col].astype("int64").tolist(), side[text_col].tolist(), drop_map
+        )
+        return t.to_pandas()
+
+    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(tag_drops, batch_format="pyarrow")
+    )
+    return unioned.groupby("_bucket").map_groups(rebuild, batch_format="pandas")
+
+
+def paragraph_dedup(sf_dir: str, **kw):
+    """paragraph_dedup_ds over the documents table, sorted for compare."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        paragraph_dedup_ds(docs, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
