@@ -325,3 +325,24 @@ def test_decode_image_real_jpeg_gif_headers(ray_session):
 
     strict = decode_images(ds.filter(lambda r: r["media_id"] <= 2), strict=True).to_pandas()
     assert sorted(strict["format"]) == ["gif", "jpeg"]  # header parse is a real decode
+
+
+def test_webp_header_parser():
+    from textextract_ray.imagemeta import webp_dims
+
+    def riff(tag, body):
+        chunk = tag + len(body).to_bytes(4, "little") + body
+        return b"RIFF" + (len(chunk) + 4).to_bytes(4, "little") + b"WEBP" + chunk
+
+    vp8x = riff(b"VP8X", bytes([0x08, 0, 0, 0]) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert webp_dims(vp8x) == (640, 480)
+    bits = (99 - 1) | ((77 - 1) << 14)
+    vp8l = riff(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00")
+    assert webp_dims(vp8l) == (99, 77)
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00")
+    assert webp_dims(vp8) == (320, 200)
+    # junk RIFF, wav RIFF, bad VP8L signature byte, truncation
+    assert webp_dims(b"RIFF" + b"\x00" * 26) is None
+    assert webp_dims(b"RIFF\x10\x00\x00\x00WAVEfmt " + b"\x00" * 16) is None
+    assert webp_dims(riff(b"VP8L", b"\x30\x00\x00\x00\x00\x00")) is None
+    assert webp_dims(vp8x[:20]) is None

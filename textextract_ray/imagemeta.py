@@ -76,6 +76,42 @@ def jpeg_dims(data: bytes) -> Optional[Tuple[int, int]]:
     return None
 
 
+def webp_dims(data: bytes) -> Optional[Tuple[int, int]]:
+    """(width, height) from a structurally valid WebP RIFF container,
+    or None. Covers all three first-chunk layouts: VP8X (extended,
+    24-bit canvas minus one), VP8L (lossless, 14-bit packed fields),
+    and VP8 (lossy, keyframe start code + 14-bit dims)."""
+    if len(data) < 21 or not data.startswith(b"RIFF") or data[8:12] != b"WEBP":
+        return None
+    riff_len = int.from_bytes(data[4:8], "little")
+    if riff_len + 8 > len(data) + 64:  # allow mild padding slack only
+        return None
+    tag, chunk_len = data[12:16], int.from_bytes(data[16:20], "little")
+    body = data[20 : 20 + chunk_len]
+    if tag == b"VP8X":
+        if chunk_len < 10 or len(body) < 10:
+            return None
+        width = int.from_bytes(body[4:7], "little") + 1
+        height = int.from_bytes(body[7:10], "little") + 1
+        return width, height
+    if tag == b"VP8L":
+        if chunk_len < 5 or len(body) < 5 or body[0] != 0x2F:
+            return None
+        bits = int.from_bytes(body[1:5], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+        return width, height
+    if tag == b"VP8 ":
+        if chunk_len < 10 or len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+            return None
+        width = int.from_bytes(body[6:8], "little") & 0x3FFF
+        height = int.from_bytes(body[8:10], "little") & 0x3FFF
+        if width == 0 or height == 0:
+            return None
+        return width, height
+    return None
+
+
 def gif_dims(data: bytes) -> Optional[Tuple[int, int]]:
     """(width, height) from the logical screen descriptor of a
     structurally valid GIF, or None. Because the LSD is raw

@@ -28,7 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..imagemeta import gif_dims, jpeg_dims
+from ..imagemeta import gif_dims, jpeg_dims, webp_dims
 from ..png import UnsupportedPngError, has_valid_ihdr, png_decode
 
 MEDIA_SCHEMA = pa.schema(
@@ -127,6 +127,9 @@ class DecodeImage:
         dims = gif_dims(payload)
         if dims is not None:
             return "gif", dims[0], dims[1], "ok"
+        dims = webp_dims(payload)
+        if dims is not None:
+            return "webp", dims[0], dims[1], "ok"
         if self.strict:
             raise NotImplementedError(
                 "non-PNG image decode requires PIL; not available in this "
