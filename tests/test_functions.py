@@ -348,3 +348,50 @@ def test_canonicalize_url_parity_and_dedup():
     con.register("t", pa.table({"u": urls}))
     want = [r[0] for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_bloom_filter_bounds_and_merge():
+    """Bloom sketch: zero false negatives, FPR within 2x of the sizing
+    target, OR-merge equals single-build, string and uint64 inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from textextract_ray.functions.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_create,
+        bloom_merge,
+        bloom_params,
+    )
+
+    rng = np.random.default_rng(11)
+    members = np.unique(rng.integers(0, 2**63, 30_000, dtype=np.int64)).astype(np.uint64)
+    others = np.setdiff1d(
+        rng.integers(0, 2**63, 30_000, dtype=np.int64).astype(np.uint64), members
+    )
+    n_bits, k = bloom_params(len(members), 0.01)
+    whole = bloom_add(bloom_create(n_bits), members, k)
+    half_a = bloom_add(bloom_create(n_bits), members[: len(members) // 2], k)
+    half_b = bloom_add(bloom_create(n_bits), members[len(members) // 2 :], k)
+    assert np.array_equal(bloom_merge(half_a, half_b), whole)
+    assert bloom_contains(whole, members, k).all()  # no false negatives
+    assert bloom_contains(whole, others, k).mean() < 0.02  # ~target FPR
+
+    sb = bloom_add(bloom_create(64 * 1024), pa.array(["x", "y"]), 7)
+    assert bloom_contains(sb, pa.array(["x", "y"]), 7).all()
+    assert not bloom_contains(sb, pa.array([f"no{i}" for i in range(200)]), 7).any()
+
+
+def test_decontaminate_bloom_path_matches_exact(ray_session, sf_dir):
+    """The Bloom broadcast path never loses a contamination hit vs the
+    exact sorted-array path, and at gate-scale data with a generous
+    sizing it matches it exactly."""
+    from textextract_ray.pipelines.textops import decontaminate
+
+    exact = decontaminate(sf_dir)
+    bloom = decontaminate(sf_dir, bloom_fpr=0.001, bloom_items=200_000)
+    assert (bloom["n_shared"] >= exact["n_shared"]).all()  # no false negatives
+    assert bloom["doc_id"].tolist() == exact["doc_id"].tolist()
+    # at this corpus size the 0.1% FPR makes disagreement vanishingly
+    # rare; equality doubles as a determinism check on the bloom build
+    assert bloom["contaminated"].tolist() == exact["contaminated"].tolist()

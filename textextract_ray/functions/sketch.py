@@ -187,3 +187,98 @@ def cm_estimate(cm: np.ndarray, values) -> np.ndarray:
         idx = ((h * np.uint64(2 * d + 1)) >> np.uint64(32)) % np.uint64(width)
         est = np.minimum(est, cm[d][idx.astype(np.int64)])
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970; Kirsch & Mitzenmacher 2006 double hashing)
+# ---------------------------------------------------------------------------
+#
+# Mergeable set-membership for the broadcast side of streaming filters
+# (decontamination / denylists / seen-sets) when the reference set
+# outgrows an exact sorted-hash array: m bits at k hash functions give
+# a tunable false-positive rate with zero false negatives, and two
+# blooms over disjoint partitions merge by bitwise OR — so the build
+# is one map_batches of partial blooms plus a tiny driver fold, and
+# the probe side stays an embarrassingly parallel batch kernel.
+# Positions come from Kirsch-Mitzenmacher double hashing
+# (h1 + i*h2 mod m), which preserves the asymptotic FPR of k
+# independent hashes with two evaluations of the repo-owned
+# splitmix64-finalized family — deterministic across processes.
+
+
+def bloom_params(n_items: int, fpr: float = 0.01) -> tuple:
+    """(n_bits, k) sized for ``n_items`` at false-positive rate
+    ``fpr``; n_bits is rounded up to a multiple of 64."""
+    if n_items <= 0:
+        return 64, 1
+    ln2 = np.log(2.0)
+    n_bits = int(np.ceil(-n_items * np.log(fpr) / (ln2 * ln2)))
+    n_bits = max(64, (n_bits + 63) // 64 * 64)
+    k = max(1, int(round(n_bits / n_items * ln2)))
+    return n_bits, k
+
+
+def bloom_create(n_bits: int) -> np.ndarray:
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    return np.zeros(n_bits // 64, dtype=np.uint64)
+
+
+def _bloom_h12(values) -> tuple:
+    """Two independent uint64 hash streams from the repo-owned family.
+    Accepts a uint64 ndarray (pre-hashed keys, e.g. n-gram hashes) or
+    anything ``hash_utf8`` takes via its string form."""
+    from .scalar import _splitmix64, hash_utf8
+
+    if isinstance(values, np.ndarray) and values.dtype == np.uint64:
+        h1 = _splitmix64(values ^ np.uint64(0xA076_1D64_78BD_642F))
+        h2 = _splitmix64(values ^ np.uint64(0xE703_7ED1_A0B4_28DB))
+    else:
+        import pyarrow as _pa
+
+        arr = values if isinstance(values, (_pa.Array, _pa.ChunkedArray)) else _pa.array(
+            [str(v) for v in values], _pa.string()
+        )
+        if arr.type != _pa.string():
+            arr = arr.cast(_pa.string())
+        import pyarrow.compute as _pc
+
+        arr = _pc.fill_null(arr, "None")
+        h1 = hash_utf8(arr, seed=0x51ED)
+        h2 = hash_utf8(arr, seed=0x2AB9)
+    return h1, h2 | np.uint64(1)  # odd h2: full-period stepping
+
+
+def bloom_add(bloom: np.ndarray, values, k: int) -> np.ndarray:
+    """Set the k positions of every value (in place; returns bloom)."""
+    if len(values) == 0:
+        return bloom
+    n_bits = np.uint64(bloom.size * 64)
+    h1, h2 = _bloom_h12(values)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % n_bits
+        np.bitwise_or.at(bloom, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bloom
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if a.size != b.size:
+        raise ValueError("bloom size mismatch")
+    return np.bitwise_or(a, b)
+
+
+def bloom_contains(bloom: np.ndarray, values, k: int) -> np.ndarray:
+    """Vectorized membership probe: bool per value (no false
+    negatives; false positives at the configured rate)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    n_bits = np.uint64(bloom.size * 64)
+    h1, h2 = _bloom_h12(values)
+    out = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % n_bits
+        bit = (bloom[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        out &= bit.astype(bool)
+    return out

@@ -198,7 +198,14 @@ def pii_scrub(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def decontaminate(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
+def decontaminate(
+    sf_dir: str,
+    *,
+    n: int = 5,
+    bench_mod: int = 97,
+    bloom_fpr=None,
+    bloom_items: int = 1_000_000,
+):
     """Test-set decontamination (Brown et al. 2020 arXiv:2005.14165
     appendix C; Lee et al. 2021 arXiv:2107.06499 — public papers): flag
     training documents sharing word n-grams with a held-out benchmark
@@ -216,10 +223,25 @@ def decontaminate(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
     sorted-array membership probe per batch, no shuffle at all. The
     oracle is exact SQL over chr(31)-joined token STRINGS where the Ray
     side probes 64-bit gram HASHES — equal up to 2^-64 collisions (the
-    same documented trade as quality_scores' repetition columns)."""
+    same documented trade as quality_scores' repetition columns).
+
+    ``bloom_fpr`` switches the broadcast side to a Bloom filter sized
+    for ``bloom_items`` grams (functions.sketch) — the scale path when
+    the reference set outgrows an exact sorted-hash array (e.g.
+    filtering against a previously-trained corpus rather than an eval
+    set): partial blooms OR-merge, the broadcast is fixed-size, and
+    the probe gains false positives at the configured rate but never
+    false negatives (contamination flags can only over-trigger, the
+    safe direction for decontamination)."""
     import ray
 
     from ..functions.text import ngram_hash_sets
+    from ..functions.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_create,
+        bloom_params,
+    )
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -232,16 +254,25 @@ def decontaminate(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
         flat, _ = ngram_hash_sets(texts, n)
         return pa.table({"gram": pa.array(np.unique(flat), pa.uint64())})
 
-    bench: list = []
     bds = ds.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
-    for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        bench.append(b["gram"].to_numpy(zero_copy_only=False))
-    bench_sorted = (
-        np.unique(np.concatenate(bench))
-        if bench
-        else np.array([], dtype=np.uint64)
-    )
-    bench_ref = ray.put(bench_sorted)
+    if bloom_fpr is not None:
+        n_bits, bloom_k = bloom_params(bloom_items, bloom_fpr)
+        bloom = bloom_create(n_bits)
+        for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            grams = b["gram"].to_numpy(zero_copy_only=False)
+            if len(grams):
+                bloom_add(bloom, grams, bloom_k)
+        bench_ref = ray.put(bloom)
+    else:
+        bench: list = []
+        for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            bench.append(b["gram"].to_numpy(zero_copy_only=False))
+        bench_sorted = (
+            np.unique(np.concatenate(bench))
+            if bench
+            else np.array([], dtype=np.uint64)
+        )
+        bench_ref = ray.put(bench_sorted)
 
     def probe(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
@@ -260,10 +291,13 @@ def decontaminate(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
         texts = sub["text"].to_pylist()
         flat, offs = ngram_hash_sets(texts, n)
         bg = ray.get(bench_ref)
-        # sorted-array membership: one searchsorted over the whole
-        # batch's grams, then per-doc segment sums
-        pos = np.searchsorted(bg, flat)
-        hit = (pos < len(bg)) & (bg[np.minimum(pos, len(bg) - 1)] == flat) if len(bg) else np.zeros(len(flat), dtype=bool)
+        if bloom_fpr is not None:
+            hit = bloom_contains(bg, flat, bloom_k)
+        else:
+            # sorted-array membership: one searchsorted over the whole
+            # batch's grams, then per-doc segment sums
+            pos = np.searchsorted(bg, flat)
+            hit = (pos < len(bg)) & (bg[np.minimum(pos, len(bg) - 1)] == flat) if len(bg) else np.zeros(len(flat), dtype=bool)
         n_grams = np.diff(offs)
         # per-doc segment sums via cumsum-diff: safe for zero-gram docs
         # anywhere incl. the batch TAIL (reduceat raises on an offset
