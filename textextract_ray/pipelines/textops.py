@@ -1652,3 +1652,69 @@ def paragraph_dedup(sf_dir: str, **kw):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-k sampling (bottom-k by hash)
+# ---------------------------------------------------------------------------
+
+
+def sample_bottomk_ds(ds, *, k: int, seed: int = 0, id_col: str = "doc_id",
+                      group_col=None):
+    """Uniform sample of EXACTLY k rows without replacement, with no
+    randomness: the sample is the k smallest values of
+    ``hash64(id, seed)`` (the repo-owned family) — a fixed order
+    statistic, so it is layout-invariant, retry-stable, and
+    reproducible from the seed alone (the bottom-k-by-hash estimator
+    of Cohen & Kaplan 2007; the same trick behind MinHash). The
+    rate-based ``stratified_sample`` cannot promise an exact count;
+    this cannot promise a per-batch rate — they are complements.
+
+    Scale shape: each batch nominates its local bottom-k (ties on the
+    id) — the true global bottom-k is necessarily inside the union of
+    local bottom-ks, so the driver merge sees O(blocks·k) candidate
+    rows, never the corpus. With ``group_col``, nomination is
+    per-group bottom-k within each batch and the merge keeps k per
+    group: candidates are O(blocks·groups·k), the usual
+    dimension-sized pull (same budget class as ann_topk's merge).
+
+    Returns a pandas frame of the sampled rows' (id[, group], key),
+    sorted by key then id.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.scalar import hash_utf8
+
+    gcols = [group_col] if group_col else []
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        key = hash_utf8(
+            pc.fill_null(batch[id_col].cast(pa.string()), "None"), seed=seed
+        ).astype(np.uint64)
+        df = pd.DataFrame({id_col: batch[id_col].to_pandas(), "_key": key})
+        for g in gcols:
+            df[g] = batch[g].to_pandas()
+        df = df.sort_values(["_key", id_col], kind="mergesort")
+        top = df.groupby(gcols, sort=False).head(k) if gcols else df.head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cand = ds.map_batches(
+        nominate, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = cand.sort_values(["_key", id_col], kind="mergesort")
+    out = out.groupby(gcols, sort=False).head(k) if gcols else out.head(k)
+    return (
+        out.rename(columns={"_key": "sample_key"})
+        .sort_values(["sample_key", id_col])
+        .reset_index(drop=True)
+    )
+
+
+def sample_bottomk(sf_dir: str, *, k: int = 100, seed: int = 0, per_lang: bool = False):
+    """sample_bottomk_ds over the documents table (optionally k docs
+    per language)."""
+    cols = ["doc_id", "lang"] if per_lang else ["doc_id"]
+    ds = read_table(sf_dir, "documents", columns=cols)
+    return sample_bottomk_ds(
+        ds, k=k, seed=seed, group_col="lang" if per_lang else None
+    )
