@@ -1572,28 +1572,48 @@ def paragraph_dedup_ds(
         )
 
     if drops.count() <= broadcast_budget:
-        dmap: dict = {}
-        for row in drops.to_pandas().itertuples(index=False):
-            dmap.setdefault(int(row[0]), set()).add(int(row[1]))
-        ref = ray.put(dmap)
+        dpdf = drops.to_pandas()
+        dmap = (
+            {int(k): set(map(int, g)) for k, g in dpdf.groupby(id_col)["para_idx"]}
+            if len(dpdf)
+            else {}
+        )
+        touched = np.fromiter(dmap.keys(), dtype=np.int64, count=len(dmap))
+        ref = ray.put((dmap, np.sort(touched)))
 
         def patch(batch: pa.Table) -> pa.Table:
-            drop_map = ray.get(ref)
-            if not drop_map:
-                n = pa.array(np.zeros(len(batch), np.int32), pa.int32())
-                t = pa.table(
-                    {
-                        id_col: batch[id_col],
-                        text_col: pc.fill_null(batch[text_col], ""),
-                        "n_dropped": n,
-                    }
-                )
-                if drop_empty:
-                    t = t.filter(pc.greater(pc.utf8_length(t[text_col]), 0))
-                return t
-            return patch_rows(
-                batch[id_col].to_pylist(), batch[text_col].to_pylist(), drop_map
+            drop_map, touched_ids = ray.get(ref)
+            ids = (
+                batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(batch)
+                else np.empty(0, np.int64)
             )
+            # vectorized fast path for rows with nothing to cut (the
+            # overwhelming majority at realistic duplicate densities)
+            hit = (
+                np.zeros(len(ids), dtype=bool)
+                if not len(touched_ids)
+                else np.isin(ids, touched_ids)
+            )
+            clean = batch.filter(pa.array(~hit))
+            t = pa.table(
+                {
+                    id_col: clean[id_col],
+                    text_col: pc.fill_null(clean[text_col], ""),
+                    "n_dropped": pa.array(
+                        np.zeros(len(clean), np.int32), pa.int32()
+                    ),
+                }
+            )
+            if drop_empty:
+                t = t.filter(pc.greater(pc.utf8_length(t[text_col]), 0))
+            if not hit.any():
+                return t
+            sub = batch.filter(pa.array(hit))
+            patched = patch_rows(
+                sub[id_col].to_pylist(), sub[text_col].to_pylist(), drop_map
+            )
+            return pa.concat_tables([t, patched])
 
         return docs.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)
 
