@@ -395,3 +395,18 @@ def test_decontaminate_bloom_path_matches_exact(ray_session, sf_dir):
     # at this corpus size the 0.1% FPR makes disagreement vanishingly
     # rare; equality doubles as a determinism check on the bloom build
     assert bloom["contaminated"].tolist() == exact["contaminated"].tolist()
+
+
+def test_bloom_integer_dtype_views_agree():
+    """int64 and uint64 views of the same 64-bit keys probe the same
+    positions (review finding: the int64 path silently took the
+    string-hash branch and produced false negatives)."""
+    import numpy as np
+
+    from textextract_ray.functions.sketch import bloom_add, bloom_contains, bloom_create
+
+    keys_i64 = np.array([-1, -(2**62), 5, 2**62], dtype=np.int64)
+    keys_u64 = keys_i64.astype(np.uint64)
+    b = bloom_add(bloom_create(64 * 256), keys_u64, 5)
+    assert bloom_contains(b, keys_i64, 5).all()
+    assert bloom_contains(b, keys_u64, 5).all()

@@ -173,3 +173,25 @@ def test_sample_bottomk_per_group(ray_session, sf_dir):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"]).repartition(11)
     other = sample_bottomk_ds(ds, k=5, seed=1, group_col="lang")
     assert other["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_sample_bottomk_null_group_not_dropped(ray_session):
+    """A null group value is a stratum too (review finding): rows with
+    a null group column must still be sampled, not silently excluded."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.textops import sample_bottomk_ds
+
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "lang": ["en"] * 8 + [None] * 12,
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = sample_bottomk_ds(ds, k=3, seed=0, group_col="lang")
+    null_rows = out[out["lang"].isna()]
+    assert len(null_rows) == 3  # the null stratum contributed k rows
+    assert len(out[out["lang"] == "en"]) == 3

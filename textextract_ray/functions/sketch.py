@@ -208,12 +208,16 @@ def cm_estimate(cm: np.ndarray, values) -> np.ndarray:
 
 def bloom_params(n_items: int, fpr: float = 0.01) -> tuple:
     """(n_bits, k) sized for ``n_items`` at false-positive rate
-    ``fpr``; n_bits is rounded up to a multiple of 64."""
+    ``fpr``; n_bits is rounded up to a POWER OF TWO so the odd-h2
+    double-hash step is coprime to m and every value's k probe
+    positions cover the full filter (an odd step modulo a non-power-
+    of-two m can land in a reduced coset and inflate the FPR). The
+    power-of-two round-up only lowers the realized FPR below target."""
     if n_items <= 0:
         return 64, 1
     ln2 = np.log(2.0)
     n_bits = int(np.ceil(-n_items * np.log(fpr) / (ln2 * ln2)))
-    n_bits = max(64, (n_bits + 63) // 64 * 64)
+    n_bits = max(64, 1 << int(np.ceil(np.log2(n_bits))))
     k = max(1, int(round(n_bits / n_items * ln2)))
     return n_bits, k
 
@@ -230,9 +234,14 @@ def _bloom_h12(values) -> tuple:
     anything ``hash_utf8`` takes via its string form."""
     from .scalar import _splitmix64, hash_utf8
 
-    if isinstance(values, np.ndarray) and values.dtype == np.uint64:
-        h1 = _splitmix64(values ^ np.uint64(0xA076_1D64_78BD_642F))
-        h2 = _splitmix64(values ^ np.uint64(0xE703_7ED1_A0B4_28DB))
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        # any 64-bit-or-narrower integer dtype: reinterpret as uint64
+        # (two's-complement-preserving), so an int64 view of the same
+        # hashes probes the same positions — no silent string-path
+        # detour and no false negatives across dtype views
+        v = values.astype(np.uint64)
+        h1 = _splitmix64(v ^ np.uint64(0xA076_1D64_78BD_642F))
+        h2 = _splitmix64(v ^ np.uint64(0xE703_7ED1_A0B4_28DB))
     else:
         import pyarrow as _pa
 
@@ -246,7 +255,9 @@ def _bloom_h12(values) -> tuple:
         arr = _pc.fill_null(arr, "None")
         h1 = hash_utf8(arr, seed=0x51ED)
         h2 = hash_utf8(arr, seed=0x2AB9)
-    return h1, h2 | np.uint64(1)  # odd h2: full-period stepping
+    # odd h2: coprime to the power-of-two m from bloom_params, so the
+    # k-step walk covers the whole filter (full period)
+    return h1, h2 | np.uint64(1)
 
 
 def bloom_add(bloom: np.ndarray, values, k: int) -> np.ndarray:

@@ -254,16 +254,35 @@ def decontaminate(
         flat, _ = ngram_hash_sets(texts, n)
         return pa.table({"gram": pa.array(np.unique(flat), pa.uint64())})
 
-    bds = ds.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
     if bloom_fpr is not None:
+        # distributed partial-bloom build: each bench batch sets its
+        # grams' bits into a fixed-size filter WORKER-side and ships
+        # n_bits/8 bytes; the driver only OR-folds — O(batches·n_bits)
+        # to the driver regardless of how large the gram set grows
         n_bits, bloom_k = bloom_params(bloom_items, bloom_fpr)
+
+        def bench_blooms(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+            sel = ids % bench_mod == 0
+            if not sel.any():
+                return pa.table({"bloom": pa.array([], pa.binary())})
+            texts = batch.filter(pa.array(sel))["text"].to_pylist()
+            flat, _ = ngram_hash_sets(texts, n)
+            part = bloom_add(bloom_create(n_bits), np.unique(flat), bloom_k)
+            return pa.table({"bloom": pa.array([part.tobytes()], pa.binary())})
+
         bloom = bloom_create(n_bits)
-        for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            grams = b["gram"].to_numpy(zero_copy_only=False)
-            if len(grams):
-                bloom_add(bloom, grams, bloom_k)
+        pbds = ds.map_batches(
+            bench_blooms, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for b in pbds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            for buf in b["bloom"]:
+                bloom |= np.frombuffer(buf.as_py(), dtype=np.uint64)
         bench_ref = ray.put(bloom)
     else:
+        bds = ds.map_batches(
+            bench_grams, batch_format="pyarrow", zero_copy_batch=True
+        )
         bench: list = []
         for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
             bench.append(b["gram"].to_numpy(zero_copy_only=False))
@@ -1498,13 +1517,31 @@ def paragraph_dedup_ds(
     a tag-union + doc_id-bucket co-group patches without any driver
     materialization. Returns (id_col, text_col, n_dropped) rows;
     documents whose every span is cut disappear when ``drop_empty``.
+
+    Column contract: the id column must be an integer type (emitted as
+    int64) and the text column ``string`` — violations raise a typed
+    error at the first batch instead of an opaque Arrow crash deep in
+    reassembly.
     """
     import ray
     import pyarrow.compute as pc
 
     from ..functions.scalar import stable_bucket
 
+    def _check_types(batch: pa.Table) -> None:
+        if not pa.types.is_integer(batch[id_col].type):
+            raise TypeError(
+                f"paragraph_dedup: id column {id_col!r} must be integer, "
+                f"got {batch[id_col].type}"
+            )
+        if not pa.types.is_string(batch[text_col].type):
+            raise TypeError(
+                f"paragraph_dedup: text column {text_col!r} must be string, "
+                f"got {batch[text_col].type}"
+            )
+
     def explode(batch: pa.Table) -> pa.Table:
+        _check_types(batch)
         text = pc.fill_null(batch[text_col].combine_chunks(), "")
         parts = pc.split_pattern(text, sep)
         flat = pc.list_flatten(parts)
@@ -1571,18 +1608,29 @@ def paragraph_dedup_ds(
             }
         )
 
-    if drops.count() <= broadcast_budget:
+    # strict <: budget 0 means "never broadcast", so the co-group path
+    # is forceable (and covered) even on a duplicate-free corpus
+    if drops.count() < broadcast_budget:
+        # broadcast as three flat numpy arrays (CSR-style: sorted
+        # unique touched ids + offsets + para indices) — zero-copy out
+        # of the object store on every ray.get, unlike a pickled
+        # dict-of-sets which would re-deserialize per batch
         dpdf = drops.to_pandas()
-        dmap = (
-            {int(k): set(map(int, g)) for k, g in dpdf.groupby(id_col)["para_idx"]}
-            if len(dpdf)
-            else {}
+        if len(dpdf) == 0:  # a fully empty drop table loses its schema
+            dpdf = pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "para_idx": pd.Series(dtype="int64")}
+            )
+        dpdf = dpdf.sort_values([id_col, "para_idx"])
+        touched_ids, counts = np.unique(
+            dpdf[id_col].to_numpy(np.int64), return_counts=True
         )
-        touched = np.fromiter(dmap.keys(), dtype=np.int64, count=len(dmap))
-        ref = ray.put((dmap, np.sort(touched)))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        para_vals = dpdf["para_idx"].to_numpy(np.int64)
+        ref = ray.put((touched_ids, offsets, para_vals))
 
         def patch(batch: pa.Table) -> pa.Table:
-            drop_map, touched_ids = ray.get(ref)
+            _check_types(batch)
+            uniq, offs, vals = ray.get(ref)
             ids = (
                 batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
                 if len(batch)
@@ -1590,15 +1638,16 @@ def paragraph_dedup_ds(
             )
             # vectorized fast path for rows with nothing to cut (the
             # overwhelming majority at realistic duplicate densities)
-            hit = (
-                np.zeros(len(ids), dtype=bool)
-                if not len(touched_ids)
-                else np.isin(ids, touched_ids)
-            )
+            if len(uniq):
+                pos = np.searchsorted(uniq, ids)
+                pos_c = np.minimum(pos, len(uniq) - 1)
+                hit = uniq[pos_c] == ids
+            else:
+                hit = np.zeros(len(ids), dtype=bool)
             clean = batch.filter(pa.array(~hit))
             t = pa.table(
                 {
-                    id_col: clean[id_col],
+                    id_col: clean[id_col].cast(pa.int64()),
                     text_col: pc.fill_null(clean[text_col], ""),
                     "n_dropped": pa.array(
                         np.zeros(len(clean), np.int32), pa.int32()
@@ -1610,6 +1659,11 @@ def paragraph_dedup_ds(
             if not hit.any():
                 return t
             sub = batch.filter(pa.array(hit))
+            # cut sets materialized only for THIS batch's touched docs
+            drop_map = {
+                int(uniq[j]): set(vals[offs[j] : offs[j + 1]].tolist())
+                for j in np.unique(pos_c[hit])
+            }
             patched = patch_rows(
                 sub[id_col].to_pylist(), sub[text_col].to_pylist(), drop_map
             )
@@ -1652,10 +1706,24 @@ def paragraph_dedup_ds(
             for k, g in dd.groupby(id_col)["para_idx"]
         }
         side = df[df["para_idx"].isna()]
-        t = patch_rows(
-            side[id_col].astype("int64").tolist(), side[text_col].tolist(), drop_map
+        ids = side[id_col].astype("int64")
+        # same untouched-docs fast path as the broadcast patch
+        hit = ids.isin(drop_map.keys()).to_numpy() if drop_map else np.zeros(len(side), bool)
+        clean = pd.DataFrame(
+            {
+                id_col: ids[~hit],
+                text_col: side[text_col][~hit].fillna(""),
+                "n_dropped": np.zeros(int((~hit).sum()), np.int32),
+            }
         )
-        return t.to_pandas()
+        if drop_empty:
+            clean = clean[clean[text_col].str.len() > 0]
+        if not hit.any():
+            return clean.reset_index(drop=True)
+        t = patch_rows(
+            ids[hit].tolist(), side[text_col][hit].tolist(), drop_map
+        )
+        return pd.concat([clean, t.to_pandas()], ignore_index=True)
 
     unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
         drops.map_batches(tag_drops, batch_format="pyarrow")
@@ -1715,14 +1783,20 @@ def sample_bottomk_ds(ds, *, k: int, seed: int = 0, id_col: str = "doc_id",
         for g in gcols:
             df[g] = batch[g].to_pandas()
         df = df.sort_values(["_key", id_col], kind="mergesort")
-        top = df.groupby(gcols, sort=False).head(k) if gcols else df.head(k)
+        # dropna=False: a null group value is a stratum too — silently
+        # excluding those rows would bias the sample
+        top = (
+            df.groupby(gcols, sort=False, dropna=False).head(k) if gcols else df.head(k)
+        )
         return pa.Table.from_pandas(top, preserve_index=False)
 
     cand = ds.map_batches(
         nominate, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     out = cand.sort_values(["_key", id_col], kind="mergesort")
-    out = out.groupby(gcols, sort=False).head(k) if gcols else out.head(k)
+    out = (
+        out.groupby(gcols, sort=False, dropna=False).head(k) if gcols else out.head(k)
+    )
     return (
         out.rename(columns={"_key": "sample_key"})
         .sort_values(["sample_key", id_col])
