@@ -1209,7 +1209,8 @@ def pack_sequences(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
     bytes — persist it to parquet instead of recomputing the tokenize;
     at gate scale the recompute is cheaper than the write."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return pack_sequences_ds(ds, capacity=capacity, num_buckets=num_buckets)
+    out = pack_sequences_ds(ds, capacity=capacity, num_buckets=num_buckets)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _bucketed_token_counts(ds, num_buckets: int):
@@ -1247,22 +1248,27 @@ def _bucketed_token_counts(ds, num_buckets: int):
 
 
 def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
-    empty = pd.DataFrame(
-        {
-            c: pd.Series(dtype="int64")
-            for c in (
-                "doc_id",
-                "n_tokens",
-                "global_start",
-                "seq_id",
-                "seq_offset",
-                "n_seqs",
-            )
-        }
-    )
+    """Dataset-returning core: the packed-assignment table STAYS a
+    ``ray.data.Dataset`` (write_parquet it or keep streaming) — a
+    100-TB caller must never see an O(corpus) driver materialization.
+    The only driver-side state is the ≤num_buckets bucket-offset dict.
+    ``pack_sequences`` is the thin gate wrapper that pulls pandas."""
+    import ray
+
+    empty_schema = {
+        c: pa.array([], pa.int64())
+        for c in (
+            "doc_id",
+            "n_tokens",
+            "global_start",
+            "seq_id",
+            "seq_offset",
+            "n_seqs",
+        )
+    }
     front = _bucketed_token_counts(ds, num_buckets)
     if front is None:
-        return empty
+        return ray.data.from_arrow(pa.table(empty_schema))
     counts, _ = front
 
     # pass 1: per-batch partial totals → tiny groupby → exclusive offsets
@@ -1299,15 +1305,11 @@ def pack_sequences_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
             }
         )
 
-    out = (
+    return (
         ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(pack, batch_format="pandas")
-        .to_pandas()
     )
-    if out.empty:
-        return empty
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def pack_bins(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
@@ -1328,21 +1330,27 @@ def pack_bins(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
     offsets. Waste (bin underfill) is bounded by next-fit's 2× bound
     and measured in pytest instead of promised here."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return pack_bins_ds(ds, capacity=capacity, num_buckets=num_buckets)
+    out = pack_bins_ds(ds, capacity=capacity, num_buckets=num_buckets)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
-    empty = pd.DataFrame(
-        {
-            "doc_id": pd.Series(dtype="int64"),
-            "n_tokens": pd.Series(dtype="int64"),
-            "bin_id": pd.Series(dtype="int64"),
-            "truncated": pd.Series(dtype="bool"),
-        }
-    )
+    """Dataset-returning core (see pack_sequences_ds): bin assignments
+    stay distributed; only the gate wrapper ``pack_bins`` pulls pandas."""
+    import ray
+
     front = _bucketed_token_counts(ds, num_buckets)
     if front is None:
-        return empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "bin_id": pa.array([], pa.int64()),
+                    "truncated": pa.array([], pa.bool_()),
+                }
+            )
+        )
     counts, _ = front
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
@@ -1372,15 +1380,11 @@ def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
             }
         )
 
-    out = (
+    return (
         ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(pack, batch_format="pandas")
-        .to_pandas()
     )
-    if out.empty:
-        return empty
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def epoch_stream(sf_dir: str, *, seed: int = 0, weights=None):
@@ -1393,7 +1397,24 @@ def epoch_stream(sf_dir: str, *, seed: int = 0, weights=None):
     whole stream is reproducible from the seed, and a new epoch is a
     new seed. Same scale shape as training_order: the mix expansion is
     a shuffle-free map and only (doc_id, copy_idx, key) rides the one
-    deliberate distributed sort (``Dataset.sort``)."""
+    deliberate distributed sort (``Dataset.sort``).
+
+    Gate wrapper: materializes the sorted order and stamps a dense
+    ``position`` column for the pytest/oracle contract. The library
+    surface is ``epoch_stream_ds`` — a 100-TB caller writes the sorted
+    Dataset (position is the row's offset in the sorted output; attach
+    it at write time per output file if needed) and never sees an
+    O(corpus) driver pull."""
+    out = epoch_stream_ds(sf_dir, seed=seed, weights=weights)
+    df = out.to_pandas().reset_index(drop=True)
+    return df.assign(position=np.arange(len(df), dtype=np.int64))
+
+
+def epoch_stream_ds(sf_dir: str, *, seed: int = 0, weights=None):
+    """Dataset-returning core: the sorted epoch order STAYS a Dataset
+    (consume with write_parquet / iter_batches). Sample position is
+    implicit in the sorted order — the one deliberate all-to-all is
+    the keys-only ``Dataset.sort`` over (doc_id, copy_idx, key)."""
     from ..functions.scalar import hash_utf8
 
     mixed = _corpus_mix_ds(sf_dir, weights=weights)
@@ -1411,13 +1432,9 @@ def epoch_stream(sf_dir: str, *, seed: int = 0, weights=None):
             "shuffle_key", pa.array(k.astype(np.int64), pa.int64())
         )
 
-    out = (
-        mixed.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["shuffle_key", "doc_id", "copy_idx"])
-        .to_pandas()
-        .reset_index(drop=True)
+    return mixed.map_batches(key, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["shuffle_key", "doc_id", "copy_idx"]
     )
-    return out.assign(position=np.arange(len(out), dtype=np.int64))
 
 
 def classifier_scores(sf_dir: str, *, threshold: float = 0.5):
@@ -1454,10 +1471,20 @@ def training_order(sf_dir: str, *, seed: int = 0):
     (SCALE.md shuffle inventory); only (doc_id, key) pairs ride it —
     the trained consumer joins text back by doc_id, or at 100 TB the
     key column is attached at write time so epochs are a sorted read,
-    not a shuffle per epoch. A different epoch = a different seed."""
-    from ..functions.scalar import hash_utf8
+    not a shuffle per epoch. A different epoch = a different seed.
 
+    Gate wrapper over ``training_order_ds`` — the Dataset-returning
+    core a corpus-scale caller uses (write/stream the sorted order;
+    no driver materialization)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return training_order_ds(ds, seed=seed).to_pandas().reset_index(drop=True)
+
+
+def training_order_ds(ds, *, seed: int = 0):
+    """Dataset-returning core: seeded keys-only epoch shuffle. Input is
+    any Dataset with a ``doc_id`` column; output stays a Dataset sorted
+    by (shuffle_key, doc_id)."""
+    from ..functions.scalar import hash_utf8
 
     def key(batch: pa.Table) -> pa.Table:
         k = hash_utf8(batch["doc_id"].cast(pa.string()), seed=seed)
@@ -1473,10 +1500,9 @@ def training_order(sf_dir: str, *, seed: int = 0):
 
     # doc_id breaks 64-bit hash ties (~never at real corpus sizes, but
     # determinism should not depend on that)
-    out = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True).sort(
+    return ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True).sort(
         ["shuffle_key", "doc_id"]
     )
-    return out.to_pandas().reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -563,7 +563,19 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
     using first-shingle-hash banding to avoid the full cross product:
     docs sharing any of their 8 smallest shingle hashes land in the same
     bucket (a superset of all pairs with J >= ~0.1 in practice; exact
-    verification inside the bucket)."""
+    verification on the candidate pairs).
+
+    Shingle sets do NOT ride the shuffle: the explode ships (id, anchor)
+    only (~16 B/row instead of each doc's full unique-shingle set ×8
+    anchors), anchor buckets emit candidate id pairs, and shingles are
+    recomputed for candidate ids only via the broadcast is_in probe —
+    the same deferred-fetch shape MinHash uses (candidate_signatures
+    above). Verification cost is O(candidate pairs), a vanishing corpus
+    fraction."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.scalar import stable_bucket
 
     def explode(batch: pa.Table) -> pa.Table:
         from ..functions.text import batch_shingle_hashes
@@ -571,69 +583,90 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         all_sh = batch_shingle_hashes(texts, k)
-        out_id, out_key, out_sh = [], [], []
+        out_id, out_key = [], []
         for i, sh_raw in zip(ids, all_sh):
-            sh = np.unique(sh_raw)
-            anchors = np.sort(sh)[:8]
-            for a in anchors:
+            for a in np.sort(np.unique(sh_raw))[:8]:
                 out_id.append(i)
                 out_key.append(int(a))
-                out_sh.append(sh.tolist())
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),
                 "anchor": pa.array(out_key, pa.uint64()),
-                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = group.sort_values("id").drop_duplicates("id")
-        ids = g["id"].tolist()
-        sets = [set(s) for s in g["shingles"]]
-        ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rj.append(jac)
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj})
-
-    def anchor_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+    def anchor_cands(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
         for _, g in df.groupby("anchor", sort=True):
-            if len(g) >= 2:
-                outs.append(bucket_pairs(g))
-        if not outs:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        return pd.concat(outs, ignore_index=True)
-
-    from ..functions.scalar import stable_bucket
+            ids = np.sort(g["id"].unique())
+            if len(ids) < 2:
+                continue
+            lo, hi = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[lo])
+            outs_b.append(ids[hi])
+        if not outs_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = stable_bucket(batch["anchor"], 64)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
-    pairs = (
+    cand = (
         exploded.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(anchor_pairs, batch_format="pandas")
+        .map_groups(anchor_cands, batch_format="pandas")
     )
-    # the same pair can surface via several anchors; the pair table is
-    # O(similar pairs) — small — so dedup it driver-side
-    import ray.data as rd
+    # candidate-pair table is O(similar pairs) — driver-side from here
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    cand_df = cand.to_pandas()
+    if "id_a" not in cand_df.columns or len(cand_df) == 0:
+        return rd.from_pandas(empty)
+    cand_df = cand_df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
-    df = pairs.to_pandas()
-    if "id_a" not in df.columns or len(df) == 0:
-        df = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    else:
-        df = df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-    return rd.from_pandas(df)
+    # deferred shingle fetch: broadcast candidate ids once, one extra
+    # pass over the corpus recomputes shingles for the hits only
+    cand_ids = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
+    cand_ref = ray.put(pa.Array.from_pandas(pd.Series(cand_ids)))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        from ..functions.text import batch_shingle_hashes
+
+        cands = ray.get(cand_ref)
+        col = batch[id_col]
+        vs = cands if cands.type == col.type else cands.cast(col.type)
+        sub = batch.filter(pc.fill_null(pc.is_in(col, value_set=vs), False))
+        sh = [
+            np.unique(h).tolist()
+            for h in batch_shingle_hashes(sub[text_col].to_pylist(), k)
+        ]
+        return pa.table(
+            {
+                "id": sub[id_col].combine_chunks().cast(pa.int64()),
+                "shingles": pa.array(sh, pa.list_(pa.uint64())),
+            }
+        )
+
+    sh_df = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    sets = {int(i): set(s) for i, s in zip(sh_df["id"], sh_df["shingles"])}
+    ra, rb, rj = [], [], []
+    for a, b in zip(cand_df["id_a"], cand_df["id_b"]):
+        sa, sb = sets[int(a)], sets[int(b)]
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 1.0
+        if jac >= threshold:
+            ra.append(int(a))
+            rb.append(int(b))
+            rj.append(jac)
+    if not ra:
+        return rd.from_pandas(empty)
+    return rd.from_pandas(pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj}))
