@@ -854,14 +854,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi)
             ORDER BY media_id, frame_index
         """,
-        # exact cross-join cosine oracle. Caveat (documented): the Ray
-        # side is random-hyperplane LSH with within-bucket verify —
-        # recall < 1 in general; at the driver's data (max off-diagonal
-        # cosine ~0.51 vs threshold 0.99) both sides provably return
-        # the empty assignment set, which is what is being checked.
+        # exact cross-join cosine oracle over the SAME deterministic
+        # planted-copy augmentation the Ray query derives inline (one
+        # exact copy per vec_id % 50 == 0, offset +1e6). The Ray side is
+        # random-hyperplane LSH with within-bucket verify — recall < 1
+        # in general, but identical vectors share every bucket, so on
+        # this data (planted cosine 1.0, max natural off-diagonal ~0.51
+        # vs threshold 0.99) the LSH result is provably the exact set —
+        # the gate checks recall on real duplicate pairs, not the empty
+        # set.
         "embedding_near_dups": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings
+                WHERE vec_id % 50 = 0
+            )
             SELECT a.vec_id AS id, min(b.vec_id) AS keep_id
-            FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
+            FROM aug a JOIN aug b ON b.vec_id < a.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
             GROUP BY a.vec_id ORDER BY id
         """,

@@ -346,3 +346,134 @@ def test_webp_header_parser():
     assert webp_dims(b"RIFF\x10\x00\x00\x00WAVEfmt " + b"\x00" * 16) is None
     assert webp_dims(riff(b"VP8L", b"\x30\x00\x00\x00\x00\x00")) is None
     assert webp_dims(vp8x[:20]) is None
+
+
+def test_enhance_kernels_pure():
+    """Pixel-enhancement kernel semantics (imageops.py — the
+    reference's OCR ladder, src/ocr.py:43-60, as vectorized numpy)."""
+    import numpy as np
+
+    from textextract_ray.imageops import (
+        enhance_brightness,
+        enhance_contrast,
+        enhance_sharpness,
+        preprocess_pixels,
+        to_rgb,
+    )
+
+    # to_rgb handles every supported layout
+    assert to_rgb(np.zeros((4, 5), np.uint8)).shape == (4, 5, 3)
+    assert to_rgb(np.zeros((4, 5, 2), np.uint8)).shape == (4, 5, 3)
+    assert to_rgb(np.zeros((4, 5, 4), np.uint8)).shape == (4, 5, 3)
+
+    # a uniform image is a fixed point of contrast (mean == pixel) and
+    # sharpness (smooth of constant == constant)
+    flat = np.full((6, 6, 3), 120, np.uint8)
+    assert (enhance_contrast(flat, 1.5) == flat).all()
+    assert (enhance_sharpness(flat, 1.2) == flat).all()
+    # brightness scales: 120 * 1.1 = 132
+    assert (enhance_brightness(flat, 1.1) == 132).all()
+
+    # contrast pushes values away from the mean by the factor
+    px = np.zeros((1, 2, 3), np.uint8)
+    px[0, 0] = 100
+    px[0, 1] = 200  # luma mean = 150
+    out = enhance_contrast(px, 1.5)
+    assert (out[0, 0] == 75).all() and (out[0, 1] == 225).all()
+
+    # sharpness: border pixels are untouched (PIL leaves the 1-px
+    # border unfiltered); interior moves away from the local smooth
+    g = np.zeros((5, 5, 3), np.uint8)
+    g[2, 2] = 255
+    sh = enhance_sharpness(g, 1.2)
+    assert (sh[0, 0] == 0).all() and (sh[2, 2] == 255).all()
+    # neighbors of the bright pixel get pushed BELOW the smooth (factor
+    # > 1 moves away from smoothed → clipped at 0 since original is 0)
+    assert (sh[1, 2] == 0).all()
+
+    # full ladder is deterministic and stays uint8 RGB
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    a, b = preprocess_pixels(img), preprocess_pixels(img)
+    assert a.dtype == np.uint8 and a.shape == (16, 12, 3)
+    assert (a == b).all()
+
+
+def test_preprocess_image_stage_round_trip(ray_session):
+    """decode → enhance → re-encode through the actor-pool stage: the
+    output payload is a VALID PNG whose pixels equal the pure-function
+    reference (preprocess_pixels) applied to the decoded input —
+    including inputs written with every PNG row filter — and the
+    result is byte-stable across block layouts."""
+    import numpy as np
+    import ray.data as rd
+
+    from textextract_ray.imageops import preprocess_pixels
+    from textextract_ray.png import png_decode, png_encode
+    from textextract_ray.stages.multimodal import preprocess_images
+
+    rng = np.random.RandomState(3)
+    imgs = {
+        10: (rng.randint(0, 256, (9, 7, 3)).astype(np.uint8), 0),
+        11: (rng.randint(0, 256, (8, 8)).astype(np.uint8), 1),  # gray, Sub
+        12: (rng.randint(0, 256, (6, 10, 4)).astype(np.uint8), 4),  # RGBA, Paeth
+    }
+    rows = [
+        {"media_id": mid, "media": png_encode(px, filter_type=ft), "media_type": "image"}
+        for mid, (px, ft) in imgs.items()
+    ]
+    rows.append({"media_id": 13, "media": b"\xff\xd8\xffnotpng", "media_type": "image"})
+
+    out = (
+        preprocess_images(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("media_id")
+        .set_index("media_id")
+    )
+    for mid, (px, _) in imgs.items():
+        assert out.loc[mid, "status"] == "ok"
+        got = png_decode(bytes(out.loc[mid, "media"]))
+        want = preprocess_pixels(px)
+        assert got.shape == want.shape
+        assert (got == want).all()
+        assert out.loc[mid, "width"] == px.shape[1]
+        assert out.loc[mid, "height"] == px.shape[0]
+    # non-PNG passes through unchanged as skipped
+    assert out.loc[13, "status"] == "skipped"
+    assert bytes(out.loc[13, "media"]) == b"\xff\xd8\xffnotpng"
+
+    # layout-invariant bytes
+    again = (
+        preprocess_images(rd.from_items(rows).repartition(4))
+        .to_pandas()
+        .sort_values("media_id")
+        .set_index("media_id")
+    )
+    for mid in imgs:
+        assert bytes(again.loc[mid, "media"]) == bytes(out.loc[mid, "media"])
+
+
+def test_preprocess_image_stage_errors(ray_session):
+    """Malformed PNG → decode_error status row (never a task crash);
+    strict mode raises on non-PNG payloads."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from textextract_ray.png import png_encode
+    from textextract_ray.stages.multimodal import preprocess_images
+
+    good = png_encode(np.zeros((4, 4, 3), np.uint8))
+    corrupt = good[:40] + b"\x00" * 20 + good[60:]  # breaks a CRC
+    ds = rd.from_items(
+        [{"media_id": 0, "media": corrupt, "media_type": "image"}]
+    )
+    df = preprocess_images(ds).to_pandas()
+    assert df["status"].iloc[0].startswith("decode_error")
+    assert bytes(df["media"].iloc[0]) == corrupt  # original passes through
+
+    strict_ds = rd.from_items(
+        [{"media_id": 1, "media": b"GIF89a123", "media_type": "image"}]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+        preprocess_images(strict_ds, strict=True).to_pandas()

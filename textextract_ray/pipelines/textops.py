@@ -421,12 +421,41 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3):
     return _pairs_df(simhash_duplicate_assignments(ds, "text", "doc_id", max_hamming=max_hamming))
 
 
+EMBED_PLANT_MOD = 50  # one planted exact copy per 50 vec_ids
+EMBED_PLANT_OFFSET = 1_000_000
+
+
 def embedding_near_dups(sf_dir: str, *, threshold: float = 0.99):
-    """Embedding-cosine near-duplicate assignments."""
+    """Embedding-cosine near-duplicate assignments via hyperplane LSH.
+
+    The synthetic embeddings have max off-diagonal cosine ~0.51, so the
+    raw table would make this check vacuous (empty == empty). Like
+    pii_scrub's plant-in-query trick, the query derives a deterministic
+    augmented table inline: every vec_id % 50 == 0 row gains an exact
+    copy at vec_id + 1_000_000. Identical vectors share every LSH
+    bucket, so recall on the planted pairs is exactly 1 and the result
+    must equal the exact-SQL cosine join over the same augmentation —
+    the gate now proves recall, not just the empty set."""
     from ..stages.dedup import embedding_duplicate_assignments
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return _pairs_df(embedding_duplicate_assignments(ds, "embedding", "vec_id", threshold=threshold))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        dup = batch.filter(pa.array(ids % EMBED_PLANT_MOD == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], EMBED_PLANT_OFFSET),
+        )
+        return pa.concat_tables([batch, dup])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return _pairs_df(
+        embedding_duplicate_assignments(aug, "embedding", "vec_id", threshold=threshold)
+    )
 
 
 def semantic_dedup(sf_dir: str, *, threshold: float = 0.45):

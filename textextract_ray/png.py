@@ -12,13 +12,14 @@ Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
 Paeth). Interlaced (Adam7) and sub-8-bit images raise ValueError —
 callers surface that as a decode_error status row, never a task crash.
 
-Performance note: filters Sub/Average/Paeth reconstruct sequentially
-along the row (the left neighbor is the RECONSTRUCTED byte), so those
-rows decode in a per-byte Python loop; filter None/Up rows are
-vectorized. Our own encoder emits filter 0 (fully vectorized decode);
-arbitrary real-world PNGs decode correctly but at Python speed — at
-production scale you would swap in PIL inside the same actor, which
-DecodeImage already prefers when importable.
+Performance note: None/Up rows are whole-row vectorized and Sub rows
+reconstruct via a per-channel cumsum (the left-neighbor recurrence is
+a prefix sum mod 256). Average/Paeth depend nonlinearly on the
+reconstructed left byte, so those rows scan sequentially along the
+row — but all channels advance together, one numpy step per PIXEL,
+not per byte. Our own encoder emits filter 0 (fully vectorized
+decode); at production scale you would swap in PIL inside the same
+actor, which DecodeImage already prefers when importable.
 """
 
 from __future__ import annotations
@@ -174,21 +175,36 @@ def png_decode(data: bytes) -> "np.ndarray":
             cur = body.copy()
         elif ft == 2:  # Up — vectorized
             cur = body + prev
-        elif ft in (1, 3, 4):
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - c]) if x >= c else 0
-                b = int(prev[x])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
+        elif ft == 1:
+            # Sub — the left-neighbor recurrence is a plain prefix sum
+            # per channel column: reconstruct via cumsum mod 256
+            cur = (
+                np.cumsum(body.reshape(-1, c).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft in (3, 4):
+            # Average/Paeth depend nonlinearly on the RECONSTRUCTED left
+            # byte, so the scan is sequential along the row — but all c
+            # channels advance together, one numpy step per PIXEL
+            cur2 = np.zeros((stride // c, c), dtype=np.int64)
+            body2 = body.reshape(-1, c).astype(np.int64)
+            prev2 = prev.reshape(-1, c).astype(np.int64)
+            zero = np.zeros(c, dtype=np.int64)
+            for x in range(stride // c):
+                a = cur2[x - 1] if x else zero
+                b = prev2[x]
+                if ft == 3:
+                    pred = (a + b) >> 1
                 else:
-                    cc = int(prev[x - c]) if x >= c else 0
+                    cc = prev2[x - 1] if x else zero
                     p = a + b - cc
-                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
-                cur[x] = (int(body[x]) + pred) % 256
+                    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_),
+                        a,
+                        np.where(pb_ <= pc_, b, cc),
+                    )
+                cur2[x] = (body2[x] + pred) % 256
+            cur = cur2.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad filter byte {ft}")
         out[y] = cur

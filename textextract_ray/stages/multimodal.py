@@ -229,6 +229,107 @@ class FrameSample:
         )
 
 
+PREPROCESSED_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("media", pa.binary()),  # re-encoded PNG (RGB)
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("status", pa.string()),  # ok | skipped | decode_error: *
+    ]
+)
+
+
+class PreprocessImage:
+    """Actor-pool stage: PNG payload -> enhanced PNG payload (REAL
+    pixel math, the reference's OCR preprocessing — contrast 1.5,
+    sharpness 1.2, brightness 1.1, reference src/ocr.py:43-60).
+
+    Decode ladder mirrors DecodeImage: PIL if importable, else the own
+    stdlib PNG codec. Pixels run through imageops.preprocess_pixels
+    (vectorized numpy, RGB out) and re-encode as filter-0 PNG — the
+    whole path is deterministic, so output payloads are byte-stable
+    across runs/layouts. Non-PNG or out-of-subset payloads pass
+    through unchanged with status "skipped" (strict=True raises
+    instead); malformed PNGs become decode_error status rows."""
+
+    def __init__(self, *, strict: bool = False):
+        self.strict = strict
+        try:
+            from PIL import Image, ImageEnhance  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _enhance(self, payload: bytes) -> tuple:
+        from ..imageops import preprocess_pixels
+        from ..png import png_encode
+
+        if self._pil is not None:
+            import io
+
+            from PIL import ImageEnhance
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                im = im.convert("RGB")
+                for enh, f in (
+                    (ImageEnhance.Contrast, 1.5),
+                    (ImageEnhance.Sharpness, 1.2),
+                    (ImageEnhance.Brightness, 1.1),
+                ):
+                    im = enh(im).enhance(f)
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                return buf.getvalue(), im.width, im.height, "ok"
+        px = png_decode(payload)  # ValueError/Unsupported handled by caller
+        out = preprocess_pixels(px)
+        return png_encode(out), int(out.shape[1]), int(out.shape[0]), "ok"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        out_media, ws, hs, sts = [], [], [], []
+        for p in payloads:
+            p = p or b""
+            if not has_valid_ihdr(p):
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-PNG pixel preprocessing requires PIL; not "
+                        "available in this container "
+                        "(pass-through: PreprocessImage(strict=False))"
+                    )
+                out_media.append(p)
+                ws.append(0)
+                hs.append(0)
+                sts.append("skipped")
+                continue
+            try:
+                m, w, h, s = self._enhance(p)
+            except UnsupportedPngError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "PNG outside the stdlib codec subset requires PIL"
+                    ) from None
+                m, w, h, s = p, 0, 0, "skipped"
+            except Exception as exc:
+                m, w, h, s = p, 0, 0, f"decode_error: {type(exc).__name__}"
+            out_media.append(m)
+            ws.append(w)
+            hs.append(h)
+            sts.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(out_media, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array(sts, pa.string()),
+            ],
+            schema=PREPROCESSED_SCHEMA,
+        )
+
+
 AUDIO_META_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -330,6 +431,20 @@ def decode_images(media_ds, *, batch_size: int = 32, concurrency=(1, 8), strict:
     batch × concurrency of multi-MB payloads must fit worker heaps."""
     return media_ds.map_batches(
         DecodeImage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"strict": strict},
+    )
+
+
+def preprocess_images(media_ds, *, batch_size: int = 16, concurrency=(1, 8), strict: bool = False):
+    """media Dataset -> enhanced-PNG media Dataset (decode → enhance →
+    re-encode per payload). Smaller default batch than decode: each
+    batch holds input AND output pixel buffers."""
+    return media_ds.map_batches(
+        PreprocessImage,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
