@@ -185,3 +185,50 @@ def test_uri_filesystem_job_e2e(ray_session, fixture_pages, tmp_path):
     # no-op rerun over the URI path
     report2 = run_job(uri_shards, out, shards_per_partition=2, giant_threshold=1 << 17)
     assert len(report2) == 2
+
+
+def test_transient_commit_error_retries(ray_session, fixture_pages, tmp_path, monkeypatch):
+    """A transient fs error during verify/commit recovers via the retry
+    ladder (3 attempts, backoff — reference write-verify sink,
+    src/clipboard.py:20-44) without losing exactly-once semantics; a
+    non-transient error still fails the job fast."""
+    from textextract_ray.pipelines import extract_pipeline as ep
+    from textextract_ray.state import checkpoint as cp
+
+    out = str(tmp_path / "jobretry")
+    real_commit = cp.commit_partition
+    fails = {"left": 2}  # first two attempts hiccup, third succeeds
+
+    def flaky_commit(*args, **kwargs):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise OSError("injected transient fs error")
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(ep.checkpoint, "commit_partition", flaky_commit)
+    report = ep.run_job(
+        fixture_pages, out, shards_per_partition=2, giant_threshold=1 << 17
+    )
+    assert fails["left"] == 0  # the injection actually fired
+    manifests = checkpoint.load_manifests(out)
+    assert len(manifests) == len(report) == 2
+    # exactly-once: rerun on the complete output is a no-op
+    again = ep.run_job(
+        fixture_pages, out, shards_per_partition=2, giant_threshold=1 << 17
+    )
+    assert len(again) == 2
+
+    # non-transient (ValueError) fails fast — no retry loop
+    out2 = str(tmp_path / "jobfail")
+    calls = {"n": 0}
+
+    def broken_commit(*args, **kwargs):
+        calls["n"] += 1
+        raise ValueError("bad manifest payload")
+
+    monkeypatch.setattr(ep.checkpoint, "commit_partition", broken_commit)
+    with pytest.raises(RuntimeError, match="verify/commit failed"):
+        ep.run_job(
+            fixture_pages, out2, shards_per_partition=4, giant_threshold=1 << 17
+        )
+    assert calls["n"] == 1

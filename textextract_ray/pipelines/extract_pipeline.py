@@ -89,10 +89,13 @@ def dedup_by_url(
     1. materialize the extracted partition once (partition-scale, not
        corpus-scale — this is what bounds it; it also stops the
        consumers below from re-executing the extract),
-    2. key scan: ship ONLY an 8-byte ``stable_hash64(url)`` per row to
-       the driver and find hashes with count > 1 (a Ray groupby here
-       costs more in machinery than the data: the scan is
-       O(rows-per-partition × 8 B), bounded by partition sizing),
+    2. key scan: find url-hash keys with count > 1 fully distributed —
+       each batch pre-aggregates (hash, count) partials (8-byte keys,
+       deduped within the batch), a small groupby sums them, and only
+       the O(dup keys) result reaches the driver. No O(rows)
+       ``to_pandas`` anywhere: a caller invoking this on an
+       unpartitioned full corpus is safe, not just the partition-sized
+       ``run_job`` path,
     3. stream-filter the unique-url rows with the broadcast dup-hash
        set (vectorized ``is_in``, no shuffle — the overwhelming
        majority of the data takes this path),
@@ -150,18 +153,36 @@ def dedup_by_url(
     else:
         ds = extracted_ds.materialize()
 
-    def url_hashes(batch: pa.Table) -> pa.Table:
-        return pa.table({"h": pa.array(stable_hash64(batch[key_col]), pa.uint64())})
+    from ray.data.aggregate import Sum
 
-    h = (
-        ds.map_batches(url_hashes, batch_format="pyarrow")
-        .to_pandas()["h"]
-        .to_numpy()
+    def url_hash_partials(batch: pa.Table) -> pa.Table:
+        # per-batch partial counts: the shuffle ships (8-byte key,
+        # count) rows already deduped within the batch
+        hh = stable_hash64(batch[key_col])
+        uh, cnt = np.unique(hh, return_counts=True)
+        return pa.table(
+            {
+                # int64 view of the uint64 hash (bijective; Ray's
+                # groupby/sort handles int64 natively)
+                "h": pa.array(uh.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_rows"], 1))
+
+    dup_df = (
+        ds.map_batches(url_hash_partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .map_batches(only_dups, batch_format="pyarrow")
+        .to_pandas()  # O(dup keys), not O(rows)
     )
-    uniq_h, counts = np.unique(h, return_counts=True)
-    dup_h = uniq_h[counts > 1]
-    if dup_h.size == 0:
+    # an all-filtered map_batches output can round-trip with no columns
+    if "h" not in dup_df.columns or len(dup_df) == 0:
         return strip(ds)
+    dup_h = dup_df["h"].to_numpy().astype(np.uint64)
     dup_ref = _ray.put(pa.array(dup_h, pa.uint64()))
 
     def dup_mask(batch: pa.Table):
@@ -188,7 +209,7 @@ def dedup_by_url(
     # materialized so the byte size is known up front AND the past-
     # budget arm reads these blocks instead of re-filtering ds
     dups = ds.map_batches(keep_dup, batch_format="pyarrow").materialize()
-    n_dup_rows = int(counts[counts > 1].sum())
+    n_dup_rows = int(dup_df["n_rows"].sum())
     if n_dup_rows <= driver_budget_rows and (
         (dups.size_bytes() or 0) <= driver_budget_bytes
     ):
@@ -356,17 +377,41 @@ def run_job(
     pending: list = []
 
     def verify_and_commit(pid: int, shards: list, pdir: str) -> None:
-        try:
-            _ensure_partition_dir(pdir)
-            written = read_pages(pdir)  # write-verify (read-back idiom S3)
-            counters = aggregate_counters(written, pid)
-            checkpoint.commit_partition(
-                out_dir, pid, input_shards=shards, row_range=None,
-                counters=counters, job_sizing=shards_per_partition,
-            )
-            results[pid] = counters
-        except BaseException as exc:  # surfaced on join
-            errors[pid] = exc
+        # retry ladder (mirrors the reference's write-verify sink,
+        # src/clipboard.py:20-44): TRANSIENT failures — fs hiccups
+        # surfacing as OSError/IOError anywhere in read-back, counter
+        # aggregation, or manifest write — retry 3× with increasing
+        # backoff; anything else (bad data, schema drift, logic errors)
+        # fails fast. The whole attempt is idempotent: read-back is
+        # pure, and commit_partition writes the manifest atomically
+        # (tmp+fsync+rename), so a retry after a partially-failed
+        # attempt cannot double-commit or corrupt lineage — exactly-once
+        # is preserved because the manifest either exists (done) or not.
+        import time as _time
+
+        last_exc: BaseException | None = None
+        for attempt in range(3):
+            try:
+                _ensure_partition_dir(pdir)
+                written = read_pages(pdir)  # write-verify (read-back idiom S3)
+                counters = aggregate_counters(written, pid)
+                checkpoint.commit_partition(
+                    out_dir, pid, input_shards=shards, row_range=None,
+                    counters=counters, job_sizing=shards_per_partition,
+                )
+                results[pid] = counters
+                return
+            except (OSError, IOError) as exc:  # transient: retry w/ backoff
+                last_exc = exc
+                print(
+                    f"partition {pid} verify/commit attempt {attempt + 1} "
+                    f"failed ({type(exc).__name__}: {exc}); retrying"
+                )
+                _time.sleep(0.3 * (attempt + 1))
+            except BaseException as exc:  # non-transient: surfaced on join
+                errors[pid] = exc
+                return
+        errors[pid] = last_exc
 
     def join_pending() -> None:
         for t in pending:
