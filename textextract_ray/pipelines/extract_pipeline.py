@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources import read_pages
 from ..stages.extract import extract_pages
@@ -550,20 +551,18 @@ def extract_spans(sf_dir: str):
     extracted = extract_dataset(_documents_as_pages(sf_dir), dedup=False)
 
     def flatten(batch: pa.Table) -> pa.Table:
-        df = batch.select(["url", "spans"]).to_pandas()
-        rows = {"url": [], "span_start": [], "span_end": [], "span_kind": []}
-        for url, spans in zip(df["url"], df["spans"]):
-            for s in spans:
-                rows["url"].append(url)
-                rows["span_start"].append(int(s["start"]))
-                rows["span_end"].append(int(s["end"]))
-                rows["span_kind"].append(s["kind"])
+        # vectorized 1->N explode: list_flatten yields every span struct,
+        # list_parent_indices maps each back to its row's url — the same
+        # Arrow idiom paragraph_dedup uses; no Python row loop.
+        spans = batch["spans"]
+        structs = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
         return pa.table(
             {
-                "url": pa.array(rows["url"], pa.string()),
-                "span_start": pa.array(rows["span_start"], pa.int64()),
-                "span_end": pa.array(rows["span_end"], pa.int64()),
-                "span_kind": pa.array(rows["span_kind"], pa.string()),
+                "url": pc.take(batch["url"], parents),
+                "span_start": pc.cast(pc.struct_field(structs, "start"), pa.int64()),
+                "span_end": pc.cast(pc.struct_field(structs, "end"), pa.int64()),
+                "span_kind": pc.cast(pc.struct_field(structs, "kind"), pa.string()),
             }
         )
 

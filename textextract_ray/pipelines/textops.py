@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Mean, Sum
 
@@ -355,36 +356,69 @@ def chunk_windows(sf_dir: str, *, window: int = 64, stride: int = 48):
     than ``window`` only when the doc itself is). Token = \\S+ run
     (the engine-wide tokenizer); chunk_text rejoins with single
     spaces. Empty docs yield no chunks."""
-    import math
-    import re
-
-    tok_re = re.compile(r"\S+")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunks(batch: pa.Table) -> pa.Table:
-        out_id, out_k, out_start, out_n, out_text = [], [], [], [], []
-        ids = batch["doc_id"].to_pylist()
-        for doc_id, text in zip(ids, batch["text"].to_pylist()):
-            toks = tok_re.findall(text or "")
-            L = len(toks)
-            if L == 0:
-                continue
-            n_chunks = 1 if L <= window else 1 + math.ceil((L - window) / stride)
-            for k in range(n_chunks):
-                s = k * stride
-                seg = toks[s : s + window]
-                out_id.append(doc_id)
-                out_k.append(k)
-                out_start.append(s)
-                out_n.append(len(seg))
-                out_text.append(" ".join(seg))
+        # Fully vectorized 1->N explode: tokenize with the Arrow
+        # whitespace kernel, then compute every chunk's token slice as
+        # one flat gather (np.repeat/cumsum index arithmetic) and join
+        # with binary_join — no per-doc Python loop.
+        n_rows = batch.num_rows
+        tok_lists = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(tok_lists)
+        parents = pc.list_parent_indices(tok_lists).to_numpy(zero_copy_only=False)
+        # split emits "" for leading/trailing whitespace; drop them so
+        # token semantics stay \S+-equivalent
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[keep]
+        L = np.bincount(parents, minlength=n_rows).astype(np.int64)
+
+        n_chunks = np.where(
+            L == 0,
+            0,
+            np.where(L <= window, 1, 1 + np.ceil((L - window) / stride).astype(np.int64)),
+        ).astype(np.int64)
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_start": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(n_rows), n_chunks)
+        chunk_off = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        k = np.arange(total_chunks) - np.repeat(chunk_off, n_chunks)
+        s = k * stride
+        m = np.minimum(window, L[doc_idx] - s)
+
+        # flat token offsets per doc (tokens are doc-ordered), then one
+        # gather of every chunk's token index range
+        tok_off = np.concatenate(([0], np.cumsum(L)))
+        g = tok_off[doc_idx] + s
+        total_toks = int(m.sum())
+        within_off = np.concatenate(([0], np.cumsum(m)[:-1]))
+        idx = np.repeat(g, m) + (np.arange(total_toks) - np.repeat(within_off, m))
+        taken = pc.take(flat, pa.array(idx, pa.int64()))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        offsets = pa.array(np.concatenate(([0], np.cumsum(m))), pa.int32())
+        chunk_text = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, taken), " "
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "chunk_id": pa.array(out_k, pa.int64()),
-                "chunk_start": pa.array(out_start, pa.int64()),
-                "n_tokens": pa.array(out_n, pa.int64()),
-                "chunk_text": pa.array(out_text, pa.string()),
+                "doc_id": pc.take(batch["doc_id"], pa.array(doc_idx, pa.int64())),
+                "chunk_id": pa.array(k, pa.int64()),
+                "chunk_start": pa.array(s, pa.int64()),
+                "n_tokens": pa.array(m, pa.int64()),
+                "chunk_text": chunk_text,
             }
         )
 

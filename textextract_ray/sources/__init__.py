@@ -47,6 +47,65 @@ TABLES = (
 ).split()
 
 
+def _http_get(url: str, *, retries: int = 3, backoff: float = 1.0,
+              chunk: int = 65536) -> bytes:
+    """Stream one URL fully into memory with a retry ladder — the
+    reference updater's download shape (3 attempts, 1 s backoff,
+    64 KB chunks; src/updater.py:105-120,605), minus the disk spool:
+    a parquet shard is parsed straight from the buffer."""
+    import io
+    import time
+    import urllib.error
+    import urllib.request
+
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            buf = io.BytesIO()
+            with urllib.request.urlopen(url) as resp:
+                while True:
+                    b = resp.read(chunk)
+                    if not b:
+                        break
+                    buf.write(b)
+            return buf.getvalue()
+        except (OSError, urllib.error.URLError) as exc:  # transient: retry
+            last = exc
+            time.sleep(backoff * (attempt + 1))
+    raise last  # type: ignore[misc]
+
+
+def read_pages_http(urls, columns=None) -> rd.Dataset:
+    """Distributed HTTP parquet source: one url per block, each read
+    TASK streams its own shard (stdlib urllib — no aiohttp/Range
+    support in this container or on bare crawl mirrors) and parses it
+    worker-side, so downloads scale with the cluster and bytes never
+    route through the driver. Column pruning happens at parse time
+    (``pq.read_table(columns=...)`` over the fetched buffer): without
+    server Range support whole-file transfer is the floor, which
+    matches the reference's full-file streamed download
+    (src/updater.py:545-715)."""
+    import io
+
+    import pyarrow as pa
+
+    url_list = [str(u) for u in urls]
+    if not url_list:
+        raise ValueError("read_pages_http: no urls")
+    cols = list(columns) if columns is not None else None
+
+    def fetch(batch: pa.Table):
+        import pyarrow.parquet as pq
+
+        for url in batch["url"].to_pylist():
+            data = _http_get(url)
+            yield pq.read_table(io.BytesIO(data), columns=cols)
+
+    return rd.from_items(
+        [{"url": u} for u in url_list], override_num_blocks=len(url_list)
+    ).map_batches(fetch, batch_format="pyarrow")
+
+
 def read_table(sf_dir: str, name: str, columns=None, filter=None) -> rd.Dataset:
     """Read one test table with column pruning + pushdown."""
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -69,6 +128,10 @@ def read_pages(paths, columns=None) -> rd.Dataset:
     kwargs = {}
     if columns is not None:
         kwargs["columns"] = list(columns)
+    if isinstance(paths, str) and paths.split("://", 1)[0] in ("http", "https"):
+        # a single http(s) shard url (directories can't be listed over
+        # bare HTTP — pass explicit shard lists)
+        return read_pages_http([paths], columns=columns)
     if isinstance(paths, (list, tuple)):
         # expand directories: read_parquet accepts one directory fine,
         # but a LIST mixing directories and files does not
@@ -77,6 +140,10 @@ def read_pages(paths, columns=None) -> rd.Dataset:
         expanded = []
         filesystem = None
         uri_schemes = {str(p).split("://", 1)[0] for p in paths if "://" in str(p)}
+        if uri_schemes and uri_schemes <= {"http", "https"}:
+            # http(s) shards: worker-side streamed fetch (no pyarrow
+            # filesystem exists for bare HTTP in this container)
+            return read_pages_http(paths, columns=columns)
         plain = [p for p in paths if "://" not in str(p)]
         # one filesystem is passed to read_parquet for the WHOLE list —
         # a mixed list would silently resolve the other entries against
