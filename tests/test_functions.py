@@ -410,3 +410,63 @@ def test_bloom_integer_dtype_views_agree():
     b = bloom_add(bloom_create(64 * 256), keys_u64, 5)
     assert bloom_contains(b, keys_i64, 5).all()
     assert bloom_contains(b, keys_u64, 5).all()
+
+
+def test_bloom_create_requires_power_of_two():
+    """Non-power-of-two sizes break the odd-h2 full-coverage guarantee
+    (ADVICE r3): bloom_create rejects them outright."""
+    import pytest as _pytest
+
+    from textextract_ray.functions.sketch import bloom_create
+
+    for bad in (0, 63, 128 + 64, 64 * 3, 1000):
+        with _pytest.raises(ValueError, match="power of two"):
+            bloom_create(bad)
+    bloom_create(64)
+    bloom_create(1 << 20)
+
+
+def test_bloom_estimate_items():
+    """Occupancy estimator lands within ~5% of the true distinct count
+    on a properly sized filter, and reports inf when saturated."""
+    import numpy as np
+
+    from textextract_ray.functions.sketch import (
+        bloom_add,
+        bloom_create,
+        bloom_estimate_items,
+        bloom_params,
+    )
+
+    rng = np.random.default_rng(7)
+    members = np.unique(rng.integers(0, 2**63, 50_000, dtype=np.int64)).astype(
+        np.uint64
+    )
+    n_bits, k = bloom_params(len(members), 0.01)
+    b = bloom_add(bloom_create(n_bits), members, k)
+    est = bloom_estimate_items(b, k)
+    assert abs(est - len(members)) / len(members) < 0.05
+    full = np.full_like(b, np.uint64(0xFFFFFFFFFFFFFFFF))
+    assert bloom_estimate_items(full, k) == float("inf")
+
+
+def test_decontaminate_undersized_bloom_rebuilds(ray_session, sf_dir):
+    """An undersized bloom_items (ADVICE r3) triggers the occupancy
+    warning and a one-shot rebuild at the estimated size — output then
+    matches the generously-sized filter instead of silently
+    over-triggering."""
+    import warnings
+
+    from textextract_ray.pipelines.textops import decontaminate
+
+    exact = decontaminate(sf_dir)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        small = decontaminate(sf_dir, bloom_fpr=0.001, bloom_items=50)
+    assert any("rebuilding filter" in str(x.message) for x in w)
+    # zero false negatives, and over-trigger stays near the configured
+    # FPR instead of the saturated-filter blowup a 50-item sizing gives
+    assert small["doc_id"].tolist() == exact["doc_id"].tolist()
+    assert (small["n_shared"] >= exact["n_shared"]).all()
+    extra = int((small["contaminated"] & ~exact["contaminated"]).sum())
+    assert extra <= max(2, int(0.02 * len(exact)))

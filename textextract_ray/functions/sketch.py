@@ -223,9 +223,27 @@ def bloom_params(n_items: int, fpr: float = 0.01) -> tuple:
 
 
 def bloom_create(n_bits: int) -> np.ndarray:
-    if n_bits % 64:
-        raise ValueError("n_bits must be a multiple of 64")
+    # power of two REQUIRED, not just multiple-of-64: the odd-h2
+    # double-hash walk is full-period only when it is coprime to m,
+    # which the documented FPR depends on. bloom_params always returns
+    # a power of two; direct callers must too.
+    if n_bits < 64 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two >= 64, got {n_bits}")
     return np.zeros(n_bits // 64, dtype=np.uint64)
+
+
+def bloom_estimate_items(bloom: np.ndarray, k: int) -> float:
+    """Distinct-item estimate from the filter's own occupancy:
+    n-hat = -(m/k) * ln(1 - X/m) with X = set bits (Swamidass & Baldi
+    2007). Lets a builder detect an undersized filter for free —
+    no second pass over the data."""
+    m = bloom.size * 64
+    x = int(np.bitwise_count(bloom).sum()) if hasattr(np, "bitwise_count") else int(
+        np.unpackbits(bloom.view(np.uint8)).sum()
+    )
+    if x >= m:  # saturated: estimate unbounded
+        return float("inf")
+    return -(m / k) * float(np.log1p(-x / m))
 
 
 def _bloom_h12(values) -> tuple:

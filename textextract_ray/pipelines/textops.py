@@ -272,13 +272,36 @@ def decontaminate(
             part = bloom_add(bloom_create(n_bits), np.unique(flat), bloom_k)
             return pa.table({"bloom": pa.array([part.tobytes()], pa.binary())})
 
-        bloom = bloom_create(n_bits)
-        pbds = ds.map_batches(
-            bench_blooms, batch_format="pyarrow", zero_copy_batch=True
-        )
-        for b in pbds.iter_batches(batch_size=256, batch_format="pyarrow"):
-            for buf in b["bloom"]:
-                bloom |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        def _fold_blooms(bits: int) -> np.ndarray:
+            acc = bloom_create(bits)
+            pbds = ds.map_batches(
+                bench_blooms, batch_format="pyarrow", zero_copy_batch=True
+            )
+            for b in pbds.iter_batches(batch_size=256, batch_format="pyarrow"):
+                for buf in b["bloom"]:
+                    acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+            return acc
+
+        bloom = _fold_blooms(n_bits)
+        # the folded filter's occupancy estimates the true distinct
+        # gram count for free; if the caller's bloom_items undersized
+        # the filter (realized FPR silently above the configured one),
+        # warn and rebuild ONCE at the estimated size (deterministic:
+        # the estimate is a pure function of the fold)
+        from ..functions.sketch import bloom_estimate_items
+
+        est = bloom_estimate_items(bloom, bloom_k)
+        if est > bloom_items:
+            import warnings
+
+            warnings.warn(
+                f"decontaminate: ~{est:.0f} distinct bench grams exceed "
+                f"bloom_items={bloom_items}; rebuilding filter at the "
+                "estimated size to hold the configured FPR"
+            )
+            n_items = max(bloom_items, int(est * 1.2) + 1)
+            n_bits, bloom_k = bloom_params(n_items, bloom_fpr)
+            bloom = _fold_blooms(n_bits)
         bench_ref = ray.put(bloom)
     else:
         bds = ds.map_batches(
