@@ -477,3 +477,105 @@ def test_preprocess_image_stage_errors(ray_session):
     )
     with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         preprocess_images(strict_ds, strict=True).to_pandas()
+
+
+def test_resize_kernels_pure():
+    """resize_bilinear / center_crop / normalize_chw invariants:
+    identity at same size, constant stays constant, ramp slope
+    preserved, crop exactness, torchvision Normalize math."""
+    import numpy as np
+
+    from textextract_ray.imageops import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        center_crop,
+        normalize_chw,
+        resize_bilinear,
+    )
+
+    rng = np.random.default_rng(3)
+    im = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(im, 37, 53), im)
+    c = np.full((64, 64, 3), 77, np.uint8)
+    assert (resize_bilinear(c, 32, 32) == 77).all()
+    assert (resize_bilinear(c, 128, 96) == 77).all()
+    ramp = np.tile(np.arange(0, 256, 4, dtype=np.uint8)[None, :, None], (64, 1, 3))
+    rr = resize_bilinear(ramp, 64, 32)
+    d = np.diff(rr[0, :, 0].astype(int))
+    assert (np.abs(d - 8) <= 1).all()
+
+    assert center_crop(im, 16, 16).shape == (16, 16, 3)
+    # pad path: smaller-than-target edge-replicates
+    assert center_crop(im, 64, 64).shape == (64, 64, 3)
+    # crop of the crop-sized image is the image
+    assert np.array_equal(center_crop(im, 37, 53), im)
+
+    t = normalize_chw(c)
+    assert t.shape == (3, 64, 64) and t.dtype == np.float32
+    for ch in range(3):
+        want = (77 / 255.0 - IMAGENET_MEAN[ch]) / IMAGENET_STD[ch]
+        np.testing.assert_allclose(t[ch], want, rtol=1e-5)
+
+
+def test_resize_image_stage(ray_session):
+    """ResizeImage e2e over real own-codec PNGs: PNG mode re-encodes a
+    size x size crop decodable by the own codec; tensor mode emits the
+    fixed-size normalized CHW tensor; junk skips; truncated PNG becomes
+    a decode_error row."""
+    import numpy as np
+    import ray.data as rd
+
+    from textextract_ray.png import png_decode, png_encode
+    from textextract_ray.stages.multimodal import resize_images
+
+    rng = np.random.default_rng(9)
+    tall = rng.integers(0, 256, (80, 40, 3), dtype=np.uint8)
+    wide = rng.integers(0, 256, (40, 80, 3), dtype=np.uint8)
+    good_t, good_w = png_encode(tall), png_encode(wide)
+    junk = b"\xff\xd8\xffJUNK" * 4
+    broken = png_encode(tall)[:40]
+    rows = [
+        {"media_id": 0, "media": good_t, "media_type": "image"},
+        {"media_id": 1, "media": good_w, "media_type": "image"},
+        {"media_id": 2, "media": junk, "media_type": "image"},
+        {"media_id": 3, "media": broken, "media_type": "image"},
+    ]
+    ds = rd.from_items(rows)
+
+    out = (
+        resize_images(ds, size=32, emit="png", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out["status"].tolist()[:2] == ["ok", "ok"]
+    assert out["status"][2] == "skipped"
+    assert out["status"][3].startswith("decode_error")
+    for i in (0, 1):
+        px = png_decode(out["media"][i])
+        assert px.shape == (32, 32, 3)
+    # deterministic: second run byte-identical
+    out2 = (
+        resize_images(ds, size=32, emit="png", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out["media"].tolist() == out2["media"].tolist()
+
+    tens = (
+        resize_images(ds, size=32, emit="tensor", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    v = np.asarray(tens["tensor"][0])
+    assert v.shape == (3 * 32 * 32,) and v.dtype == np.float32
+    # tensor equals normalize_chw of the decoded PNG-mode output
+    from textextract_ray.imageops import normalize_chw
+
+    np.testing.assert_allclose(
+        v, normalize_chw(png_decode(out["media"][0])).ravel(), rtol=1e-6
+    )
+    # skipped rows carry the zero tensor
+    assert (np.asarray(tens["tensor"][2]) == 0).all()

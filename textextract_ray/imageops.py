@@ -104,3 +104,71 @@ def preprocess_pixels(px: np.ndarray) -> np.ndarray:
     out = enhance_contrast(px, PREPROCESS_CONTRAST)
     out = enhance_sharpness(out, PREPROCESS_SHARPNESS)
     return enhance_brightness(out, PREPROCESS_BRIGHTNESS)
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize with half-pixel-center sampling and edge clamp
+    (the torchvision/OpenCV ``align_corners=False`` convention):
+    src = (dst + 0.5) * (in/out) - 0.5. Whole-image numpy — four
+    corner gathers and two lerps, no Python loops."""
+    rgb = to_rgb(px)
+    in_h, in_w = rgb.shape[:2]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"bad target size {(out_h, out_w)}")
+    if (in_h, in_w) == (out_h, out_w):
+        return rgb.copy()
+
+    sy = (np.arange(out_h, dtype=np.float64) + 0.5) * (in_h / out_h) - 0.5
+    sx = (np.arange(out_w, dtype=np.float64) + 0.5) * (in_w / out_w) - 0.5
+    y0 = np.clip(np.floor(sy), 0, in_h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(sx), 0, in_w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
+
+    f = rgb.astype(np.float64)
+    top = f[y0[:, None], x0[None, :]] * (1 - wx) + f[y0[:, None], x1[None, :]] * wx
+    bot = f[y1[:, None], x0[None, :]] * (1 - wx) + f[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def center_crop(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Center crop to (out_h, out_w); images smaller than the target
+    are edge-padded first (replicate), so output shape is exact."""
+    rgb = to_rgb(px)
+    in_h, in_w = rgb.shape[:2]
+    pad_h, pad_w = max(0, out_h - in_h), max(0, out_w - in_w)
+    if pad_h or pad_w:
+        rgb = np.pad(
+            rgb,
+            (
+                (pad_h // 2, pad_h - pad_h // 2),
+                (pad_w // 2, pad_w - pad_w // 2),
+                (0, 0),
+            ),
+            mode="edge",
+        )
+        in_h, in_w = rgb.shape[:2]
+    y = (in_h - out_h) // 2
+    x = (in_w - out_w) // 2
+    return np.ascontiguousarray(rgb[y : y + out_h, x : x + out_w])
+
+
+# ImageNet statistics — the de-facto default for vision model inputs
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_chw(
+    px: np.ndarray,
+    mean: tuple = IMAGENET_MEAN,
+    std: tuple = IMAGENET_STD,
+) -> np.ndarray:
+    """uint8 HWC -> float32 CHW model-input tensor:
+    (px/255 - mean) / std per channel (torchvision Normalize)."""
+    rgb = to_rgb(px).astype(np.float32) / 255.0
+    m = np.asarray(mean, dtype=np.float32)[None, None, :]
+    s = np.asarray(std, dtype=np.float32)[None, None, :]
+    return np.ascontiguousarray(((rgb - m) / s).transpose(2, 0, 1))

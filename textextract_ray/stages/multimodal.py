@@ -330,6 +330,110 @@ class PreprocessImage:
         )
 
 
+class ResizeImage:
+    """Actor-pool stage: PNG payload -> fixed-size model input (the
+    resize step of the training-data brief: decode → bilinear resize
+    (shorter side to ``size``) → center crop ``size×size`` → emit).
+
+    ``emit="png"`` re-encodes the resized crop (filter-0 PNG,
+    byte-deterministic); ``emit="tensor"`` emits the normalized
+    float32 CHW tensor as a fixed-size ``list<float32>`` of
+    3·size·size — the exact layout a batched vision model consumes,
+    zero-copy from Arrow to numpy. Decode ladder and
+    strict/skip/decode_error semantics mirror PreprocessImage."""
+
+    def __init__(self, *, size: int = 224, emit: str = "png", strict: bool = False):
+        if emit not in ("png", "tensor"):
+            raise ValueError(f"emit must be png|tensor, got {emit!r}")
+        self.size = size
+        self.emit = emit
+        self.strict = strict
+
+    def _resize(self, payload: bytes) -> np.ndarray:
+        from ..imageops import center_crop, resize_bilinear, to_rgb
+
+        px = to_rgb(png_decode(payload))
+        h, w = px.shape[:2]
+        s = self.size
+        # shorter side -> s, preserve aspect, then center crop (the
+        # torchvision Resize+CenterCrop eval transform)
+        if h <= w:
+            px = resize_bilinear(px, s, max(s, int(round(w * s / h))))
+        else:
+            px = resize_bilinear(px, max(s, int(round(h * s / w))), s)
+        return center_crop(px, s, s)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imageops import normalize_chw
+        from ..png import png_encode
+
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        s = self.size
+        out_payload, out_tensor, sts = [], [], []
+        zero = np.zeros(3 * s * s, dtype=np.float32)
+        for p in payloads:
+            p = p or b""
+            px = None
+            if not has_valid_ihdr(p):
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-PNG resize requires PIL; not available in this "
+                        "container (pass-through: ResizeImage(strict=False))"
+                    )
+                status = "skipped"
+            else:
+                try:
+                    px = self._resize(p)
+                    status = "ok"
+                except UnsupportedPngError:
+                    if self.strict:
+                        raise NotImplementedError(
+                            "PNG outside the stdlib codec subset requires PIL"
+                        ) from None
+                    status = "skipped"
+                except Exception as exc:
+                    status = f"decode_error: {type(exc).__name__}"
+            sts.append(status)
+            if self.emit == "png":
+                out_payload.append(png_encode(px) if px is not None else p)
+            else:
+                out_tensor.append(
+                    normalize_chw(px).ravel() if px is not None else zero
+                )
+        cols = {
+            "media_id": pa.array(ids, pa.int64()),
+        }
+        if self.emit == "png":
+            cols["media"] = pa.array(out_payload, pa.binary())
+        else:
+            flat = pa.array(
+                np.concatenate(out_tensor) if out_tensor else
+                np.array([], dtype=np.float32),
+                pa.float32(),
+            )
+            cols["tensor"] = pa.FixedSizeListArray.from_arrays(flat, 3 * s * s)
+        cols["width"] = pa.array([s] * len(ids), pa.int32())
+        cols["height"] = pa.array([s] * len(ids), pa.int32())
+        cols["status"] = pa.array(sts, pa.string())
+        return pa.table(cols)
+
+
+def resize_images(media_ds, *, size: int = 224, emit: str = "png",
+                  batch_size: int = 16, concurrency=(1, 8), strict: bool = False):
+    """media Dataset -> fixed-size image Dataset. Tensor mode adds
+    3·size²·4 bytes per row — size the batch so batch × concurrency
+    fits worker heaps (16 rows × 224² × 12 B ≈ 10 MB/batch)."""
+    return media_ds.map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"size": size, "emit": emit, "strict": strict},
+    )
+
+
 AUDIO_META_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
