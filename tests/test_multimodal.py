@@ -579,3 +579,106 @@ def test_resize_image_stage(ray_session):
     )
     # skipped rows carry the zero tensor
     assert (np.asarray(tens["tensor"][2]) == 0).all()
+
+
+def test_mp4_parser_round_trip():
+    """Own ISO BMFF parser over the own synthesizer: brand, movie
+    duration, track dims, full sample table (offsets index real frame
+    bytes at real timestamps); malformed containers raise."""
+    import pytest as _pytest
+
+    from textextract_ray.datagen import synthesize_mp4
+    from textextract_ray.mp4 import is_mp4, mp4_parse, mp4_video_samples
+
+    p = synthesize_mp4(7, n_samples=24, fps=12, width=320, height=240)
+    assert is_mp4(p)
+    assert synthesize_mp4(7) == p  # deterministic
+    info = mp4_parse(p)
+    assert info.major_brand == "isom"
+    assert info.duration_ms == 2000  # 24 frames @ 12 fps
+    t = info.video_track()
+    assert (t.width, t.height) == (320.0, 240.0)
+    assert t.handler == "vide"
+    samples = mp4_video_samples(p)
+    assert len(samples) == 24
+    # timestamps follow the stts grid exactly
+    assert [ts for _, _, ts in samples] == [int(i * 1000 / 12) for i in range(24)]
+    # offsets/sizes index the actual mdat payload (non-empty, in-bounds,
+    # contiguous within the single chunk)
+    prev_end = None
+    for off, size, _ in samples:
+        assert 0 < size and off + size <= len(p)
+        if prev_end is not None:
+            assert off == prev_end
+        prev_end = off + size
+
+    with _pytest.raises(ValueError):
+        mp4_parse(b"\x00\x00\x00\x08ftypisom")  # truncated: no moov
+    with _pytest.raises(ValueError):
+        mp4_parse(b"not a container at all")
+
+
+def test_decode_video_real_and_stub(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.datagen import synthesize_mp4
+    from textextract_ray.stages.multimodal import decode_video
+
+    rows = [
+        {"media_id": 0, "media": synthesize_mp4(0, n_samples=10, fps=5,
+                                                width=64, height=48),
+         "media_type": "video"},
+        {"media_id": 1, "media": b"RIFFxxxxAVI LIST", "media_type": "video"},
+    ]
+    df = (
+        decode_video(rd.from_items(rows), concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert df["format"][0] == "mp4/isom"
+    assert (df["width"][0], df["height"][0]) == (64, 48)
+    assert df["duration_ms"][0] == 2000
+    assert df["n_frames"][0] == 10
+    assert df["status"][0] == "ok"
+    assert df["status"][1] == "stubbed"
+
+    # malformed mp4 -> decode_error row, not a task crash
+    bad = synthesize_mp4(0)[:60]
+    dfe = decode_video(
+        rd.from_items([{"media_id": 9, "media": bad, "media_type": "video"}])
+    ).to_pandas()
+    assert dfe["status"][0].startswith("decode_error")
+
+
+def test_frame_sample_real_mp4(ray_session):
+    """FrameSample's real path: encoded frames picked evenly across the
+    container timeline, byte-exact against the sample table; non-MP4
+    payloads keep the stub semantics in the same schema."""
+    import ray.data as rd
+
+    from textextract_ray.datagen import synthesize_mp4
+    from textextract_ray.mp4 import mp4_video_samples
+    from textextract_ray.stages.multimodal import sample_frames
+
+    p = synthesize_mp4(3, n_samples=20, fps=10)
+    rows = [
+        {"media_id": 3, "media": p, "media_type": "video"},
+        {"media_id": 4, "media": b"JUNKJUNKJUNKJUNK" * 8, "media_type": "video"},
+    ]
+    df = (
+        sample_frames(rd.from_items(rows), n_frames=4)
+        .to_pandas()
+        .sort_values(["media_id", "frame_index"])
+        .reset_index(drop=True)
+    )
+    real = df[df["media_id"] == 3]
+    assert (real["source"] == "mp4").all()
+    samples = mp4_video_samples(p)
+    for fi, row in enumerate(real.itertuples()):
+        off, size, ts = samples[fi * 20 // 4]
+        assert row.frame == p[off : off + size]
+        assert row.frame_ts_ms == ts
+    stub = df[df["media_id"] == 4]
+    assert (stub["source"] == "stub").all()
+    assert (stub["frame_ts_ms"] == -1).all()

@@ -260,3 +260,93 @@ def documents_to_pdf_pages(batch: pa.Table) -> pa.Table:
         },
         schema=PAGES_SCHEMA,
     )
+
+
+def synthesize_mp4(
+    media_id: int,
+    *,
+    n_samples: int = 24,
+    fps: int = 12,
+    width: int = 320,
+    height: int = 240,
+) -> bytes:
+    """Deterministic minimal-but-VALID MP4 (ISO BMFF): ftyp + mdat with
+    ``n_samples`` encoded-frame stand-ins + a full moov (mvhd, one
+    video trak with tkhd/mdhd/hdlr and a complete stts/stsc/stsz/stco
+    sample table whose offsets index into this file's mdat). Frame
+    payload bytes are seeded by (media_id, sample index) so container
+    parsing and frame sampling are testable end-to-end without a
+    codec. Structure per ISO/IEC 14496-12 (public spec)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+        return box(btype, struct.pack(">B3x", version) + payload)
+
+    rng = random.Random(0xC0DEC ^ media_id)
+    samples = [
+        bytes(rng.randrange(256) for _ in range(32 + (media_id + i) % 64))
+        for i in range(n_samples)
+    ]
+    mdat_payload = b"".join(samples)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat = box(b"mdat", mdat_payload)
+    data_start = len(ftyp) + 8  # first sample's absolute file offset
+
+    timescale = fps * 1000
+    delta = 1000  # per-sample duration in timescale units -> 1/fps sec
+    duration = n_samples * delta
+
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">Hxx", 0x0100)  # volume 1.0 + reserved
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track_id
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHxx", 0, 0, 0)  # layer, alt_group, volume
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        version=0,
+    )
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">Hxx", 0x55C4),  # language 'und'
+    )
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"synth\x00")
+    stsd = full(
+        b"stsd",
+        struct.pack(">I", 1)
+        # minimal sample entry: size+fourcc+reserved+data_reference_index
+        + struct.pack(">I", 16) + b"rle " + b"\x00" * 6 + struct.pack(">H", 1),
+    )
+    stts = full(b"stts", struct.pack(">III", 1, n_samples, delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n_samples, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n_samples)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = full(b"stco", struct.pack(">II", 1, data_start))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

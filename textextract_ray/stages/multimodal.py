@@ -17,8 +17,12 @@ stub remains for every other format and for magic-prefix-only
 synthetic payloads (the driver corpus): metadata derived purely from
 the payload bytes (magic number, length), deterministic and
 SQL-expressible, so schemas, batch flow, and output layout stay
-testable. ``strict=True`` raises instead of stubbing. ffmpeg-shaped
-stages (FrameSample) stay stubbed — video decode has no stdlib path.
+testable. ``strict=True`` raises instead of stubbing. Video: the
+CONTAINER layer is real — ``textextract_ray.mp4`` parses ISO BMFF box
+structure and sample tables, so DecodeVideo emits real MP4 metadata
+and FrameSample returns real encoded frames at real container
+timestamps. Pixel decode of those frames has no stdlib path (no
+ffmpeg) and remains out of scope.
 """
 
 from __future__ import annotations
@@ -200,33 +204,148 @@ class ImageFeatures:
 
 
 class FrameSample:
-    """Actor-pool stage: "video" payload -> N frame rows (a flat-map:
-    output rows > input rows). Real path: ffmpeg keyframe extraction in
-    __call__, handle opened per actor. Stub: deterministic byte-slice
-    "frames". Demonstrates the 1->N batch contract and small batch
-    sizing for multi-MB payloads."""
+    """Actor-pool stage: video payload -> N frame rows (a flat-map:
+    output rows > input rows).
+
+    REAL path (container-level, own stdlib parser — textextract_ray.mp4):
+    a structurally valid MP4 has its sample table parsed and n_frames
+    ENCODED video samples picked evenly across the real container
+    timeline — actual frame bytes at actual timestamps, no codec
+    needed. Pixel decode of those samples stays out of scope (no
+    ffmpeg; flagged in the module notice). Stub path for everything
+    else: deterministic byte-slice "frames" with frame_ts_ms = -1, so
+    the driver-corpus plumbing gate keeps its exact semantics."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..mp4 import is_mp4, mp4_video_samples
+
         ids = batch["media_id"].to_pylist()
         payloads = batch["media"].to_pylist()
-        out_id, out_idx, out_frame = [], [], []
+        out_id, out_idx, out_frame, out_ts, out_src = [], [], [], [], []
         for mid, p in zip(ids, payloads):
             p = p or b""
-            step = max(1, len(p) // self.n_frames)
-            for fi in range(self.n_frames):
-                out_id.append(mid)
-                out_idx.append(fi)
-                out_frame.append(p[fi * step : fi * step + min(step, 4096)])
+            samples = []
+            if is_mp4(p):
+                try:
+                    samples = mp4_video_samples(p)
+                except ValueError:
+                    samples = []  # malformed container -> stub path
+            if samples:
+                n = len(samples)
+                for fi in range(self.n_frames):
+                    off, size, ts = samples[min(n - 1, fi * n // self.n_frames)]
+                    out_id.append(mid)
+                    out_idx.append(fi)
+                    out_frame.append(p[off : off + size])
+                    out_ts.append(ts)
+                    out_src.append("mp4")
+            else:
+                step = max(1, len(p) // self.n_frames)
+                for fi in range(self.n_frames):
+                    out_id.append(mid)
+                    out_idx.append(fi)
+                    out_frame.append(p[fi * step : fi * step + min(step, 4096)])
+                    out_ts.append(-1)
+                    out_src.append("stub")
         return pa.table(
             {
                 "media_id": pa.array(out_id, pa.int64()),
                 "frame_index": pa.array(out_idx, pa.int32()),
                 "frame": pa.array(out_frame, pa.binary()),
+                "frame_ts_ms": pa.array(out_ts, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
             }
         )
+
+
+VIDEO_META_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("format", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int64()),
+        pa.field("n_frames", pa.int64()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+class DecodeVideo:
+    """Actor-pool stage: video payload -> typed container metadata.
+
+    MP4 parses for REAL via the own stdlib ISO BMFF parser
+    (textextract_ray.mp4) — brand, movie duration, video track
+    dimensions, frame count from the actual sample table. Other
+    formats stub deterministically (or raise under ``strict=True``);
+    malformed MP4s become ``decode_error`` status rows."""
+
+    def __init__(self, *, strict: bool = False):
+        self.strict = strict
+
+    def _decode(self, payload: bytes) -> tuple:
+        from ..mp4 import is_mp4, mp4_parse
+
+        if is_mp4(payload):
+            info = mp4_parse(payload)
+            t = info.video_track()
+            return (
+                f"mp4/{info.major_brand}",
+                int(t.width) if t else 0,
+                int(t.height) if t else 0,
+                info.duration_ms,
+                len(t.sample_sizes) if t else 0,
+                "ok",
+            )
+        if self.strict:
+            raise NotImplementedError(
+                "non-MP4 video metadata requires ffmpeg; not available in "
+                "this container (stub: DecodeVideo(strict=False))"
+            )
+        n = len(payload)
+        w, h = _fake_dims(payload)
+        return sniff_format(payload), w, h, n % 60_000, n % 1800, "stubbed"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        rows = []
+        for p in payloads:
+            try:
+                rows.append(self._decode(p or b""))
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                rows.append(
+                    ("mp4", 0, 0, 0, 0, f"decode_error: {type(exc).__name__}")
+                )
+        cols = list(zip(*rows)) if rows else [[]] * 6
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(list(cols[0]), pa.string()),
+                pa.array(list(cols[1]), pa.int32()),
+                pa.array(list(cols[2]), pa.int32()),
+                pa.array(list(cols[3]), pa.int64()),
+                pa.array(list(cols[4]), pa.int64()),
+                pa.array(list(cols[5]), pa.string()),
+            ],
+            schema=VIDEO_META_SCHEMA,
+        )
+
+
+def decode_video(media_ds, *, batch_size: int = 16, concurrency=(1, 8), strict: bool = False):
+    return media_ds.map_batches(
+        DecodeVideo,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"strict": strict},
+    )
 
 
 PREPROCESSED_SCHEMA = pa.schema(
