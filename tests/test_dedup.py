@@ -162,3 +162,116 @@ def test_dedup_is_partitioning_invariant(doc_ds):
         a.sort_values("id").reset_index(drop=True),
         b.sort_values("id").reset_index(drop=True),
     )
+
+
+def test_resolve_clusters_union_find_and_distributed(ray_session):
+    """Connected components over pair tables: driver union-find and the
+    distributed hash-to-min path agree with each other, with a
+    constructed ground truth (chains = worst diameter, stars, merged
+    components), and with a DuckDB recursive-CTE oracle on a random
+    graph."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import resolve_clusters
+
+    # constructed graph: chain 0-1-2-3-4, star 10-{11,12,13},
+    # two-edge merge 20-21, 21-22, singleton pair 30-31
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4),
+             (10, 11), (10, 12), (10, 13),
+             (20, 21), (21, 22), (30, 31)]
+    truth = {}
+    for comp in ([0, 1, 2, 3, 4], [10, 11, 12, 13], [20, 21, 22], [30, 31]):
+        for x in comp:
+            truth[x] = comp[0]
+    pairs = pd.DataFrame(
+        {"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}
+    )
+
+    drv = resolve_clusters(rd.from_pandas(pairs)).to_pandas()
+    assert dict(zip(drv["id"], drv["rep"])) == truth
+
+    dist = (
+        resolve_clusters(rd.from_pandas(pairs), driver_budget_rows=0)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(dist["id"], dist["rep"])) == truth
+
+    # random graph vs DuckDB recursive-CTE transitive closure
+    rng = np.random.default_rng(42)
+    ra = rng.integers(0, 120, 150)
+    rb = rng.integers(0, 120, 150)
+    rp = pd.DataFrame({"id_a": ra, "id_b": rb})
+    got = (
+        resolve_clusters(rd.from_pandas(rp))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("pairs", rp)
+    want = con.execute(
+        """
+        WITH RECURSIVE sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+            UNION SELECT id_a, id_a FROM pairs
+            UNION SELECT id_b, id_b FROM pairs
+        ), reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS id, min(v) AS rep FROM reach GROUP BY u ORDER BY u
+        """
+    ).df()
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["rep"].tolist() == want["rep"].tolist()
+
+    # distributed path agrees on the random graph too
+    got_dist = (
+        resolve_clusters(rd.from_pandas(rp), driver_budget_rows=0)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got_dist["rep"].tolist() == want["rep"].tolist()
+
+    # empty pair table
+    empty = resolve_clusters(
+        rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": []}))
+    ).to_pandas()
+    assert len(empty) == 0
+
+
+def test_drop_cluster_duplicates(ray_session):
+    """Composed near-dup dedup: minhash pairs -> transitive clusters ->
+    keep exactly one row per cluster (the min id), everything else
+    streams through untouched."""
+    import pandas as pd
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import (
+        drop_cluster_duplicates,
+        resolve_clusters,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": ["alpha"] * 1 + ["x%d" % i for i in range(7)],
+        }
+    )
+    # chain 0~1, 1~2 (transitive: {0,1,2} is ONE cluster even though
+    # 0 and 2 never pair directly), plus 5~6
+    pairs = pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 2, 6]})
+    clusters = resolve_clusters(rd.from_pandas(pairs))
+    kept = (
+        drop_cluster_duplicates(rd.from_pandas(docs), clusters, "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert kept["doc_id"].tolist() == [0, 3, 4, 5, 7]

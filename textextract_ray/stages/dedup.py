@@ -670,3 +670,153 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3, threshold
     if not ra:
         return rd.from_pandas(empty)
     return rd.from_pandas(pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj}))
+
+
+# --- cluster resolution (connected components over near-dup pairs) -----------
+
+
+def _union_find_reps(df: pd.DataFrame, id_a: str, id_b: str) -> pd.DataFrame:
+    """Driver union-find (path-halving + union-by-index) over a pair
+    table; returns (id, rep) with rep = component minimum. O(pairs α)."""
+    ids = pd.unique(pd.concat([df[id_a], df[id_b]], ignore_index=True))
+    ids = np.sort(ids.astype(np.int64))
+    index = {int(v): i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for a, b in zip(df[id_a].to_numpy(), df[id_b].to_numpy()):
+        ra, rb = find(index[int(a)]), find(index[int(b)])
+        if ra != rb:
+            # union toward the smaller index == smaller id (ids sorted)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    reps = ids[[find(i) for i in range(len(ids))]]
+    return pd.DataFrame({"id": ids, "rep": reps})
+
+
+def resolve_clusters(
+    pairs_ds,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_budget_rows: int = 2_000_000,
+    max_rounds: int = 20,
+    num_buckets: int = 64,
+):
+    """Connected components over a near-dup PAIR table -> (id, rep)
+    cluster assignment, rep = smallest id in the component. Pairwise
+    keep lists (``_min_keep_per_id``) are not transitive — a chain
+    a~b, b~c leaves c pointing at b; downstream "keep one per cluster"
+    needs the closure this computes. Only ids that appear in a pair
+    come back (singletons are their own rep by definition).
+
+    Pair tables are O(duplicate pairs) — a vanishing corpus fraction —
+    so under ``driver_budget_rows`` the resolve is one driver
+    union-find pass. Past the budget it switches to distributed
+    hash-to-min (Rastogi et al. 2013): relation R(u, v) = "v is in
+    u's cluster view", each round every u sends min(view) to its view
+    and its view to min(view) — one bucketed groupby per round,
+    converges in O(log diameter) rounds (near-dup clusters are
+    star-like, so 2-3 in practice; ``max_rounds`` bounds adversarial
+    chains). The relation stays keys-only: two int64s per row."""
+    import ray.data as rd
+
+    pairs_df_or_none = None
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"id": pd.Series(dtype="int64"), "rep": pd.Series(dtype="int64")}
+            )
+        )
+    if n_pairs <= driver_budget_rows:
+        pairs_df_or_none = pairs_ds.to_pandas()
+        if id_a not in pairs_df_or_none.columns:
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {"id": pd.Series(dtype="int64"), "rep": pd.Series(dtype="int64")}
+                )
+            )
+        return rd.from_pandas(_union_find_reps(pairs_df_or_none, id_a, id_b))
+
+    # distributed hash-to-min over keys-only rows. NOTE: not
+    # _bucketed_group_apply — that helper skips singleton groups (right
+    # for pair emission, wrong here: a converged loser node's view is
+    # exactly one row and must survive every round). Buckets here are
+    # applied whole-bucket; propagate/to_rep group internally.
+    from ..functions.scalar import stable_bucket
+
+    def _bucketed(rel_ds, fn):
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = stable_bucket(batch["u"].to_pylist(), num_buckets)
+            return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+        def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return fn(df.drop(columns=["_bucket"]))
+
+        return (
+            rel_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(apply_bucket, batch_format="pandas")
+        )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].cast(pa.int64())
+        b = batch[id_b].cast(pa.int64())
+        u = pa.chunked_array([a, b, a, b])
+        v = pa.chunked_array([b, a, a, b])
+        return pa.table({"u": u, "v": v})
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for u, g in df.groupby("u", sort=False):
+            view = np.unique(g["v"].to_numpy())
+            m = min(int(view[0]), int(u))
+            # min -> everyone in the view, view -> min
+            outs.append(pd.DataFrame({"u": view, "v": m}))
+            outs.append(pd.DataFrame({"u": m, "v": view}))
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    rel = pairs_ds.map_batches(symmetrize, batch_format="pyarrow")
+    prev_n = -1
+    for _ in range(max_rounds):
+        rel = _bucketed(rel, propagate).materialize()
+        n = rel.count()
+        if n == prev_n:
+            break  # fixpoint: views stable
+        prev_n = n
+
+    def to_rep(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", as_index=False)["v"].min()
+        return g.rename(columns={"u": "id", "v": "rep"})
+
+    return _bucketed(rel, to_rep)
+
+
+def drop_cluster_duplicates(ds, clusters_ds, id_col: str):
+    """Keep one row per near-dup cluster: broadcast the LOSER id set
+    (ids whose rep != id — O(duplicate rows), tiny vs the corpus, the
+    same budget argument as every keep-list broadcast in this module)
+    and stream-filter with vectorized ``is_in``. Rows never shuffle."""
+    import ray as _ray
+
+    losers_df = clusters_ds.to_pandas()
+    if len(losers_df) == 0 or "id" not in losers_df.columns:
+        return ds
+    losers = losers_df.loc[losers_df["id"] != losers_df["rep"], "id"].to_numpy()
+    if losers.size == 0:
+        return ds
+    losers_ref = _ray.put(pa.array(losers.astype("int64"), pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = pc.is_in(batch[id_col].cast(pa.int64()), _ray.get(losers_ref))
+        return batch.filter(pc.invert(drop))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
