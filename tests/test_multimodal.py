@@ -682,3 +682,38 @@ def test_frame_sample_real_mp4(ray_session):
     stub = df[df["media_id"] == 4]
     assert (stub["source"] == "stub").all()
     assert (stub["frame_ts_ms"] == -1).all()
+
+
+def test_image_features_real_pixels(ray_session):
+    """ImageFeatures real path: decodable PNGs yield actual pixel
+    statistics (verified against a constant image's known moments);
+    non-decodable payloads keep the byte-stub EXACTLY (golden outputs
+    over synthetic corpora must never move)."""
+    import numpy as np
+    import ray.data as rd
+    import zlib
+
+    from textextract_ray.png import png_encode
+    from textextract_ray.stages.multimodal import extract_features
+
+    const = np.full((20, 30, 3), 128, np.uint8)
+    junk = b"\xff\xd8\xffJUNKJUNK" * 3
+    rows = [
+        {"media_id": 0, "media": png_encode(const), "media_type": "image"},
+        {"media_id": 1, "media": junk, "media_type": "image"},
+    ]
+    df = (
+        extract_features(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert df["feature_source"].tolist() == ["pixels", "bytes"]
+    v = np.asarray(df["embedding"][0])
+    np.testing.assert_allclose(v[0:3], 128 / 255.0, rtol=1e-5)  # channel means
+    np.testing.assert_allclose(v[3:6], 0.0, atol=1e-6)  # constant: zero std
+    assert v[6] == 0.0  # no gradients
+    assert v[7] == 0.0  # single-bin histogram: zero entropy
+    # stub path byte-identical to the original formula
+    want = [(zlib.crc32(junk[i::8]) % 10_000) / 10_000.0 for i in range(8)]
+    np.testing.assert_allclose(np.asarray(df["embedding"][1]), want, rtol=1e-6)

@@ -174,31 +174,75 @@ class DecodeImage:
 class ImageFeatures:
     """Actor-pool stage: payload -> fixed-dim feature vector.
 
-    Real path would run a vision model loaded once in __init__; the stub
-    derives a deterministic 8-dim float vector from stable byte hashes
-    (crc32 of 8 strided views) so downstream ANN / dedup stages can be
-    exercised end-to-end."""
+    REAL path for payloads the own PNG codec decodes (``pixel_stats=True``,
+    the default): an 8-dim vector of actual pixel statistics — per-channel
+    mean and std (6), mean absolute horizontal+vertical gradient of the
+    luma (edge density, 1), and luma entropy over a 16-bin histogram (1) —
+    all whole-image numpy, each scaled to [0, 1]. A vision model loaded
+    once per actor would slot in here; these are the classic cheap
+    global descriptors (color moments + edge density + entropy).
+
+    Stub path for everything else, BYTE-IDENTICAL to the original stub
+    (crc32 of 8 strided views) so golden-pinned outputs over synthetic
+    corpora never move."""
 
     DIM = 8
 
-    def __init__(self):
+    def __init__(self, *, pixel_stats: bool = True):
         self.dim = self.DIM  # model handle would load here
+        self.pixel_stats = pixel_stats
+
+    def _pixel_vec(self, payload: bytes):
+        from ..imageops import luma, to_rgb
+        from ..png import png_decode
+
+        px = to_rgb(png_decode(payload)).astype(np.float64)
+        if px.size == 0:
+            return None
+        feats = np.empty(8, dtype=np.float32)
+        feats[0:3] = px.mean(axis=(0, 1)) / 255.0
+        feats[3:6] = px.std(axis=(0, 1)) / 255.0
+        lum = luma(px.astype(np.uint8))
+        grad = 0.0
+        if lum.shape[0] > 1:
+            grad += np.abs(np.diff(lum, axis=0)).mean()
+        if lum.shape[1] > 1:
+            grad += np.abs(np.diff(lum, axis=1)).mean()
+        feats[6] = min(1.0, grad / 255.0)
+        hist, _ = np.histogram(lum, bins=16, range=(0.0, 256.0))
+        pdist = hist / max(1, hist.sum())
+        nz = pdist[pdist > 0]
+        feats[7] = float(-(nz * np.log2(nz)).sum() / 4.0)  # /log2(16)
+        return feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         payloads = batch["media"].to_pylist()
-        vecs = []
+        vecs, srcs = [], []
         for p in payloads:
             p = p or b"\x00"
-            feats = [
-                (zlib.crc32(p[i :: self.dim]) % 10_000) / 10_000.0
-                for i in range(self.dim)
-            ]
-            vecs.append(feats)
+            v = None
+            if self.pixel_stats and has_valid_ihdr(p):
+                try:
+                    v = self._pixel_vec(p)
+                except Exception:
+                    v = None  # out-of-subset / malformed: stub below
+            if v is not None:
+                vecs.append(v.tolist())
+                srcs.append("pixels")
+            else:
+                vecs.append(
+                    [
+                        (zlib.crc32(p[i :: self.dim]) % 10_000) / 10_000.0
+                        for i in range(self.dim)
+                    ]
+                )
+                srcs.append("bytes")
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "feature_source": pa.array(srcs, pa.string()),
             }
         )
 
