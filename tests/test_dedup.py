@@ -275,3 +275,75 @@ def test_drop_cluster_duplicates(ray_session):
         .sort_values("doc_id")
     )
     assert kept["doc_id"].tolist() == [0, 3, 4, 5, 7]
+
+
+def test_winnow_fingerprint_guarantee():
+    """Winnowing guarantee: shared token runs >= w + k - 1 produce a
+    shared fingerprint; disjoint random texts share none; layout of
+    surrounding text doesn't matter."""
+    import numpy as np
+
+    from textextract_ray.functions.text import winnow_fingerprints
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    a = "aaa bbb " + shared + " ccc"
+    b = "xxx " + shared + " yyy zzz qqq"
+    c = " ".join(f"zz{i}" for i in range(60))
+    fa, fb, fc = winnow_fingerprints([a, b, c], k=4, w=8)
+    assert len(np.intersect1d(fa, fb)) >= 1
+    assert len(np.intersect1d(fa, fc)) == 0
+    assert len(np.intersect1d(fb, fc)) == 0
+    # deterministic and batch-layout independent
+    fa2 = winnow_fingerprints([a], k=4, w=8)[0]
+    assert np.array_equal(fa, fa2)
+    # empty doc -> empty set
+    assert len(winnow_fingerprints([""], k=4, w=8)[0]) == 0
+
+
+def test_winnow_overlap_pairs(ray_session):
+    """Substring-overlap operator: planted quoted paragraphs are found
+    across block layouts, Jaccard-invisible partial copies included;
+    unrelated docs produce no pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import winnow_overlap_pairs
+
+    quote = " ".join(f"quote{i}" for i in range(40))
+    rng_texts = {
+        i: " ".join(f"doc{i}w{j}" for j in range(120)) for i in range(10)
+    }
+    docs = []
+    for i in range(10):
+        t = rng_texts[i]
+        if i in (2, 7):  # two docs quote the same paragraph
+            t = t[: len(t) // 2] + " " + quote + " " + t[len(t) // 2 :]
+        docs.append({"doc_id": i, "text": t})
+    ds = rd.from_items(docs)
+    out = winnow_overlap_pairs(ds, "text", "doc_id", min_shared=2).to_pandas()
+    assert len(out) == 1
+    assert (int(out["id_a"][0]), int(out["id_b"][0])) == (2, 7)
+    assert out["n_shared"][0] >= 2
+    assert 0 < out["overlap"][0] <= 1.0
+
+    # layout invariance: same answer from a different partitioning
+    out2 = winnow_overlap_pairs(
+        rd.from_items(docs).repartition(5), "text", "doc_id", min_shared=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        out2.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+    )
+
+    # no overlap anywhere -> empty with stable schema
+    clean = winnow_overlap_pairs(
+        rd.from_items(
+            [{"doc_id": i, "text": rng_texts[i]} for i in range(10)]
+        ),
+        "text",
+        "doc_id",
+    ).to_pandas()
+    assert len(clean) == 0
+    # empty Datasets may round-trip schemaless (documented engine-wide
+    # caveat); when columns survive they must be the declared four
+    assert list(clean.columns) in ([], ["id_a", "id_b", "n_shared", "overlap"])
