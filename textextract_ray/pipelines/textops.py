@@ -1924,3 +1924,62 @@ def sample_bottomk(sf_dir: str, *, k: int = 100, seed: int = 0, per_lang: bool =
     return sample_bottomk_ds(
         ds, k=k, seed=seed, group_col="lang" if per_lang else None
     )
+
+
+# --- leakage-free train/val/test splits ---------------------------------------
+
+SPLIT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def group_split_ds(ds, group_col: str, *, fractions=SPLIT_FRACTIONS,
+                   salt: str = "split"):
+    """Assign every row a train/val/test split BY GROUP: the decision
+    hashes the GROUP key (md5 hex prefix, the corpus_mix recipe), so
+    all rows of a group land in the same split. Splitting training
+    corpora row-wise leaks near-duplicates across train/test (same
+    host, same cluster, same source); group-keyed assignment is the
+    standard fix. Pure per-row decision — embarrassingly parallel, no
+    shuffle, stable under re-partitioning/retries, exactly
+    SQL-expressible (md5 both sides, pinned by DuckDB-parity pytest).
+
+    ``fractions`` is an ordered (label, fraction) sequence summing to
+    1; the group's u = first-8-hex-digits(md5(salt:group))/16^8 picks
+    the first label whose cumulative fraction exceeds u."""
+    from ..functions.text import md5_hex
+
+    fr = list(fractions)
+    total = sum(f for _, f in fr)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    cum, acc = [], 0.0
+    for label, f in fr:
+        acc += f
+        cum.append((label, int(min(1.0, acc) * 16**8)))
+    cum[-1] = (cum[-1][0], 16**8)  # closed top end
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = [f"{salt}:{k}" for k in batch[group_col].to_pylist()]
+        u = np.array(
+            [int(h[:8], 16) for h in md5_hex(keys)], dtype=np.int64
+        )
+        labels = np.empty(len(u), dtype=object)
+        labels[:] = cum[-1][0]
+        prev = 0
+        for label, hi in cum:
+            labels[(u >= prev) & (u < hi)] = label
+            prev = hi
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def group_split(sf_dir: str, *, group_col: str = "source",
+                fractions=SPLIT_FRACTIONS, salt: str = "split"):
+    """Gate-style wrapper: documents split leakage-free by ``source``
+    (all docs from one source share a split), with per-split counts a
+    caller can sanity-check against the configured fractions."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    out = group_split_ds(ds, group_col, fractions=fractions, salt=salt)
+    return (
+        out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
