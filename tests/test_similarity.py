@@ -116,3 +116,83 @@ def test_embedding_pca_matches_numpy_and_is_layout_stable(sf_dir, ray_session, t
         got[[f"pc{j}" for j in range(4)]].to_numpy(),
         rtol=1e-7, atol=1e-9,
     )
+
+
+def test_int8_quantized_ann(ray_session, sf_dir):
+    """int8 scalar quantization: exact min/max calibration, 4x storage,
+    approximate top-k recall vs float brute force, and exact-rerank
+    scores identical to the float pipeline for the candidates it
+    returns."""
+    import numpy as np
+
+    from textextract_ray.sources import read_table
+    from textextract_ray.stages.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+        train_quantizer,
+    )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ds.to_pandas()
+    qrows = df[df["vec_id"] % 40 == 0].head(5)
+    queries = {
+        "query_id": qrows["vec_id"].to_numpy().astype(np.int64),
+        "mat": np.array(qrows["embedding"].tolist(), dtype=np.float32),
+    }
+
+    params = train_quantizer(ds)
+    d = len(params["mn"])
+    assert params["scale"].shape == (d,)
+    # calibration is exact (layout-independent): re-run over a
+    # repartitioned dataset gives identical params
+    p2 = train_quantizer(ds.repartition(5))
+    np.testing.assert_array_equal(params["mn"], p2["mn"])
+    np.testing.assert_array_equal(params["scale"], p2["scale"])
+
+    qds = quantize_embeddings(ds, params)
+    qdf = qds.to_pandas()
+    assert len(qdf) == len(df)
+    assert len(qdf["qvec"][0]) == d  # fixed-size uint8 vectors
+
+    want = (
+        brute_force_topk(ds, queries, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+    # approximate (no rerank): a query vector must find ITSELF top-1
+    approx = quantized_topk(qds, queries, params, k=10).to_pandas()
+    for qid, g in approx.groupby("query_id"):
+        top = g.sort_values(["score", "vec_id"], ascending=[False, True]).iloc[0]
+        assert int(top["vec_id"]) == int(qid)
+    # recall@10 vs exact float answer
+    rec = []
+    for qid, g in want.groupby("query_id"):
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        rec.append(len(got & set(g["vec_id"])) / len(g))
+    assert np.mean(rec) >= 0.8, rec
+
+    # exact rerank: scores are TRUE float cosines, top-k matches the
+    # float pipeline wherever the candidate pool contains the answer
+    rr = (
+        quantized_topk(qds, queries, params, k=10, rerank_ds=ds, rerank_mult=4)
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    rec2 = []
+    for qid, g in want.groupby("query_id"):
+        sub = rr[rr["query_id"] == qid]
+        got = set(sub["vec_id"])
+        rec2.append(len(got & set(g["vec_id"])) / len(g))
+        # wherever ids agree, scores agree exactly with the float path
+        merged = sub.merge(g, on=["query_id", "vec_id"], suffixes=("_q", "_f"))
+        np.testing.assert_allclose(
+            merged["score_q"], merged["score_f"], rtol=1e-12
+        )
+    assert np.mean(rec2) >= np.mean(rec)  # rerank can only help
+    assert np.mean(rec2) >= 0.9, rec2

@@ -296,3 +296,201 @@ def embedding_pca(ds, *, k: int = 8, vec_col: str = "embedding", id_col: str = "
         .reset_index(drop=True)
     )
     return out, evr
+
+
+# --- int8 scalar quantization (ANN storage/scale path) ------------------------
+
+def train_quantizer(ds, *, vec_col="embedding"):
+    """Per-dimension affine uint8 quantizer calibrated on the UNIT
+    vectors with EXACT corpus min/max — one shuffle-free pass of
+    mergeable (min, max) partials, O(blocks·d) floats to the driver
+    (the embedding_pca sufficient-statistic shape). Returns
+    {"mn": float64[d], "scale": float64[d]} with
+    q = round((unit(x) - mn) / scale) in [0, 255]."""
+    mn = None
+    mx = None
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _unit(_as_matrix(batch[vec_col]))
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0)], pa.list_(pa.float64())),
+                "mx": pa.array([m.max(axis=0)], pa.list_(pa.float64())),
+            }
+        )
+
+    pds = ds.map_batches(partials, batch_format="pyarrow")
+    for b in pds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for lo, hi in zip(b["mn"].to_pylist(), b["mx"].to_pylist()):
+            lo = np.asarray(lo)
+            hi = np.asarray(hi)
+            mn = lo if mn is None else np.minimum(mn, lo)
+            mx = hi if mx is None else np.maximum(mx, hi)
+    if mn is None:
+        raise ValueError("train_quantizer: empty dataset")
+    scale = (mx - mn) / 255.0
+    scale[scale == 0] = 1.0
+    return {"mn": mn, "scale": scale}
+
+
+def quantize_embeddings(ds, params, *, vec_col="embedding", id_col="vec_id"):
+    """float list<float> embeddings -> fixed_size_list<uint8> (4x
+    smaller than float32, 8x than float64 — the storage that rides the
+    object store and disk at 100 TB). Broadcast params once."""
+    import ray
+
+    pref = ray.put(params)
+
+    def q(batch: pa.Table) -> pa.Table:
+        p = ray.get(pref)
+        m = _unit(_as_matrix(batch[vec_col]))
+        qv = np.clip(np.round((m - p["mn"]) / p["scale"]), 0, 255).astype(np.uint8)
+        d = qv.shape[1] if qv.size else len(p["mn"])
+        flat = pa.array(qv.ravel(), pa.uint8())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "qvec": pa.FixedSizeListArray.from_arrays(flat, d),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+class QuantizedTopK:
+    """Actor-pool stage: approximate cosine top-m of each quantized
+    batch. Dequantize-once-per-batch (x-hat = q*scale + mn), then the
+    same lexsorted partial top-k as BatchTopK. Params + queries fetched
+    once per actor."""
+
+    def __init__(self, queries_ref, params_ref, id_col: str, m: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        p = ray.get(params_ref)
+        self.qids = q["query_id"]
+        self.qmat = _unit(q["mat"].astype(np.float64))
+        self.mn = p["mn"]
+        self.scale = p["scale"]
+        self.id_col = id_col
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = len(self.mn)
+        flat = batch["qvec"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        mat = flat.reshape(-1, d).astype(np.float64) * self.scale + self.mn
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ mat.T
+        m = min(self.m, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[qi]))[:m]
+            out_q.append(np.full(m, self.qids[qi], dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(sims[qi, order].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def quantized_topk(qds, queries, params, *, k=10, id_col="vec_id",
+                   rerank_ds=None, vec_col="embedding", rerank_mult=4):
+    """Approximate cosine top-k over a QUANTIZED embedding dataset.
+    Without ``rerank_ds``: dequantized scores directly (error bounded
+    by the per-dim step, ~0.4% of the unit range). With ``rerank_ds``
+    (the float dataset): top-(k·rerank_mult) candidates per query are
+    re-scored EXACTLY by fetching their float vectors via the broadcast
+    ``is_in`` probe — candidates are O(queries·k·mult), a vanishing
+    corpus fraction, the module's deferred-fetch idiom — so quantization
+    only affects which candidates enter the rerank pool (recall), never
+    the returned scores."""
+    import ray
+
+    m = k * (rerank_mult if rerank_ds is not None else 1)
+    qref = ray.put(queries)
+    pref = ray.put(params)
+    partial = qds.map_batches(
+        QuantizedTopK,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, params_ref=pref, id_col=id_col, m=m
+        ),
+    )
+
+    def merge_m(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[: min(m, len(group))])
+
+    cand = partial.groupby("query_id").map_groups(merge_m, batch_format="pyarrow")
+    if rerank_ds is None:
+        if rerank_mult != 1:
+
+            def cut(group: pa.Table) -> pa.Table:
+                order = pc.sort_indices(
+                    group,
+                    sort_keys=[("score", "descending"), ("vec_id", "ascending")],
+                )
+                return group.take(order[: min(k, len(group))])
+
+            return cand.groupby("query_id").map_groups(cut, batch_format="pyarrow")
+        return cand
+
+    cand_df = cand.to_pandas()  # O(queries * k * mult)
+    cand_ids = np.unique(cand_df["vec_id"].to_numpy())
+    cref = ray.put(pa.array(cand_ids.astype("int64"), pa.int64()))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col].cast(pa.int64()), ray.get(cref))
+        sub = batch.filter(mask)
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                id_col: sub[id_col].combine_chunks().cast(pa.int64()),
+                vec_col: pa.array(
+                    _as_matrix(sub[vec_col]).tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    vec_df = rerank_ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    vmat = _unit(np.array(vec_df[vec_col].tolist(), dtype=np.float64))
+    vids = vec_df[id_col].to_numpy()
+    pos = {int(v): i for i, v in enumerate(vids)}
+    qmat = _unit(queries["mat"].astype(np.float64))
+    qid_to_row = {int(q): i for i, q in enumerate(queries["query_id"])}
+
+    rows_q, rows_v, rows_s = [], [], []
+    for qid, g in cand_df.groupby("query_id", sort=True):
+        qv = qmat[qid_to_row[int(qid)]]
+        ids = g["vec_id"].to_numpy()
+        exact = vmat[[pos[int(v)] for v in ids]] @ qv
+        order = np.lexsort((ids, -exact))[:k]
+        rows_q.append(np.full(len(order), qid, dtype=np.int64))
+        rows_v.append(ids[order])
+        rows_s.append(exact[order])
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(rows_v), pa.int64()),
+                "score": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+    )
