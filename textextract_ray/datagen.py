@@ -350,3 +350,48 @@ def synthesize_mp4(
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def generate_warc(
+    out_dir: str,
+    n_rows: int,
+    n_shards: int,
+    giant_bytes: int = 1 << 20,
+) -> list:
+    """Write the SAME deterministic page corpus as ``generate_pages``
+    but in Common Crawl's native wire format: ``pages-{shard:05d}.warc.gz``
+    (one gzip member per WARC response record, HTTP/1.1 payload,
+    WARC-Identified-Content-Language carrying the lang column the way
+    Common Crawl does). Byte-for-byte the same html per doc_id, so the
+    WARC read path can be asserted equal to the parquet read path."""
+    import datetime
+    import os
+
+    from .warc import http_response_payload, write_warc_gz
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_rows + n_shards - 1) // n_shards
+    files = []
+    for shard in range(n_shards):
+        lo, hi = shard * per, min((shard + 1) * per, n_rows)
+        records = []
+        for i in range(lo, hi):
+            row = page_row(i, giant_bytes)
+            ts = datetime.datetime.fromtimestamp(
+                row["warc_ts"] / 1_000_000, tz=datetime.timezone.utc
+            )
+            headers = {
+                "WARC-Type": "response",
+                "WARC-Target-URI": row["url"],
+                "WARC-Date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "WARC-Record-ID": f"<urn:uuid:doc-{i:012d}>",
+                "WARC-Identified-Content-Language": row["lang"],
+                "Content-Type": "application/http; msgtype=response",
+            }
+            records.append((headers, http_response_payload(row["html"])))
+        path = os.path.join(out_dir, f"pages-{shard:05d}.warc.gz")
+        tmp = path + ".tmp"
+        write_warc_gz(tmp, records)
+        os.replace(tmp, path)
+        files.append(path)
+    return files

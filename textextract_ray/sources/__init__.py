@@ -184,3 +184,71 @@ def read_pages(paths, columns=None) -> rd.Dataset:
         if filesystem is not None:
             kwargs["filesystem"] = filesystem
     return rd.read_parquet(paths, **kwargs)
+
+
+def read_warc(paths, *, keep_text_placeholder: bool = True) -> rd.Dataset:
+    """Common Crawl-native source: ``.warc.gz`` shards -> the pages
+    schema (url, warc_ts, html, text, lang). One shard per block; each
+    read TASK streams its own archive record-at-a-time (stdlib gzip,
+    own WARC framing — textextract_ray.warc), keeps ``response``
+    records, splits the HTTP payload, and emits Arrow rows — bounded
+    memory per record, parse work fully distributed. Non-response
+    records are skipped by type, exactly as a crawl consumer would."""
+    import datetime
+
+    import pyarrow as pa
+
+    from ..schemas import PAGES_SCHEMA
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    shard_list = []
+    for p in map(str, paths):
+        if os.path.isdir(p):
+            shard_list.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".warc.gz")
+                )
+            )
+        else:
+            shard_list.append(p)
+    if not shard_list:
+        raise ValueError("read_warc: no .warc.gz shards found")
+
+    def parse(batch: pa.Table):
+        from ..warc import iter_warc_gz, parse_http_response
+
+        for path in batch["path"].to_pylist():
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for headers, payload in iter_warc_gz(path):
+                if headers.get("WARC-Type") != "response":
+                    continue
+                code, _http, body = parse_http_response(payload)
+                if code != 200:
+                    continue
+                urls.append(headers.get("WARC-Target-URI", ""))
+                ts = datetime.datetime.strptime(
+                    headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+                ).replace(tzinfo=datetime.timezone.utc)
+                tss.append(int(ts.timestamp() * 1_000_000))
+                htmls.append(body)
+                texts.append("" if keep_text_placeholder else None)
+                langs.append(
+                    headers.get("WARC-Identified-Content-Language", "")
+                )
+            yield pa.Table.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us", tz="UTC")),
+                    pa.array(htmls, pa.binary()),
+                    pa.array(texts, pa.string()),
+                    pa.array(langs, pa.string()),
+                ],
+                schema=PAGES_SCHEMA,
+            )
+
+    return rd.from_items(
+        [{"path": p} for p in shard_list], override_num_blocks=max(1, len(shard_list))
+    ).map_batches(parse, batch_format="pyarrow")
