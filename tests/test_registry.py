@@ -79,3 +79,45 @@ def test_extract_stage_via_registry(ray_session):
     ).to_pandas()
     assert len(out) == 12
     assert "extracted_text" in out.columns
+
+
+def test_round4_registered_stages(ray_session):
+    """JSON job specs can compose the round-4 stages: pii_scrub and
+    group_split over text rows; decode_image/resize_image over media
+    rows (real own-codec PNGs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import build_pipeline
+    from textextract_ray.png import png_decode, png_encode
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "source": "s0",
+             "text": "mail me at a.b@example.com today"},
+            {"doc_id": 1, "source": "s1", "text": "clean text"},
+        ]
+    )
+    out = build_pipeline(
+        docs,
+        [
+            {"stage": "pii_scrub"},
+            {"stage": "group_split", "options": {"group_col": "source"}},
+        ],
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert "<EMAIL>" in out["text_scrubbed"][0]
+    assert out["n_email"].tolist() == [1, 0]
+    assert set(out["split"]) <= {"train", "val", "test"}
+
+    rng = np.random.default_rng(1)
+    im = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    media = rd.from_items(
+        [{"media_id": 0, "media": png_encode(im), "media_type": "image"}]
+    )
+    meta = build_pipeline(media, [{"stage": "decode_image"}]).to_pandas()
+    assert (meta["width"][0], meta["height"][0]) == (60, 40)
+    resized = build_pipeline(
+        media, [{"stage": "resize_image", "options": {"size": 16}}]
+    ).to_pandas()
+    assert png_decode(resized["media"][0]).shape == (16, 16, 3)

@@ -175,3 +175,120 @@ def _langid_factory(text_col: str = "text"):
         return batch.append_column("pred_lang", lang_id(batch[text_col]))
 
     return kernel
+
+
+@register("pii_scrub")
+def _pii_scrub_factory(text_col: str = "text"):
+    from ..functions.text import scrub_pii
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        # scrub_pii returns (text_scrubbed, per-type counts); append all
+        scrubbed = scrub_pii(batch[text_col])
+        for c in scrubbed.column_names:
+            batch = batch.append_column(c, scrubbed[c])
+        return batch
+
+    return kernel
+
+
+@register("decode_image")
+def _decode_image_factory(batch_size: int = 32, concurrency=(1, 8), strict: bool = False):
+    from ..stages.multimodal import DecodeImage
+
+    return (
+        DecodeImage,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"strict": strict},
+        ),
+    )
+
+
+@register("preprocess_image")
+def _preprocess_image_factory(batch_size: int = 16, concurrency=(1, 8), strict: bool = False):
+    from ..stages.multimodal import PreprocessImage
+
+    return (
+        PreprocessImage,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"strict": strict},
+        ),
+    )
+
+
+@register("resize_image")
+def _resize_image_factory(size: int = 224, emit: str = "png",
+                          batch_size: int = 16, concurrency=(1, 8),
+                          strict: bool = False):
+    from ..stages.multimodal import ResizeImage
+
+    return (
+        ResizeImage,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"size": size, "emit": emit, "strict": strict},
+        ),
+    )
+
+
+@register("decode_video")
+def _decode_video_factory(batch_size: int = 16, concurrency=(1, 8), strict: bool = False):
+    from ..stages.multimodal import DecodeVideo
+
+    return (
+        DecodeVideo,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"strict": strict},
+        ),
+    )
+
+
+@register("frame_sample")
+def _frame_sample_factory(n_frames: int = 4, batch_size: int = 8, concurrency=(1, 4)):
+    from ..stages.multimodal import FrameSample
+
+    return (
+        FrameSample,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"n_frames": n_frames},
+        ),
+    )
+
+
+@register("group_split")
+def _group_split_factory(group_col: str = "source", salt: str = "split"):
+    from ..pipelines.textops import SPLIT_FRACTIONS
+    from ..functions.text import md5_hex
+    import numpy as np
+
+    cum, acc = [], 0.0
+    for label, f in SPLIT_FRACTIONS:
+        acc += f
+        cum.append((label, int(min(1.0, acc) * 16**8)))
+    cum[-1] = (cum[-1][0], 16**8)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        keys = [f"{salt}:{k}" for k in batch[group_col].to_pylist()]
+        u = np.array([int(h[:8], 16) for h in md5_hex(keys)], dtype=np.int64)
+        labels = np.empty(len(u), dtype=object)
+        labels[:] = cum[-1][0]
+        prev = 0
+        for label, hi in cum:
+            labels[(u >= prev) & (u < hi)] = label
+            prev = hi
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return kernel
