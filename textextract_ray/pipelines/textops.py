@@ -10,6 +10,8 @@ pytest instead.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1598,6 +1600,161 @@ def training_order_ds(ds, *, seed: int = 0):
 PARA_DEDUP_BROADCAST_BUDGET = 5_000_000  # drop-pair rows the driver may hold
 
 
+def _patch_docs_with_drops(
+    docs,
+    drops,
+    patch_rows,
+    *,
+    id_col: str,
+    text_col: str,
+    idx_col: str,
+    drop_empty: bool,
+    num_buckets: int,
+    broadcast_budget: int,
+    check_types,
+):
+    """Shared reassembly back-end for span-cut dedup operators
+    (``paragraph_dedup_ds``, ``exact_substring_dedup_ds``): given a
+    MATERIALIZED ``drops`` Dataset of (id_col, idx_col) loser pairs,
+    patch the documents without ever reshuffling the corpus. Under
+    ``broadcast_budget`` the pairs broadcast once as CSR numpy arrays
+    (``ray.put``, zero-copy per batch) and documents stream through a
+    patch map whose untouched-doc majority takes a pure vectorized
+    fast path; past the budget a tag-union + doc_id-bucket co-group
+    patches with no driver materialization at all.
+
+    ``patch_rows(ids, texts, drop_map) -> pa.Table`` rebuilds only the
+    TOUCHED docs (drop_map: doc_id -> set of idx values to cut) and
+    returns (id_col:int64, text_col:string, n_dropped:int32) rows;
+    ``check_types(batch)`` raises the operator's typed column-contract
+    error at the first batch."""
+    import ray
+
+    from ..functions.scalar import stable_bucket
+
+    # strict <: budget 0 means "never broadcast", so the co-group path
+    # is forceable (and covered) even on a duplicate-free corpus
+    if drops.count() < broadcast_budget:
+        # broadcast as three flat numpy arrays (CSR-style: sorted
+        # unique touched ids + offsets + cut indices) — zero-copy out
+        # of the object store on every ray.get, unlike a pickled
+        # dict-of-sets which would re-deserialize per batch
+        dpdf = drops.to_pandas()
+        if len(dpdf) == 0:  # a fully empty drop table loses its schema
+            dpdf = pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), idx_col: pd.Series(dtype="int64")}
+            )
+        dpdf = dpdf.sort_values([id_col, idx_col])
+        touched_ids, counts = np.unique(
+            dpdf[id_col].to_numpy(np.int64), return_counts=True
+        )
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        idx_vals = dpdf[idx_col].to_numpy(np.int64)
+        ref = ray.put((touched_ids, offsets, idx_vals))
+
+        def patch(batch: pa.Table) -> pa.Table:
+            check_types(batch)
+            uniq, offs, vals = ray.get(ref)
+            ids = (
+                batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(batch)
+                else np.empty(0, np.int64)
+            )
+            # vectorized fast path for rows with nothing to cut (the
+            # overwhelming majority at realistic duplicate densities)
+            if len(uniq):
+                pos = np.searchsorted(uniq, ids)
+                pos_c = np.minimum(pos, len(uniq) - 1)
+                hit = uniq[pos_c] == ids
+            else:
+                hit = np.zeros(len(ids), dtype=bool)
+            clean = batch.filter(pa.array(~hit))
+            t = pa.table(
+                {
+                    id_col: clean[id_col].cast(pa.int64()),
+                    text_col: pc.fill_null(clean[text_col], ""),
+                    "n_dropped": pa.array(
+                        np.zeros(len(clean), np.int32), pa.int32()
+                    ),
+                }
+            )
+            if drop_empty:
+                t = t.filter(pc.greater(pc.utf8_length(t[text_col]), 0))
+            if not hit.any():
+                return t
+            sub = batch.filter(pa.array(hit))
+            # cut sets materialized only for THIS batch's touched docs
+            drop_map = {
+                int(uniq[j]): set(vals[offs[j] : offs[j + 1]].tolist())
+                for j in np.unique(pos_c[hit])
+            }
+            patched = patch_rows(
+                sub[id_col].to_pylist(), sub[text_col].to_pylist(), drop_map
+            )
+            return pa.concat_tables([t, patched])
+
+        return docs.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)
+
+    # co-group fallback: union(docs side=0, drops side=1) bucketed by
+    # doc_id; each bucket patches its own documents — no driver state
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pc.fill_null(batch[text_col], ""),
+                idx_col: pa.nulls(len(batch), pa.int64()),
+                "_bucket": pa.array(
+                    stable_bucket(batch[id_col].cast(pa.string()), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.nulls(len(batch), pa.string()),
+                idx_col: batch[idx_col],
+                "_bucket": pa.array(
+                    stable_bucket(batch[id_col].cast(pa.string()), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df[df[idx_col].notna()]
+        drop_map = {
+            int(k): set(int(v) for v in g)
+            for k, g in dd.groupby(id_col)[idx_col]
+        }
+        side = df[df[idx_col].isna()]
+        ids = side[id_col].astype("int64")
+        # same untouched-docs fast path as the broadcast patch
+        hit = ids.isin(drop_map.keys()).to_numpy() if drop_map else np.zeros(len(side), bool)
+        clean = pd.DataFrame(
+            {
+                id_col: ids[~hit],
+                text_col: side[text_col][~hit].fillna(""),
+                "n_dropped": np.zeros(int((~hit).sum()), np.int32),
+            }
+        )
+        if drop_empty:
+            clean = clean[clean[text_col].str.len() > 0]
+        if not hit.any():
+            return clean.reset_index(drop=True)
+        t = patch_rows(
+            ids[hit].tolist(), side[text_col][hit].tolist(), drop_map
+        )
+        return pd.concat([clean, t.to_pandas()], ignore_index=True)
+
+    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(tag_drops, batch_format="pyarrow")
+    )
+    return unioned.groupby("_bucket").map_groups(rebuild, batch_format="pandas")
+
+
 def paragraph_dedup_ds(
     docs,
     *,
@@ -1635,9 +1792,6 @@ def paragraph_dedup_ds(
     error at the first batch instead of an opaque Arrow crash deep in
     reassembly.
     """
-    import ray
-    import pyarrow.compute as pc
-
     from ..functions.scalar import stable_bucket
 
     def _check_types(batch: pa.Table) -> None:
@@ -1720,127 +1874,18 @@ def paragraph_dedup_ds(
             }
         )
 
-    # strict <: budget 0 means "never broadcast", so the co-group path
-    # is forceable (and covered) even on a duplicate-free corpus
-    if drops.count() < broadcast_budget:
-        # broadcast as three flat numpy arrays (CSR-style: sorted
-        # unique touched ids + offsets + para indices) — zero-copy out
-        # of the object store on every ray.get, unlike a pickled
-        # dict-of-sets which would re-deserialize per batch
-        dpdf = drops.to_pandas()
-        if len(dpdf) == 0:  # a fully empty drop table loses its schema
-            dpdf = pd.DataFrame(
-                {id_col: pd.Series(dtype="int64"), "para_idx": pd.Series(dtype="int64")}
-            )
-        dpdf = dpdf.sort_values([id_col, "para_idx"])
-        touched_ids, counts = np.unique(
-            dpdf[id_col].to_numpy(np.int64), return_counts=True
-        )
-        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-        para_vals = dpdf["para_idx"].to_numpy(np.int64)
-        ref = ray.put((touched_ids, offsets, para_vals))
-
-        def patch(batch: pa.Table) -> pa.Table:
-            _check_types(batch)
-            uniq, offs, vals = ray.get(ref)
-            ids = (
-                batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-                if len(batch)
-                else np.empty(0, np.int64)
-            )
-            # vectorized fast path for rows with nothing to cut (the
-            # overwhelming majority at realistic duplicate densities)
-            if len(uniq):
-                pos = np.searchsorted(uniq, ids)
-                pos_c = np.minimum(pos, len(uniq) - 1)
-                hit = uniq[pos_c] == ids
-            else:
-                hit = np.zeros(len(ids), dtype=bool)
-            clean = batch.filter(pa.array(~hit))
-            t = pa.table(
-                {
-                    id_col: clean[id_col].cast(pa.int64()),
-                    text_col: pc.fill_null(clean[text_col], ""),
-                    "n_dropped": pa.array(
-                        np.zeros(len(clean), np.int32), pa.int32()
-                    ),
-                }
-            )
-            if drop_empty:
-                t = t.filter(pc.greater(pc.utf8_length(t[text_col]), 0))
-            if not hit.any():
-                return t
-            sub = batch.filter(pa.array(hit))
-            # cut sets materialized only for THIS batch's touched docs
-            drop_map = {
-                int(uniq[j]): set(vals[offs[j] : offs[j + 1]].tolist())
-                for j in np.unique(pos_c[hit])
-            }
-            patched = patch_rows(
-                sub[id_col].to_pylist(), sub[text_col].to_pylist(), drop_map
-            )
-            return pa.concat_tables([t, patched])
-
-        return docs.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)
-
-    # co-group fallback: union(docs side=0, drops side=1) bucketed by
-    # doc_id; each bucket patches its own documents — no driver state
-    def tag_docs(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                text_col: pc.fill_null(batch[text_col], ""),
-                "para_idx": pa.nulls(len(batch), pa.int64()),
-                "_bucket": pa.array(
-                    stable_bucket(batch[id_col].cast(pa.string()), num_buckets),
-                    pa.int32(),
-                ),
-            }
-        )
-
-    def tag_drops(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                text_col: pa.nulls(len(batch), pa.string()),
-                "para_idx": batch["para_idx"],
-                "_bucket": pa.array(
-                    stable_bucket(batch[id_col].cast(pa.string()), num_buckets),
-                    pa.int32(),
-                ),
-            }
-        )
-
-    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        dd = df[df["para_idx"].notna()]
-        drop_map = {
-            int(k): set(int(v) for v in g)
-            for k, g in dd.groupby(id_col)["para_idx"]
-        }
-        side = df[df["para_idx"].isna()]
-        ids = side[id_col].astype("int64")
-        # same untouched-docs fast path as the broadcast patch
-        hit = ids.isin(drop_map.keys()).to_numpy() if drop_map else np.zeros(len(side), bool)
-        clean = pd.DataFrame(
-            {
-                id_col: ids[~hit],
-                text_col: side[text_col][~hit].fillna(""),
-                "n_dropped": np.zeros(int((~hit).sum()), np.int32),
-            }
-        )
-        if drop_empty:
-            clean = clean[clean[text_col].str.len() > 0]
-        if not hit.any():
-            return clean.reset_index(drop=True)
-        t = patch_rows(
-            ids[hit].tolist(), side[text_col][hit].tolist(), drop_map
-        )
-        return pd.concat([clean, t.to_pandas()], ignore_index=True)
-
-    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
-        drops.map_batches(tag_drops, batch_format="pyarrow")
+    return _patch_docs_with_drops(
+        docs,
+        drops,
+        patch_rows,
+        id_col=id_col,
+        text_col=text_col,
+        idx_col="para_idx",
+        drop_empty=drop_empty,
+        num_buckets=num_buckets,
+        broadcast_budget=broadcast_budget,
+        check_types=_check_types,
     )
-    return unioned.groupby("_bucket").map_groups(rebuild, batch_format="pandas")
 
 
 def paragraph_dedup(sf_dir: str, **kw):
@@ -1848,6 +1893,187 @@ def paragraph_dedup(sf_dir: str, **kw):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return (
         paragraph_dedup_ds(docs, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, ExactSubstr) at k-gram resolution
+# ---------------------------------------------------------------------------
+
+EXACT_SUBSTR_BROADCAST_BUDGET = 5_000_000  # drop-pair rows the driver may hold
+
+
+def exact_substring_dedup_ds(
+    docs,
+    *,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    drop_empty: bool = True,
+    broadcast_budget: int = EXACT_SUBSTR_BROADCAST_BUDGET,
+):
+    """Exact-substring dedup (Lee et al. 2021, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) at k-token-gram resolution: any window of ``k``
+    whitespace tokens that occurs more than once CORPUS-WIDE survives
+    only at its globally-first occurrence — smallest (doc_id,
+    gram_idx), an order statistic, so the result is deterministic and
+    layout-invariant — and every later occurrence's token span
+    [gram_idx, gram_idx + k) is cut out of its document. Maximal
+    duplicated runs longer than k tokens are covered by their
+    overlapping k-grams merging into one contiguous cut (the paper's
+    "remove the entire duplicated span" behavior); in-document repeats
+    dedup too. Docs with fewer than k tokens never match (k IS the
+    paper's minimum-match-length threshold, 50 tokens there; default
+    20 here for the synthetic corpora).
+
+    Distributed shape — the paper's implementation builds ONE suffix
+    array over the concatenated corpus, which needs the whole corpus
+    (plus 8× index overhead) in a single address space and cannot
+    shard; this pipeline replaces it with machinery that scales out:
+
+    * duplicate detection is a KEYS-ONLY shuffle of (h1, h2, doc_id,
+      gram_idx) rows — 32 B per token position, no text on the wire —
+      hash-bucketed by h1 and reduced per bucket to LOSER pairs only
+      (O(duplicate occurrences), not O(corpus));
+    * gram identity is 128-bit (two independent token-hash seeds ×
+      two polynomial bases, ``functions.text.batch_gram_position_hashes``)
+      so a false merge is ~2^-64 per colliding pair — the one
+      approximation vs the suffix array's exactness, documented here
+      and negligible at 10^12 grams;
+    * reassembly is the shared span-cut back-end
+      (``_patch_docs_with_drops``): CSR broadcast + vectorized
+      untouched-doc fast path under ``broadcast_budget``, doc_id-bucket
+      co-group past it — the corpus text is never shuffled at all.
+
+    Character-exact cuts: untouched docs pass through byte-identical;
+    in a touched doc, token i's "segment" is the characters from its
+    first byte to the next token's first byte (the last token's
+    segment runs to end-of-string, the pre-first-token prefix belongs
+    to no segment), and the output concatenates the kept segments —
+    surviving text keeps its original inter-token whitespace.
+
+    Returns (id_col, text_col, n_dropped) where n_dropped counts
+    removed TOKENS; documents cut to nothing disappear when
+    ``drop_empty``.
+    """
+    from ..functions.text import batch_gram_position_hashes
+
+    def _check_types(batch: pa.Table) -> None:
+        if not pa.types.is_integer(batch[id_col].type):
+            raise TypeError(
+                f"exact_substring_dedup: id column {id_col!r} must be integer, "
+                f"got {batch[id_col].type}"
+            )
+        if not pa.types.is_string(batch[text_col].type):
+            raise TypeError(
+                f"exact_substring_dedup: text column {text_col!r} must be "
+                f"string, got {batch[text_col].type}"
+            )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _check_types(batch)
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "").to_pylist()
+        d, gram_idx, h1, h2 = batch_gram_position_hashes(texts, k)
+        ids = (
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(batch)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[d], pa.int64()),
+                "gram_idx": pa.array(gram_idx, pa.int64()),
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                # h1 is already a full-avalanche hash — its low bits
+                # bucket directly, no second hash pass needed
+                "_bucket": pa.array(
+                    (h1 % np.uint64(num_buckets)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h1", "h2", id_col, "gram_idx"], kind="mergesort")
+        dup = df.duplicated(subset=["h1", "h2"], keep="first")
+        out = df.loc[dup, [id_col, "gram_idx"]]
+        if len(out) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "gram_idx": pd.Series(dtype="int64")}
+            )
+        return out
+
+    drops = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(losers, batch_format="pandas")
+        .materialize()  # O(duplicate occurrences), reused twice below
+    )
+
+    tok_pat = re.compile(r"\S+")
+
+    def patch_rows(ids, texts, drop_map):
+        out_id, out_text, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            cut = drop_map.get(i)
+            t = t or ""
+            if not cut:
+                new, n = t, 0
+            else:
+                starts = [m.start() for m in tok_pat.finditer(t)]
+                ntok = len(starts)
+                kill = np.zeros(ntok, dtype=bool)
+                for g in cut:
+                    kill[g : min(g + k, ntok)] = True
+                n = int(kill.sum())
+                if n == ntok:
+                    new = ""
+                else:
+                    seg_end = starts[1:] + [len(t)]
+                    new = "".join(
+                        t[starts[j] : seg_end[j]]
+                        for j in range(ntok)
+                        if not kill[j]
+                    )
+            if drop_empty and not new:
+                continue
+            out_id.append(i)
+            out_text.append(new)
+            out_n.append(n)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                text_col: pa.array(out_text, pa.string()),
+                "n_dropped": pa.array(out_n, pa.int32()),
+            }
+        )
+
+    return _patch_docs_with_drops(
+        docs,
+        drops,
+        patch_rows,
+        id_col=id_col,
+        text_col=text_col,
+        idx_col="gram_idx",
+        drop_empty=drop_empty,
+        num_buckets=num_buckets,
+        broadcast_budget=broadcast_budget,
+        check_types=_check_types,
+    )
+
+
+def exact_substring_dedup(sf_dir: str, **kw):
+    """exact_substring_dedup_ds over the documents table, sorted for
+    compare (thin gate-style wrapper; the Dataset core above is the
+    100-TB surface)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        exact_substring_dedup_ds(docs, **kw)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
