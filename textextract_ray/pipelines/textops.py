@@ -2081,6 +2081,383 @@ def exact_substring_dedup(sf_dir: str, **kw):
 
 
 # ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')  # Raffel et al.'s terminal marks
+
+
+def c4_clean_ds(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple = (),
+):
+    """The C4 heuristic cleaning pass (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2), the canonical first stage of a web-scale
+    training corpus. Line level: keep only lines that (rtrimmed) end in
+    a terminal punctuation mark (. ! ? "), contain at least
+    ``min_words_per_line`` whitespace tokens, and do not contain the
+    word "javascript" (case-insensitive). Page level: after line
+    filtering, drop pages that contain a curly brace ``{`` (code), the
+    phrase "lorem ipsum" (placeholder), any word from ``bad_words``
+    (the paper's blocklist — caller-supplied, matched on word
+    boundaries; empty by default since no external list ships with the
+    repo), or fewer than ``min_sentences`` sentences, where a sentence
+    is counted as a ``[.!?]`` occurrence in the CLEANED text (the paper
+    used a sentence tokenizer; the count-of-terminals approximation is
+    documented here and pinned by the oracle test).
+
+    (The paper's remaining rule — drop every three-sentence span seen
+    more than once corpus-wide — is span-level dedup, covered by
+    ``paragraph_dedup_ds`` / ``exact_substring_dedup_ds``.)
+
+    Scale shape: NO shuffle at all — one vectorized ``map_batches``
+    pass. Lines explode/filter/rebuild entirely inside the batch with
+    Arrow list kernels (``list_flatten`` / ``list_parent_indices`` /
+    ``ListArray.from_arrays`` + ``binary_join``); no Python loop, no
+    text leaves the worker. Returns (id_col, text_col, n_dropped)
+    rows with n_dropped = removed line count; fully-dropped pages
+    disappear.
+    """
+    bad_pat = (
+        "(?i)\\b(" + "|".join(re.escape(w) for w in bad_words) + ")\\b"
+        if bad_words
+        else None
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        orig = pc.fill_null(batch[text_col].combine_chunks(), "")
+        parts = pc.split_pattern(orig, "\n")
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        n_lines = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+
+        trimmed = pc.utf8_rtrim_whitespace(flat)
+        ends_ok = np.zeros(len(flat), dtype=bool)
+        for mark in C4_TERMINAL_PUNCT:
+            ends_ok |= pc.ends_with(trimmed, pattern=mark).to_numpy(
+                zero_copy_only=False
+            )
+        enough_words = (
+            pc.count_substring_regex(flat, r"\S+").to_numpy(zero_copy_only=False)
+            >= min_words_per_line
+        )
+        has_js = pc.match_substring(
+            flat, "javascript", ignore_case=True
+        ).to_numpy(zero_copy_only=False)
+        keep_line = ends_ok & enough_words & ~has_js
+
+        kept_flat = flat.filter(pa.array(keep_line))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        kept_parents = parents[keep_line]
+        counts = np.bincount(kept_parents, minlength=len(batch)).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        rebuilt = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, kept_flat), "\n"
+        )
+
+        n_sentences = pc.count_substring_regex(rebuilt, r"[.!?]").to_numpy(
+            zero_copy_only=False
+        )
+        keep_doc = (
+            (n_sentences >= min_sentences)
+            & ~pc.match_substring(orig, "{").to_numpy(zero_copy_only=False)
+            & ~pc.match_substring(orig, "lorem ipsum", ignore_case=True).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        if bad_pat is not None:
+            keep_doc &= ~pc.match_substring_regex(orig, bad_pat).to_numpy(
+                zero_copy_only=False
+            )
+
+        out = pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                text_col: rebuilt.cast(pa.string()),
+                "n_dropped": pa.array(
+                    (n_lines - counts).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+        return out.filter(pa.array(keep_doc))
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_clean(sf_dir: str, **kw):
+    """c4_clean_ds over the documents table, sorted for compare.
+    (A fully-filtered corpus — plausible: C4 keeps ~10% of raw crawl —
+    comes back as a typed empty frame, not a schema-less one.)"""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = c4_clean_ds(docs, **kw).to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "text": pd.Series(dtype="object"),
+                "n_dropped": pd.Series(dtype="int32"),
+            }
+        )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist filtering (UT1-style, RefinedWeb / Dolma stage)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_MAX_LABELS = 8  # deepest suffix checked (hosts rarely exceed this)
+
+
+def filter_blocked_hosts_ds(
+    pages,
+    blocklist,
+    *,
+    url_col: str = "url",
+    invert: bool = False,
+    max_labels: int = BLOCKLIST_MAX_LABELS,
+):
+    """Domain-blocklist filtering — the UT1-blocklist stage every
+    crawl pipeline runs first (RefinedWeb §3.1, Dolma's URL filter): a
+    page is BLOCKED when its host (lowercased) equals a blocked domain
+    or is a subdomain of one (``ads.example.com`` matches blocked
+    ``example.com``; ``notexample.com`` does not). ``invert=True``
+    returns the blocked rows instead (audit mode).
+
+    Scale shape: NO shuffle. The blocklist broadcasts ONCE via
+    ``ray.put`` as a sorted Arrow string array (zero-copy per batch,
+    never re-shipped); each batch extracts hosts with the shared RE2
+    kernel (``functions.scalar.url_host``) and tests membership of the
+    host and each of its ≤ ``max_labels`` parent-domain suffixes with
+    vectorized ``is_in`` — suffix generation is one regex strip per
+    level, so the whole match is O(max_labels) C passes per batch,
+    no Python loop over rows.
+
+    The blocklist side is assumed driver-resident (UT1 is ~4M lines,
+    ~100 MB — broadcastable by design); a corpus-sized deny set would
+    use the bucketed co-group join pattern instead (see
+    ``_patch_docs_with_drops``)."""
+    import ray
+
+    blocked = pa.array(
+        sorted({d.strip().lower().rstrip(".") for d in blocklist if d.strip()}),
+        pa.string(),
+    )
+    ref = ray.put(blocked)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..functions.scalar import url_host
+
+        bl = ray.get(ref)
+        host = pc.utf8_lower(
+            url_host(pc.fill_null(batch[url_col].combine_chunks(), ""))
+        )
+        # url_host keeps the authority verbatim — drop userinfo@ and
+        # :port so suffix equality is on the registrable name only
+        host = pc.replace_substring_regex(host, pattern=r"^[^/]*@", replacement="")
+        host = pc.replace_substring_regex(host, pattern=r":\d+$", replacement="")
+        hit = np.zeros(len(batch), dtype=bool)
+        suffix = host
+        for _ in range(max_labels):
+            hit |= pc.is_in(suffix, value_set=bl).to_numpy(zero_copy_only=False)
+            stripped = pc.replace_substring_regex(
+                suffix, pattern=r"^[^.]*\.", replacement="", max_replacements=1
+            )
+            # no label left to strip anywhere -> done early
+            changed = pc.any(pc.not_equal(stripped, suffix)).as_py()
+            suffix = stripped
+            if not changed:
+                break
+        mask = hit if invert else ~hit
+        return batch.filter(pa.array(mask))
+
+    return pages.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk_ds(
+    docs,
+    *,
+    m: int = 5,
+    vocab_top: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document top-``m`` keywords by TF-IDF (smooth idf,
+    sklearn's convention: ``idf = ln((1+N)/(1+df)) + 1``) over the
+    corpus's own top-``vocab_top``-by-df vocabulary — the classic
+    keyword/topic-feature extraction stage of a document pipeline.
+    Deterministic everywhere: the vocabulary cutoff orders by
+    (df DESC, term ASC) and per-doc ranking by (score DESC, term ASC),
+    so reruns and layout changes cannot move a keyword.
+
+    Tokens are lowercase ``[a-z0-9]+`` runs (same RE2 family as the
+    CCNet vocab pass, so the DuckDB oracle reproduces tokenization
+    exactly).
+
+    Two streaming passes (the idf side must close before scoring, same
+    shape as ``perplexity_buckets``):
+
+    1. **Document frequencies** — per batch: per-doc UNIQUE terms →
+       (term, df) partials (shuffle ships term+count pairs, never
+       text) → one groupby sum → exact global top-V via per-block
+       local-top nomination + O(blocks·V) driver merge.
+    2. **Scoring** — the V-row (term, idf, alphabetical-rank) table
+       broadcasts once via ``ray.put``; each batch does one
+       ``pc.index_in`` lookup, a combined-key ``np.unique`` for
+       per-(doc, term) tf, and a vectorized lexsort + segment-rank to
+       take the per-doc top-m. No Python loop over rows or terms.
+
+    Returns (id_col, rank, term, tf, score) rows, rank 1..m, score
+    rounded to 4 dp; docs with no in-vocab tokens emit nothing.
+    """
+    import ray
+
+    def _token_lists(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(col, ""))
+        return pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        lists = _token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {"term": flat.to_numpy(zero_copy_only=False)[keep], "p": parent[keep]}
+        ).drop_duplicates()
+        vc = pdf["term"].value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(), pa.string()),
+                "df": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    dfs = (
+        docs.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    n_docs = docs.count()
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tf": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+    if dfs.count() == 0:
+        return ray.data.from_pandas(empty)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas().sort_values(
+            ["df", "term"], ascending=[False, True]
+        ).head(vocab_top)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    cand = dfs.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    vocab = cand.sort_values(["df", "term"], ascending=[False, True]).head(vocab_top)
+    vocab_terms = pa.array(vocab["term"].tolist(), pa.string())
+    idf = np.log((1.0 + n_docs) / (1.0 + vocab["df"].to_numpy(np.float64))) + 1.0
+    # alphabetical rank per vocab slot, for the vectorized term-asc
+    # tie-break without string comparisons in the hot loop
+    alpha_rank = np.empty(len(vocab), dtype=np.int64)
+    alpha_rank[np.argsort(vocab["term"].to_numpy(), kind="stable")] = np.arange(
+        len(vocab), dtype=np.int64
+    )
+    vref = ray.put((vocab_terms, idf, alpha_rank))
+
+    V = len(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        va, idf_vals, arank = ray.get(vref)
+        lists = _token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        idx = (
+            pc.fill_null(pc.index_in(flat, value_set=va), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        iv = idx >= 0  # OOV (outside top-V vocab) contributes nothing
+        parent, idx = parent[iv], idx[iv]
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        key = parent * V + idx
+        ukey, tf = np.unique(key, return_counts=True)
+        udoc, uidx = ukey // V, ukey % V
+        sc = tf.astype(np.float64) * idf_vals[uidx]
+        # per-doc top-m: primary doc, then score desc, then term asc
+        order = np.lexsort((arank[uidx], -sc, udoc))
+        udoc, uidx, tf, sc = udoc[order], uidx[order], tf[order], sc[order]
+        seg_start = np.flatnonzero(np.concatenate(([True], udoc[1:] != udoc[:-1])))
+        rank = np.arange(len(udoc), dtype=np.int64) - np.repeat(
+            seg_start, np.diff(np.concatenate((seg_start, [len(udoc)])))
+        )
+        top = rank < m
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[udoc[top]], pa.int64()),
+                "rank": pa.array(rank[top] + 1, pa.int64()),
+                "term": pc.take(va, pa.array(uidx[top], pa.int64())),
+                "tf": pa.array(tf[top].astype(np.int64), pa.int64()),
+                # same symmetric rounding as the engine's other
+                # float-parity surfaces (DuckDB round() convention)
+                "score": pc.round(
+                    pa.array(sc[top], pa.float64()),
+                    ndigits=4,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_topk(sf_dir: str, **kw):
+    """tfidf_topk_ds over the documents table, sorted for compare."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = tfidf_topk_ds(docs, **kw).to_pandas()
+    if df.empty and "doc_id" not in df.columns:
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+    return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic exact-k sampling (bottom-k by hash)
 # ---------------------------------------------------------------------------
 
