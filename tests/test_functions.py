@@ -545,3 +545,56 @@ def test_bpe_corpus_pipeline(ray_session, sf_dir):
         stats2["total_bpe_tokens"].to_numpy()
         <= stats["total_bpe_tokens"].to_numpy()
     ).all()
+
+
+def test_bpe_encode_corpus_ids(ray_session, sf_dir):
+    """Distributed id-encoding: ids decode back to the exact lowercase
+    token stream (round-trip through the inverse vocab), n_tokens
+    matches the per-word encode lengths, and the id table is
+    deterministic from the merges alone."""
+    import numpy as np
+
+    from textextract_ray.functions.bpe import (
+        bpe_encode_word,
+        bpe_vocab,
+        merge_ranks,
+    )
+    from textextract_ray.pipelines.textops import (
+        bpe_encode_corpus,
+        train_bpe,
+    )
+
+    merges = train_bpe(sf_dir, n_merges=60, vocab_words=5000)
+    vocab = bpe_vocab(merges)
+    assert vocab == bpe_vocab(list(merges))  # deterministic rebuild
+    inv = {v: k for k, v in vocab.items()}
+    ranks = merge_ranks(merges)
+
+    out = bpe_encode_corpus(sf_dir, merges)
+    assert (out["n_tokens"] == out["ids"].map(len)).all()
+
+    # exact round-trip + per-word reference on a sample of docs
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    ref = con.execute(
+        "SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents "
+        "ORDER BY doc_id LIMIT 20"
+    ).df()
+    con.close()
+    got = out.set_index("doc_id")
+    import re as _re
+
+    for doc_id, t in zip(ref["doc_id"], ref["t"]):
+        words = [w for w in _re.split("[^a-z]+", t) if w]
+        want_ids = []
+        for w in words:
+            want_ids.extend(vocab[s] for s in bpe_encode_word(w, ranks))
+        ids = list(got.loc[doc_id, "ids"])
+        assert ids == want_ids
+        # decode: join symbols, strip end-of-word -> original words
+        decoded = "".join(inv[i] for i in ids).replace("</w>", " ").split()
+        assert decoded == words

@@ -86,6 +86,49 @@ def bpe_encode_word(word: str, ranks: dict, *, end_of_word: str = END_OF_WORD):
     return syms
 
 
+def bpe_vocab(
+    merges,
+    *,
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz",
+    end_of_word: str = END_OF_WORD,
+) -> dict:
+    """Deterministic symbol -> id table for a trained merge list
+    (subword-nmt layout): id 0 is ``<unk>``, then the base alphabet
+    (every single char the ``[^a-z]+`` tokenization can produce), the
+    bare end-of-word marker, then one id per merge OUTPUT in training
+    order. The same merges always yield the same ids on any machine;
+    symbols outside the table (impossible for in-alphabet text) map
+    to ``<unk>``."""
+    vocab = {"<unk>": 0}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    vocab[end_of_word] = len(vocab)
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(
+    words, ranks, vocab, *, end_of_word: str = END_OF_WORD
+) -> list:
+    """Token-id encoding per word (list of int lists), memoized across
+    the word list exactly like ``bpe_encode_counts`` — web text repeats
+    words heavily, so the cache hit rate dominates."""
+    unk = vocab.get("<unk>", 0)
+    cache: dict = {}
+    out = []
+    for w in words:
+        ids = cache.get(w)
+        if ids is None:
+            ids = [
+                vocab.get(s, unk)
+                for s in bpe_encode_word(w, ranks, end_of_word=end_of_word)
+            ]
+            cache[w] = ids
+        out.append(ids)
+    return out
+
+
 def bpe_encode_counts(words, ranks, *, end_of_word: str = END_OF_WORD):
     """Number of BPE tokens per word, memoized across the (typically
     highly repetitive) word list — the batch-encode fast path."""

@@ -23,6 +23,18 @@ from ..functions.text import lang_id, md5_hex, quality_features, token_count
 from ..sources import read_table
 
 
+
+def _lower_token_lists(col, pattern: str = "[^a-z]+"):
+    """Shared tokenizer front-end for the vocab-driven operators
+    (perplexity_buckets, tfidf_topk, train_bpe, bpe_token_stats,
+    bpe_encode_corpus): lowercase then split on ``pattern`` — one
+    definition so the train and encode sides can never drift."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(col, ""))
+    return pc.split_pattern_regex(low, pattern=pattern)
+
+
 def token_stats(sf_dir: str):
     """Whitespace + BPE-ish token counts per doc, aggregated per lang.
 
@@ -1193,14 +1205,8 @@ def perplexity_buckets(
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def _token_lists(col):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        low = pc.utf8_lower(pc.fill_null(col, ""))
-        return pc.split_pattern_regex(low, pattern="[^a-z]+")
-
     def partial_counts(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(_token_lists(batch["text"]))
+        flat = pc.list_flatten(_lower_token_lists(batch["text"]))
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = flat.value_counts()
         return pa.table(
@@ -1241,7 +1247,7 @@ def perplexity_buckets(
 
     def score(batch: pa.Table) -> pa.Table:
         va, lp_vals = ray.get(vref)
-        lists = _token_lists(batch["text"])
+        lists = _lower_token_lists(batch["text"])
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         keep = pc.not_equal(flat, "")
@@ -2322,14 +2328,8 @@ def tfidf_topk_ds(
     """
     import ray
 
-    def _token_lists(col):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        low = pc.utf8_lower(pc.fill_null(col, ""))
-        return pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-
     def partial_df(batch: pa.Table) -> pa.Table:
-        lists = _token_lists(batch[text_col])
+        lists = _lower_token_lists(batch[text_col], pattern="[^a-z0-9]+")
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -2385,7 +2385,7 @@ def tfidf_topk_ds(
 
     def score(batch: pa.Table) -> pa.Table:
         va, idf_vals, arank = ray.get(vref)
-        lists = _token_lists(batch[text_col])
+        lists = _lower_token_lists(batch[text_col], pattern="[^a-z0-9]+")
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         keep = pc.not_equal(flat, "")
@@ -2604,14 +2604,8 @@ def train_bpe(sf_dir: str, *, n_merges: int = 200, vocab_words: int = 20_000):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def _token_lists(col):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        low = pc.utf8_lower(pc.fill_null(col, ""))
-        return pc.split_pattern_regex(low, pattern="[^a-z]+")
-
     def partial_counts(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(_token_lists(batch["text"]))
+        flat = pc.list_flatten(_lower_token_lists(batch["text"]))
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = flat.value_counts()
         return pa.table(
@@ -2649,15 +2643,9 @@ def bpe_token_stats(sf_dir: str, merges, *, by: str = "lang"):
     rref = ray.put(merge_ranks(merges))
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", by])
 
-    def _token_lists(col):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        low = pc.utf8_lower(pc.fill_null(col, ""))
-        return pc.split_pattern_regex(low, pattern="[^a-z]+")
-
     def encode(batch: pa.Table) -> pa.Table:
         ranks = ray.get(rref)
-        lists = _token_lists(batch["text"])
+        lists = _lower_token_lists(batch["text"])
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -2695,3 +2683,181 @@ def bpe_token_stats(sf_dir: str, merges, *, by: str = "lang"):
     )
     out["compression"] = (out["total_bpe_tokens"] / out["total_words"]).round(4)
     return out
+
+
+def bpe_encode_corpus_ds(
+    docs,
+    merges,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Distributed corpus TOKENIZATION with a trained merge table — the
+    bridge between ``train_bpe`` and the packing/epoch stages: every
+    document becomes (id_col, ids list<int32>, n_tokens), the exact
+    input shape a pretraining data loader consumes. The (ranks, vocab)
+    pair broadcasts ONCE via ``ray.put`` (functions.bpe.bpe_vocab is
+    deterministic from the merges alone, so every worker holds the
+    identical id table); per batch, words encode through the memoized
+    id cache and per-doc id lists assemble with one bincount + one
+    LargeListArray — no per-doc Python loop.
+
+    Scale shape: NO shuffle; output bytes ≈ 4·tokens (int32), the
+    irreducible size of a tokenized corpus. Feed ``n_tokens`` straight
+    into ``pack_sequences_ds`` for the clean → tokenize → pack chain.
+    """
+    import ray
+
+    from ..functions.bpe import bpe_encode_ids, bpe_vocab, merge_ranks
+
+    rref = ray.put((merge_ranks(merges), bpe_vocab(merges)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks, vocab = ray.get(rref)
+        lists = _lower_token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        word_ids = bpe_encode_ids(flat.to_pylist(), ranks, vocab)
+        word_lens = np.array([len(w) for w in word_ids], dtype=np.int64)
+        per_doc = np.bincount(
+            parent, weights=word_lens, minlength=batch.num_rows
+        ).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(per_doc)))
+        values = (
+            np.concatenate(word_ids).astype(np.int32)
+            if word_ids
+            else np.empty(0, np.int32)
+        )
+        # word_ids arrive in (doc, word) order because list_flatten
+        # preserves it, so one concatenate IS the per-doc layout
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "ids": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(values, pa.int32())
+                ),
+                "n_tokens": pa.array(per_doc, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_encode_corpus(sf_dir: str, merges=None, **kw):
+    """bpe_encode_corpus_ds over the documents table (training merges
+    on the same corpus when none are passed), sorted for compare."""
+    if merges is None:
+        merges = train_bpe(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        bpe_encode_corpus_ds(docs, merges, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-data preparation recipe
+# ---------------------------------------------------------------------------
+
+PREP_STAGES = ("quality", "paradedup", "substrdedup", "order", "pack")
+
+
+def pretraining_prep(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    min_quality: float = 0.3,
+    k: int = 20,
+    capacity: int = 512,
+    seed: int = 0,
+    resume: bool = True,
+):
+    """The COMPOSED pretraining-data pipeline — the Dolma/C4-shaped
+    recipe chaining this engine's cores end to end, each stage
+    streaming and each stage's output persisted as parquet under
+    ``out_dir/<stage>/`` so a killed run resumes at the last completed
+    stage (directory + ``_DONE`` marker = completed; delete a stage dir
+    to force recompute):
+
+      1. ``quality``     Gopher composite filter >= min_quality  [no shuffle]
+      2. ``paradedup``   C4 paragraph dedup                      [1 bucket shuffle]
+      3. ``substrdedup`` exact-substring dedup (Lee et al.)      [keys-only shuffle]
+      4. ``order``       seeded epoch-shuffle keys               [keys-only sort]
+      5. ``pack``        sequence packing (prefix sum)           [partials shuffle]
+
+    Persisting between stages is the 100-TB shape: downstream stages
+    re-read the (much smaller) survivor set instead of recomputing the
+    whole upstream chain, and every stage boundary is a checkpoint.
+    Returns the per-stage counters DataFrame (rows surviving each
+    stage) — the job-report shape, never the corpus."""
+    import os
+
+    import ray
+
+    from ..functions.text import quality_features
+
+    def _stage_dir(name: str) -> str:
+        return os.path.join(out_dir, name)
+
+    def _done(name: str) -> bool:
+        return resume and os.path.exists(os.path.join(_stage_dir(name), "_DONE"))
+
+    def _mark(name: str) -> None:
+        with open(os.path.join(_stage_dir(name), "_DONE"), "w") as f:
+            f.write("ok\n")
+
+    def _write(name: str, ds) -> None:
+        ds.write_parquet(_stage_dir(name))
+        _mark(name)
+
+    def _read(name: str):
+        return ray.data.read_parquet(_stage_dir(name))
+
+    # 1. quality filter (vectorized, shuffle-free)
+    if not _done("quality"):
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def qfilter(batch: pa.Table) -> pa.Table:
+            score = quality_features(batch["text"])["quality_score"]
+            return batch.filter(pc.greater_equal(score, min_quality))
+
+        _write(
+            "quality",
+            docs.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True),
+        )
+
+    # 2. paragraph dedup over the quality survivors
+    if not _done("paradedup"):
+        _write(
+            "paradedup",
+            paragraph_dedup_ds(_read("quality").select_columns(["doc_id", "text"])),
+        )
+
+    # 3. exact-substring dedup over the paragraph survivors
+    if not _done("substrdedup"):
+        _write(
+            "substrdedup",
+            exact_substring_dedup_ds(
+                _read("paradedup").select_columns(["doc_id", "text"]), k=k
+            ),
+        )
+
+    survivors = _read("substrdedup").select_columns(["doc_id", "text"])
+
+    # 4. seeded epoch order (keys only)
+    if not _done("order"):
+        _write("order", training_order_ds(survivors.select_columns(["doc_id"]), seed=seed))
+
+    # 5. sequence packing
+    if not _done("pack"):
+        _write("pack", pack_sequences_ds(survivors, capacity=capacity))
+
+    rows = [("input", read_table(sf_dir, "documents", columns=["doc_id"]).count())]
+    for name in PREP_STAGES:
+        rows.append((name, _read(name).count()))
+    return pd.DataFrame(rows, columns=["stage", "rows"])
