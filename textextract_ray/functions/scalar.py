@@ -284,7 +284,13 @@ def hash_utf8(arr, seed: int = 0) -> "np.ndarray":
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    arr = arr.cast(pa.large_string())  # int64 offsets
+    # binary columns hash byte-identically to the equivalent string
+    # (same offsets+data buffer layout) WITHOUT a utf8-validating cast
+    # that would reject arbitrary crawl bytes (html payloads)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_binary())  # int64 offsets
+    else:
+        arr = arr.cast(pa.large_string())  # int64 offsets
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
         arr.offset : arr.offset + n + 1
     ]

@@ -132,11 +132,7 @@ def dedup_by_url(
     """
     import numpy as np
 
-    import ray as _ray
-    import ray.data as rd
-    import pyarrow.compute as pc
-
-    from ..functions.scalar import canonicalize_url, stable_bucket, stable_hash64
+    from ..functions.scalar import canonicalize_url
 
     key_col = "_ckey" if canonicalize else "url"
 
@@ -154,9 +150,59 @@ def dedup_by_url(
     else:
         ds = extracted_ds.materialize()
 
+    def first_per_url(tbl: pa.Table) -> pa.Table:
+        # winner per key = the min-raw-url row (within equal urls, any
+        # row: they are byte-identical up to timing) — deterministic
+        # regardless of block arrival order in BOTH key modes
+        keys = np.asarray(tbl[key_col].to_pylist(), dtype=object)
+        urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, keys))
+        _, first_idx = np.unique(keys[order], return_index=True)
+        return tbl.take(np.sort(order[first_idx]))
+
+    return strip(
+        _dedup_with_winner(
+            ds,
+            key_col,
+            first_per_url,
+            num_buckets=num_buckets,
+            driver_budget_rows=driver_budget_rows,
+            driver_budget_bytes=driver_budget_bytes,
+        )
+    )
+
+
+def _dedup_with_winner(
+    ds,
+    key_col: str,
+    winner_fn,
+    *,
+    num_buckets: int = 256,
+    driver_budget_rows: int = DEDUP_DRIVER_BUDGET_ROWS,
+    driver_budget_bytes: int = DEDUP_DRIVER_BUDGET_BYTES,
+):
+    """Shared keys-only dedup scaffold (``dedup_by_url``,
+    ``latest_snapshot_ds``): a distributed (8-byte hash, count)
+    partial scan finds the duplicate KEYS; unique-key rows — the
+    overwhelming majority — stream through a vectorized ``is_in``
+    filter untouched; only the rare duplicate rows resolve through
+    ``winner_fn(table) -> table`` (one winner row per key), driver-side
+    when the subset fits BOTH budgets, else via a key-bucketed groupby
+    over just that subset. The corpus payload never rides a shuffle.
+
+    A hash collision routes a unique key into the winner path, where
+    ``winner_fn`` sees the real key string and keeps it — collisions
+    cost a few extra resolved rows, never correctness. ``ds`` must be
+    materialized by the caller (bounds the scan and stops the two
+    consumers from re-executing the upstream pipeline)."""
+    import ray as _ray
+    import ray.data as rd
+
     from ray.data.aggregate import Sum
 
-    def url_hash_partials(batch: pa.Table) -> pa.Table:
+    from ..functions.scalar import stable_bucket, stable_hash64
+
+    def key_hash_partials(batch: pa.Table) -> pa.Table:
         # per-batch partial counts: the shuffle ships (8-byte key,
         # count) rows already deduped within the batch
         hh = stable_hash64(batch[key_col])
@@ -174,7 +220,7 @@ def dedup_by_url(
         return batch.filter(pc.greater(batch["n_rows"], 1))
 
     dup_df = (
-        ds.map_batches(url_hash_partials, batch_format="pyarrow")
+        ds.map_batches(key_hash_partials, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("n", alias_name="n_rows"))
         .map_batches(only_dups, batch_format="pyarrow")
@@ -182,7 +228,7 @@ def dedup_by_url(
     )
     # an all-filtered map_batches output can round-trip with no columns
     if "h" not in dup_df.columns or len(dup_df) == 0:
-        return strip(ds)
+        return ds
     dup_h = dup_df["h"].to_numpy().astype(np.uint64)
     dup_ref = _ray.put(pa.array(dup_h, pa.uint64()))
 
@@ -196,16 +242,6 @@ def dedup_by_url(
     def keep_dup(batch: pa.Table) -> pa.Table:
         return batch.filter(dup_mask(batch))
 
-    def first_per_url(tbl: pa.Table) -> pa.Table:
-        # winner per key = the min-raw-url row (within equal urls, any
-        # row: they are byte-identical up to timing) — deterministic
-        # regardless of block arrival order in BOTH key modes
-        keys = np.asarray(tbl[key_col].to_pylist(), dtype=object)
-        urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
-        order = np.lexsort((urls, keys))
-        _, first_idx = np.unique(keys[order], return_index=True)
-        return tbl.take(np.sort(order[first_idx]))
-
     uniq = ds.map_batches(keep_unique, batch_format="pyarrow")
     # materialized so the byte size is known up front AND the past-
     # budget arm reads these blocks instead of re-filtering ds
@@ -217,13 +253,11 @@ def dedup_by_url(
         # rare-duplicate fast path: the subset fits the driver; one
         # Arrow pass picks the winners, re-shipped as a single block
         tables = [t for t in _ray.get(dups.to_arrow_refs()) if len(t)]
-        winners = first_per_url(
-            pa.concat_tables(tables).combine_chunks()
-        )
-        return strip(uniq.union(rd.from_arrow(winners)))
+        winners = winner_fn(pa.concat_tables(tables).combine_chunks())
+        return uniq.union(rd.from_arrow(winners))
 
-    def first_per_url_bucket(bucket: pa.Table) -> pa.Table:
-        return first_per_url(bucket).drop_columns(["url_bucket"])
+    def winner_per_bucket(bucket: pa.Table) -> pa.Table:
+        return winner_fn(bucket.drop_columns(["url_bucket"]))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -234,9 +268,62 @@ def dedup_by_url(
     resolved = (
         dups.map_batches(bucketize, batch_format="pyarrow")
         .groupby("url_bucket")
-        .map_groups(first_per_url_bucket, batch_format="pyarrow")
+        .map_groups(winner_per_bucket, batch_format="pyarrow")
     )
-    return strip(uniq.union(resolved))
+    return uniq.union(resolved)
+
+
+def latest_snapshot_ds(
+    pages_ds,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+    num_buckets: int = 256,
+    driver_budget_rows: int = DEDUP_DRIVER_BUDGET_ROWS,
+    driver_budget_bytes: int = DEDUP_DRIVER_BUDGET_BYTES,
+):
+    """Multi-dump crawl consolidation: keep, per url, the NEWEST
+    capture (max ``ts_col``) — the standard first step when a corpus
+    spans several Common-Crawl dumps and a recrawled url appears once
+    per dump. The winner is a pure order statistic — max (warc_ts,
+    then content hash, then everything-else-is-identical) — so
+    equal-timestamp recaptures resolve deterministically under any
+    block arrival order or layout; a content-hash tie with different
+    bytes is a ~2^-64 hash collision (documented, same family as the
+    engine's other hash verdicts).
+
+    Scale shape: the shared keys-only scaffold (``_dedup_with_winner``,
+    same as ``dedup_by_url``): an (8-byte url-hash, count) partial scan
+    finds recrawled urls; single-capture urls — the majority within one
+    dump set — stream through untouched; only the recaptured rows
+    resolve (driver-side under the budgets, bucketed groupby past
+    them). The html payload never rides an all-to-all."""
+    from ..functions.scalar import hash_utf8
+
+    ds = pages_ds.materialize()
+
+    def newest_per_url(tbl: pa.Table) -> pa.Table:
+        urls = np.asarray(tbl[url_col].to_pylist(), dtype=object)
+        ts = tbl[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        content = tbl[content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        h2 = hash_utf8(pc.fill_null(content, b""), seed=0)
+        # lexsort: last key is primary -> url asc, then ts desc, h2
+        # desc (~h2 = 2^64-1-h2 is the overflow-safe uint64 descending key)
+        order = np.lexsort((~h2, -ts, urls))
+        _, first_idx = np.unique(urls[order], return_index=True)
+        return tbl.take(np.sort(order[first_idx]))
+
+    return _dedup_with_winner(
+        ds,
+        url_col,
+        newest_per_url,
+        num_buckets=num_buckets,
+        driver_budget_rows=driver_budget_rows,
+        driver_budget_bytes=driver_budget_bytes,
+    )
 
 
 def _ensure_partition_dir(pdir: str) -> None:
