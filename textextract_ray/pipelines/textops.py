@@ -2861,3 +2861,177 @@ def pretraining_prep(
     for name in PREP_STAGES:
         rows.append((name, _read(name).count()))
     return pd.DataFrame(rows, columns=["stage", "rows"])
+
+
+# --- DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169) -----------
+
+DSIR_N_BUCKETS = 8192
+DSIR_FEATURE_SEED = 0x5D51
+
+
+def _hashed_ngram_buckets(text_col, n_buckets: int, seed: int = DSIR_FEATURE_SEED):
+    """DSIR's hashed bag-of-ngrams features: unigram + bigram token
+    strings hashed into ``n_buckets`` with the repo-owned hash family.
+    Fully vectorized — tokens flatten once (`list_flatten` +
+    `list_parent_indices`), bigrams are the adjacent filtered-token
+    pairs whose parent doc matches (`binary_join_element_wise`), and
+    both gram families go through one `hash_utf8` call each. Returns
+    ``(bucket_ids, parent_rows)`` as int64 numpy arrays (one entry per
+    feature OCCURRENCE, so downstream `bincount`s count multiplicity
+    exactly as the paper's feature counts do)."""
+    from ..functions.scalar import hash_utf8
+
+    lists = _lower_token_lists(text_col)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    flat = flat.filter(pa.array(keep))
+    if len(flat) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    uni = (hash_utf8(flat, seed=seed) % np.uint64(n_buckets)).astype(np.int64)
+    if len(flat) > 1:
+        same = parent[1:] == parent[:-1]
+        lhs = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        rhs = flat.slice(1).filter(pa.array(same))
+        big = pc.binary_join_element_wise(lhs, rhs, " ")
+        bi = (hash_utf8(big, seed=seed) % np.uint64(n_buckets)).astype(np.int64)
+        bparent = parent[:-1][same]
+    else:
+        bi = np.empty(0, np.int64)
+        bparent = np.empty(0, np.int64)
+    return np.concatenate([uni, bi]), np.concatenate([parent, bparent])
+
+
+def dsir_select_ds(
+    ds,
+    *,
+    k: int,
+    target_col: str = "source",
+    target_values=("src0",),
+    n_buckets: int = DSIR_N_BUCKETS,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): pick the ``k`` raw-corpus documents whose
+    hashed-ngram feature distribution looks most like a small target
+    domain, by importance weighting + Gumbel top-k resampling.
+
+    Rows where ``target_col ∈ target_values`` ARE the target domain;
+    everything else is the raw pool being selected from.
+
+    Scale shape — two streaming passes, no payload shuffle:
+
+    1. **Fit** (one corpus pass): each batch bincounts its hashed
+       unigram+bigram features into target/raw histograms and ships
+       only the non-zero ``(bucket, tgt_n, raw_n)`` partials
+       (≤ n_buckets rows per batch); one small groupby-sum and the
+       driver folds ≤ n_buckets rows into the Laplace-smoothed
+       log-importance vector ``log p_tgt(b) − log p_raw(b)`` — a
+       fixed 64 KiB-scale array, broadcast once via ``ray.put``.
+    2. **Score + resample** (one raw-pool pass): per batch, feature
+       log-weights reduce per doc with one ``np.bincount``; the
+       Gumbel key ``logw + G_i`` uses deterministic per-doc noise
+       ``G_i = −log(−log u_i)`` with ``u_i`` from the repo hash of
+       (id, seed), so the resample is reproducible, retry-stable and
+       layout-invariant. Selection is the engine's local-top-k
+       nomination + O(blocks·k) driver merge (the exact-top-k
+       pattern shared with ``sample_bottomk_ds``/``recent_events``).
+
+    Returns a pandas frame (id, dsir_logweight, gumbel_key) of the
+    selected rows, gumbel_key descending."""
+    import ray
+
+    from ..functions.scalar import hash_utf8
+
+    tvals = set(target_values)
+
+    def _tgt_mask(batch: pa.Table) -> np.ndarray:
+        return pc.is_in(
+            batch[target_col], value_set=pa.array(sorted(tvals))
+        ).to_numpy(zero_copy_only=False)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tgt = _tgt_mask(batch)
+        b, parent = _hashed_ngram_buckets(batch[text_col], n_buckets)
+        is_tgt = tgt[parent]
+        tgt_n = np.bincount(b[is_tgt], minlength=n_buckets)
+        raw_n = np.bincount(b[~is_tgt], minlength=n_buckets)
+        nz = np.flatnonzero((tgt_n > 0) | (raw_n > 0))
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "tgt_n": pa.array(tgt_n[nz], pa.int64()),
+                "raw_n": pa.array(raw_n[nz], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("tgt_n", alias_name="tgt_n"), Sum("raw_n", alias_name="raw_n"))
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "dsir_logweight": pd.Series(dtype="float64"),
+            "gumbel_key": pd.Series(dtype="float64"),
+        }
+    )
+    if hist.empty:
+        return empty
+    tgt_full = np.zeros(n_buckets, np.int64)
+    raw_full = np.zeros(n_buckets, np.int64)
+    bk = hist["bucket"].to_numpy(np.int64)
+    tgt_full[bk] = hist["tgt_n"].to_numpy(np.int64)
+    raw_full[bk] = hist["raw_n"].to_numpy(np.int64)
+    # Laplace(+1) smoothing on both sides so unseen buckets are finite
+    logratio = np.log(tgt_full + 1.0) - np.log(float(tgt_full.sum() + n_buckets))
+    logratio -= np.log(raw_full + 1.0) - np.log(float(raw_full.sum() + n_buckets))
+    lref = ray.put(logratio)
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        lr = ray.get(lref)
+        tgt = _tgt_mask(batch)
+        b, parent = _hashed_ngram_buckets(batch[text_col], n_buckets)
+        logw = np.bincount(parent, weights=lr[b], minlength=batch.num_rows)
+        ids = batch[id_col]
+        u = (
+            hash_utf8(pc.fill_null(ids.cast(pa.string()), "None"), seed=seed).astype(
+                np.float64
+            )
+            + 0.5
+        ) / float(1 << 64)
+        key = logw + -np.log(-np.log(u))
+        df = pd.DataFrame(
+            {
+                id_col: ids.to_pandas(),
+                "dsir_logweight": logw,
+                "gumbel_key": key,
+            }
+        )[~tgt]
+        df = df.sort_values(
+            ["gumbel_key", id_col], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    cand = ds.map_batches(
+        nominate, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if cand.empty:
+        return empty
+    out = cand.sort_values(
+        ["gumbel_key", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return out.reset_index(drop=True)
+
+
+def dsir_select(sf_dir: str, *, k: int = 50, **kw):
+    """dsir_select_ds over the documents table (target domain defaults
+    to source == 'src0'; the other 19 sources are the raw pool)."""
+    cols = ["doc_id", "text", kw.get("target_col", "source")]
+    ds = read_table(sf_dir, "documents", columns=sorted(set(cols)))
+    return dsir_select_ds(ds, k=k, **kw)
