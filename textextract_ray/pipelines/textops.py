@@ -3035,3 +3035,153 @@ def dsir_select(sf_dir: str, *, k: int = 50, **kw):
     cols = ["doc_id", "text", kw.get("target_col", "source")]
     ds = read_table(sf_dir, "documents", columns=sorted(set(cols)))
     return dsir_select_ds(ds, k=k, **kw)
+
+
+# --- UniMax / temperature source mixing (Chung et al. 2023, arXiv:2304.09151) --
+
+
+def source_token_counts_ds(
+    ds, *, key_col: str = "source", text_col: str = "text"
+) -> dict[str, int]:
+    """Per-source whitespace-token totals in ONE streaming pass: each
+    batch ships only (key, n_tokens) partial sums (≤ distinct keys per
+    batch rows), the groupby reaggregates partials, and the driver
+    pulls O(sources) rows — the standard pre-combined aggregate shape
+    (`SCALE.md` "groupby aggregates" row)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        nt = token_count(batch[text_col]).cast(pa.int64())
+        t = pa.table({key_col: batch[key_col], "n_tokens": nt})
+        return t.group_by(key_col).aggregate([("n_tokens", "sum")]).rename_columns(
+            [key_col, "n_tokens"]
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    return dict(zip(out[key_col], out["n_tokens"].astype(int)))
+
+
+def unimax_allocation(
+    token_counts: dict[str, int], budget_tokens: int, *, max_epochs: float = 4.0
+) -> dict[str, float]:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151
+    alg. 1): distribute a total token budget across sources as
+    UNIFORMLY as possible subject to a per-source epoch cap — visit
+    sources smallest-first; each takes min(remaining/remaining_sources,
+    max_epochs·n_s). Returns per-source epoch weights b_s/n_s (the
+    repeat factor the mix expansion consumes). Driver-side arithmetic
+    over O(sources) numbers — the corpus never participates."""
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    items = sorted(
+        ((k, int(n)) for k, n in token_counts.items() if n > 0),
+        key=lambda kv: (kv[1], kv[0]),
+    )
+    weights = {k: 0.0 for k in token_counts}
+    remaining = float(budget_tokens)
+    m = len(items)
+    for k, n in items:
+        share = remaining / m
+        alloc = min(share, max_epochs * n)
+        weights[k] = alloc / n
+        remaining -= alloc
+        m -= 1
+    return weights
+
+
+def temperature_allocation(
+    token_counts: dict[str, int], budget_tokens: int, *, alpha: float = 0.3
+) -> dict[str, float]:
+    """mT5-style temperature sampling (Xue et al. 2021,
+    arXiv:2010.11934 §3.1): sample sources with p_s ∝ n_s^alpha
+    (alpha<1 upweights the tail), so source s receives
+    budget·p_s tokens = w_s epochs with w_s = budget·p_s/n_s.
+    Driver-side over O(sources) numbers."""
+    pos = {k: int(n) for k, n in token_counts.items() if n > 0}
+    z = sum(n**alpha for n in pos.values())
+    if not pos or z == 0:
+        return {k: 0.0 for k in token_counts}
+    return {
+        k: (budget_tokens * (pos[k] ** alpha) / z) / pos[k] if k in pos else 0.0
+        for k in token_counts
+    }
+
+
+def mix_by_weights_ds(
+    ds,
+    weights: dict[str, float],
+    *,
+    key_col: str = "source",
+    default_weight: float = 0.0,
+    id_col: str = "doc_id",
+):
+    """Generic per-key weighted expansion — the corpus_mix recipe
+    (floor(w) full copies + one md5-threshold fractional copy, pure
+    per-row decision, no shuffle, retry/layout-stable) keyed on an
+    arbitrary column so UniMax / temperature allocations plug straight
+    in. Emits (id, key, copy_idx)."""
+    from ..functions.text import md5_hex
+
+    def params(w: float) -> tuple[int, str]:
+        if w < 0:
+            raise ValueError("mix weights must be >= 0")
+        full = int(np.floor(w))
+        return full, format(int(round((w - full) * 16**8)), "08x")
+
+    table = {k: params(w) for k, w in weights.items()}
+    default = params(default_weight)
+
+    def mix(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+        full = np.array([table.get(k, default)[0] for k in keys], dtype=np.int64)
+        thr = np.array([table.get(k, default)[1] for k in keys], dtype=object)
+        rep_ids = np.repeat(ids, full)
+        rep_keys = np.repeat(keys, full)
+        starts = np.repeat(np.cumsum(full) - full, full)
+        rep_idx = np.arange(len(rep_ids), dtype=np.int64) - starts
+        hx = np.array(
+            [
+                h[:8]
+                for h in md5_hex([f"{int(i)}:{int(c)}" for i, c in zip(ids, full)])
+            ],
+            dtype=object,
+        )
+        fmask = hx < thr  # fixed-width lowercase hex: lexicographic == numeric
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([rep_ids, ids[fmask]]), pa.int64()),
+                key_col: pa.array(
+                    np.concatenate([rep_keys, keys[fmask]]), pa.string()
+                ),
+                "copy_idx": pa.array(
+                    np.concatenate([rep_idx, full[fmask]]), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unimax_mix_ds(
+    ds,
+    *,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    key_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """End-to-end UniMax mixing: one counting pass → driver allocation
+    → one shuffle-free expansion pass. The returned Dataset carries
+    (id, key, copy_idx); feed it to `training_order`/`epoch_stream`
+    for epoch assembly."""
+    counts = source_token_counts_ds(ds, key_col=key_col, text_col=text_col)
+    weights = unimax_allocation(counts, budget_tokens, max_epochs=max_epochs)
+    return mix_by_weights_ds(
+        ds, weights, key_col=key_col, default_weight=0.0, id_col=id_col
+    )
