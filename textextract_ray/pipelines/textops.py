@@ -3185,3 +3185,83 @@ def unimax_mix_ds(
     return mix_by_weights_ds(
         ds, weights, key_col=key_col, default_weight=0.0, id_col=id_col
     )
+
+
+# --- cross-corpus overlap via bottom-k sketches (Broder 1997) -----------------
+
+OVERLAP_SKETCH_K = 256
+
+
+def corpus_overlap_ds(
+    ds,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = OVERLAP_SKETCH_K,
+    seed: int = 0x0B0E,
+) -> pd.DataFrame:
+    """Pairwise content overlap between corpus groups (sources, crawl
+    dumps, shards) as bottom-k MinHash sketches of each group's
+    distinct document-content hashes (Broder 1997 resemblance; the
+    bottom-k estimator of Cohen & Kaplan 2007: with X = the k smallest
+    hashes of S_A ∪ S_B, Ĵ = |X ∩ S_A ∩ S_B| / |X|). When k reaches a
+    group-union's distinct-hash count the sketch IS the set and the
+    estimate is exact.
+
+    Scale shape: each batch ships ≤ k (group, hash) rows per group it
+    touches — documents never move; a groupby over those keys-only
+    partials merges per-group bottom-k; the driver pulls O(groups·k)
+    uint64s and does the O(groups²·k) pair arithmetic. Deterministic
+    (repo hash family), layout/retry-stable.
+
+    Returns (group_a, group_b, est_jaccard, sketch_a, sketch_b) with
+    group_a < group_b, sorted."""
+    from ..functions.scalar import hash_utf8
+
+    def partials(batch: pa.Table) -> pa.Table:
+        h = hash_utf8(pc.fill_null(batch[text_col], ""), seed=seed)
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        out_g, out_h = [], []
+        for g in np.unique(groups):
+            hh = np.unique(h[groups == g])  # distinct, ascending
+            hh = hh[:k]
+            out_g.append(np.full(len(hh), g, dtype=object))
+            out_h.append(hh)
+        if not out_g:
+            return pa.table(
+                {group_col: pa.array([], pa.string()), "h": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {
+                group_col: pa.array(np.concatenate(out_g), pa.string()),
+                "h": pa.array(np.concatenate(out_h), pa.uint64()),
+            }
+        )
+
+    def merge_bottomk(group: pd.DataFrame) -> pd.DataFrame:
+        hh = np.unique(group["h"].to_numpy(np.uint64))[:k]
+        return pd.DataFrame({group_col: group[group_col].iloc[: len(hh)], "h": hh})
+
+    sketches = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge_bottomk)
+        .to_pandas()
+    )
+    cols = ["group_a", "group_b", "est_jaccard", "sketch_a", "sketch_b"]
+    if sketches.empty:
+        return pd.DataFrame(columns=cols)
+    out_rows = []
+    by_group = {
+        g: np.sort(sub["h"].to_numpy(np.uint64))
+        for g, sub in sketches.groupby(group_col)
+    }
+    names = sorted(by_group)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sa, sb = by_group[a], by_group[b]
+            union = np.union1d(sa, sb)[:k]
+            in_both = np.isin(union, sa) & np.isin(union, sb)
+            est = float(in_both.sum()) / len(union) if len(union) else 0.0
+            out_rows.append((a, b, round(est, 6), len(sa), len(sb)))
+    return pd.DataFrame(out_rows, columns=cols)
