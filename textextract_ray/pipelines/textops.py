@@ -3265,3 +3265,99 @@ def corpus_overlap_ds(
             est = float(in_both.sum()) / len(union) if len(union) else 0.0
             out_rows.append((a, b, round(est, 6), len(sa), len(sb)))
     return pd.DataFrame(out_rows, columns=cols)
+
+
+# --- quantile-calibrated adaptive filtering -----------------------------------
+
+
+def quantile_thresholds_ds(
+    ds,
+    *,
+    score_col: str,
+    group_col: str | None = None,
+    q: float = 0.5,
+) -> dict[str, float]:
+    """Per-group score quantiles from ONE streaming pass of mergeable
+    DDSketch-style partials (the approx_quantiles machinery, reused):
+    each batch ships one log-binned sketch per group it touches, the
+    driver folds O(batches·groups·bins) counters. Group key '' when
+    group_col is None (global threshold). Within alpha=0.5% relative
+    error of the exact order statistic; independent of batch
+    boundaries and merge order."""
+    import json
+
+    from ..functions.sketch import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantile_sketch_value,
+    )
+
+    cols = [score_col] + ([group_col] if group_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        keys, sks = [], []
+        if group_col is None:
+            keys.append("")
+            sks.append(json.dumps(quantile_sketch(df[score_col].to_numpy())))
+        else:
+            for g, sub in df.groupby(group_col, sort=True):
+                keys.append(str(g))
+                sks.append(json.dumps(quantile_sketch(sub[score_col].to_numpy())))
+        return pa.table(
+            {"k": pa.array(keys, pa.string()), "sketch": pa.array(sks, pa.string())}
+        )
+
+    merged: dict[str, dict] = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for key, blob in zip(b["k"].to_pylist(), b["sketch"].to_pylist()):
+            sk = json.loads(blob)
+            sk["pos"] = {int(x): v for x, v in sk["pos"].items()}
+            sk["neg"] = {int(x): v for x, v in sk.get("neg", {}).items()}
+            merged[key] = quantile_sketch_merge(merged[key], sk) if key in merged else sk
+    return {key: float(quantile_sketch_value(sk, q)) for key, sk in merged.items()}
+
+
+def quantile_filter_ds(
+    ds,
+    *,
+    score_col: str,
+    group_col: str | None = None,
+    keep_frac: float = 0.5,
+    side: str = "top",
+):
+    """Adaptive quality filtering: keep the top (or bottom) keep_frac
+    of rows BY GROUP, with thresholds calibrated from the data itself —
+    the 'keep the best X% per language/source' recipe (CCNet keeps the
+    head perplexity bucket per language; classifier-filter pipelines
+    keep a score quantile) without anyone hand-tuning per-group
+    cutoffs. One sketch pass computes per-group thresholds (never
+    shuffling rows), then one shuffle-free vectorized filter pass
+    applies them; the threshold dict is O(groups) and rides the task
+    closure. Returns (filtered_ds, thresholds)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    if side not in ("top", "bottom"):
+        raise ValueError("side must be 'top' or 'bottom'")
+    q = (1.0 - keep_frac) if side == "top" else keep_frac
+    thresholds = quantile_thresholds_ds(
+        ds, score_col=score_col, group_col=group_col, q=q
+    )
+
+    def apply(batch: pa.Table) -> pa.Table:
+        scores = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if group_col is None:
+            thr = np.full(len(scores), thresholds.get("", np.inf))
+        else:
+            keys = batch[group_col].to_pylist()
+            thr = np.array(
+                [thresholds.get(str(g), np.inf) for g in keys], dtype=np.float64
+            )
+        mask = scores >= thr if side == "top" else scores <= thr
+        return batch.filter(pa.array(mask))
+
+    return (
+        ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True),
+        thresholds,
+    )
