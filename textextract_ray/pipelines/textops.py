@@ -3361,3 +3361,121 @@ def quantile_filter_ds(
         ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True),
         thresholds,
     )
+
+
+# --- one-pass corpus profile ("corpus card") ----------------------------------
+
+
+def corpus_profile_ds(
+    ds,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    url_col: str | None = None,
+) -> dict:
+    """One-pass corpus profiling: everything a datasheet/corpus-card
+    needs from a single streaming scan — per-group doc counts, token
+    and byte totals, empty-doc counts, a distinct-content HLL, a
+    distinct-host HLL (when url_col given), and a token-length
+    quantile sketch per group. All partials are mergeable (sums, HLL
+    registers, DDSketch bins), so one map_batches pass ships a few KiB
+    per (batch, group) and the driver folds O(batches·groups) rows —
+    at 100 TB this replaces 5+ separate aggregation passes with one.
+
+    Returns {group: {n_docs, n_tokens, n_bytes, n_empty,
+    approx_distinct_texts, approx_distinct_hosts?, token_quantiles
+    {p25, p50, p75, p95}}}, deterministic and layout-stable (every
+    partial commutes)."""
+    import json
+
+    from ..functions.sketch import (
+        hll_add,
+        hll_create,
+        hll_count,
+        hll_merge,
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantile_sketch_value,
+    )
+
+    cols = [group_col, text_col] + ([url_col] if url_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        nt = token_count(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = pc.binary_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        hosts = None
+        if url_col is not None:
+            hosts = pc.extract_regex(
+                pc.fill_null(batch[url_col], ""), r"^[a-z+]+://(?P<host>[^/]+)"
+            )
+        out_k, out_blob = [], []
+        for g in np.unique(groups):
+            m = groups == g
+            sub = texts.filter(pa.array(m))
+            reg = hll_add(hll_create(), sub.to_pylist())
+            blob = {
+                "n_docs": int(m.sum()),
+                "n_tokens": int(nt[m].sum()),
+                "n_bytes": int(nb[m].sum()),
+                "n_empty": int((nt[m] == 0).sum()),
+                "hll_text": reg.tolist(),
+                "qs": quantile_sketch(nt[m].astype(np.float64)),
+            }
+            if hosts is not None:
+                hv = hosts.filter(pa.array(m)).to_pylist()
+                hreg = hll_add(
+                    hll_create(), [h["host"] if h else "" for h in hv]
+                )
+                blob["hll_host"] = hreg.tolist()
+            out_k.append(str(g))
+            out_blob.append(json.dumps(blob))
+        return pa.table(
+            {"k": pa.array(out_k, pa.string()), "blob": pa.array(out_blob, pa.string())}
+        )
+
+    acc: dict[str, dict] = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for key, blob in zip(b["k"].to_pylist(), b["blob"].to_pylist()):
+            p = json.loads(blob)
+            p["qs"]["pos"] = {int(x): v for x, v in p["qs"]["pos"].items()}
+            p["qs"]["neg"] = {int(x): v for x, v in p["qs"]["neg"].items()}
+            if key not in acc:
+                acc[key] = p
+                continue
+            a = acc[key]
+            for f in ("n_docs", "n_tokens", "n_bytes", "n_empty"):
+                a[f] += p[f]
+            a["hll_text"] = hll_merge(
+                np.array(a["hll_text"], np.uint8), np.array(p["hll_text"], np.uint8)
+            ).tolist()
+            if "hll_host" in p:
+                a["hll_host"] = hll_merge(
+                    np.array(a["hll_host"], np.uint8),
+                    np.array(p["hll_host"], np.uint8),
+                ).tolist()
+            a["qs"] = quantile_sketch_merge(a["qs"], p["qs"])
+
+    out: dict[str, dict] = {}
+    for key, a in sorted(acc.items()):
+        rec = {
+            "n_docs": a["n_docs"],
+            "n_tokens": a["n_tokens"],
+            "n_bytes": a["n_bytes"],
+            "n_empty": a["n_empty"],
+            "approx_distinct_texts": round(
+                hll_count(np.array(a["hll_text"], np.uint8)), 1
+            ),
+            "token_quantiles": {
+                f"p{int(q * 100)}": round(quantile_sketch_value(a["qs"], q), 2)
+                for q in (0.25, 0.5, 0.75, 0.95)
+            },
+        }
+        if "hll_host" in a:
+            rec["approx_distinct_hosts"] = round(
+                hll_count(np.array(a["hll_host"], np.uint8)), 1
+            )
+        out[key] = rec
+    return out
