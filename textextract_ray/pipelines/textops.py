@@ -3479,3 +3479,128 @@ def corpus_profile_ds(
             )
         out[key] = rec
     return out
+
+
+# --- frequent-line boilerplate removal (CCNet §2.1 / RefinedWeb line-wise) ----
+
+LINE_FREQ_SET_BUDGET = 5_000_000
+
+
+def line_frequency_filter_ds(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 30,
+    min_count: int = 3,
+    drop_empty: bool = True,
+    set_budget: int = LINE_FREQ_SET_BUDGET,
+    seed: int = 0x11F0,
+):
+    """Boilerplate-line removal by corpus frequency (CCNet §2.1,
+    Wenzek et al. LREC 2020 — duplicated-paragraph removal kills
+    'enable javascript' / cookie banners; RefinedWeb applies the same
+    line-wise): a line (``sep``-delimited, length ≥ ``min_chars``)
+    that occurs in ``min_count`` or more places corpus-wide is removed
+    from EVERY document — unlike ``paragraph_dedup_ds``, which keeps
+    the first occurrence. Short lines bypass (never counted, never
+    removed).
+
+    Distributed shape: pass 1 ships per-batch pre-combined
+    (line_hash, count) partials — 16 B per DISTINCT line per batch,
+    never text — into one keys-only groupby; the frequent-hash set
+    (count ≥ min_count, guarded by ``set_budget``) broadcasts once via
+    ``ray.put``. Pass 2 is shuffle-free: lines explode / mask /
+    rebuild inside each batch with Arrow list kernels + one
+    ``searchsorted`` probe — no per-row Python. Line identity is the
+    64-bit repo hash (the keys-only trade ``paragraph_dedup_ds``
+    documents and declines; here the broadcast set must stay compact,
+    so ~2⁻⁶⁴-per-pair false removals are accepted and documented).
+
+    Returns (id_col, text_col, n_dropped); documents whose every line
+    is removed disappear when ``drop_empty``."""
+    import ray
+
+    from ..functions.scalar import hash_utf8
+
+    # hashes travel the groupby as int64 bit-views: Ray Data's groupby key
+    # path coerces uint64 and values >= 2^63 break Arrow conversion
+    def partials(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat = pc.list_flatten(pc.split_pattern(text, sep))
+        flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_chars))
+        if len(flat) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(hash_utf8(flat, seed=seed), return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq.view(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    freq = (
+        docs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(lambda r: r["n"] >= min_count)
+        .materialize()
+    )
+    n_frequent = freq.count()
+    if n_frequent > set_budget:
+        raise ValueError(
+            f"line_frequency_filter: {n_frequent} frequent lines exceed "
+            f"set_budget={set_budget}; raise min_count or the budget"
+        )
+    fset = np.sort(
+        np.concatenate(
+            [
+                b["h"].to_numpy(zero_copy_only=False)
+                for b in freq.iter_batches(batch_size=65536, batch_format="pyarrow")
+            ]
+        )
+        if n_frequent
+        else np.array([], np.int64)
+    ).astype(np.int64, copy=False)
+    fref = ray.put(fset)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        fs = ray.get(fref)
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        parts = pc.split_pattern(text, sep)
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        drop = np.zeros(len(flat), dtype=bool)
+        eligible = lens >= min_chars
+        if eligible.any() and len(fs):
+            h = hash_utf8(flat.filter(pa.array(eligible)), seed=seed).view(np.int64)
+            pos = np.searchsorted(fs, h)
+            pos[pos == len(fs)] = 0
+            drop[eligible] = fs[pos] == h
+        keep = ~drop
+        n_docs = batch.num_rows
+        kept_per_doc = np.bincount(parents[keep], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_flat = flat.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        new_parts = pa.ListArray.from_arrays(pa.array(offsets), kept_flat)
+        joined = pc.binary_join(new_parts, sep)
+        dropped_per_doc = np.bincount(parents[drop], minlength=n_docs)
+        out = pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: joined,
+                "n_dropped": pa.array(dropped_per_doc, pa.int64()),
+            }
+        )
+        if drop_empty:
+            out = out.filter(pc.greater(pc.utf8_length(out[text_col]), 0))
+        return out
+
+    return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
