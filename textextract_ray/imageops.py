@@ -172,3 +172,15 @@ def normalize_chw(
     m = np.asarray(mean, dtype=np.float32)[None, None, :]
     s = np.asarray(std, dtype=np.float32)[None, None, :]
     return np.ascontiguousarray(((rgb - m) / s).transpose(2, 0, 1))
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit perceptual difference hash (dHash, Krawetz 2013): luma
+    of the bilinear 8x9 thumbnail, bit[r*8+c] = L[r,c] > L[r,c+1]
+    (row-major, MSB first). Brightness/contrast shifts and re-encodes
+    move few bits, so near-identical images land within a small
+    Hamming radius — the standard image near-dup sketch (LAION-style
+    dedup). Deterministic: same pixels, same hash, any layout."""
+    thumb = luma(resize_bilinear(px, 8, 9))
+    bits = (thumb[:, :-1] > thumb[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])

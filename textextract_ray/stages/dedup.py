@@ -349,11 +349,14 @@ def add_simhash(text_col: str):
     return kernel
 
 
-def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: int = 3):
-    """(id, keep_id) pairs via SimHash banding: two 64-bit hashes within
-    Hamming distance d must agree exactly on at least one of d+1
-    disjoint bit bands (pigeonhole), so bucketing by each band finds all
-    such pairs; Hamming distance verifies inside the bucket.
+def hamming64_duplicate_assignments(hashed, hash_col: str, id_col: str, max_hamming: int = 3):
+    """(id, keep_id) pairs by pigeonhole banding over ANY 64-bit
+    locality hash column: two hashes within Hamming distance d must
+    agree exactly on at least one of d+1 disjoint bit bands, so
+    bucketing by each band finds all such pairs; Hamming distance
+    verifies inside the bucket. Shared back end for text SimHash
+    (`simhash_duplicate_assignments`) and image dHash
+    (`image_duplicate_assignments`).
 
     Band count is DERIVED from max_hamming (n_bands = max_hamming + 1)
     so recall is complete for any accepted value. Bands narrower than
@@ -370,11 +373,9 @@ def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: i
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    hashed = ds.map_batches(add_simhash(text_col), batch_format="pyarrow")
-
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         out_id, out_band, out_key, out_sim = [], [], [], []
         for bi in range(n_bands):
             mask = np.uint64((1 << widths[bi]) - 1)
@@ -388,7 +389,7 @@ def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: i
                 "id": pa.array(np.concatenate(out_id), pa.int64()),
                 "band_id": pa.array(np.concatenate(out_band), pa.int32()),
                 "band_key": pa.array(np.concatenate(out_key), pa.int64()),
-                "simhash": pa.array(np.concatenate(out_sim), pa.uint64()),
+                hash_col: pa.array(np.concatenate(out_sim), pa.uint64()),
             }
         )
 
@@ -401,7 +402,7 @@ def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: i
             return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
         g = group.sort_values("id").drop_duplicates("id").head(4096)
         ids = g["id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+        sh = g[hash_col].to_numpy().astype(np.uint64)
         ham = popcount64(sh[:, None] ^ sh[None, :])
         match = ham <= max_hamming
         out_id, out_keep = [], []
@@ -414,6 +415,45 @@ def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: i
 
     pairs = _bucketed_group_apply(exploded, ["band_id", "band_key"], bucket_pairs)
     return _min_keep_per_id(pairs)
+
+
+def simhash_duplicate_assignments(ds, text_col: str, id_col: str, max_hamming: int = 3):
+    """(id, keep_id) pairs for text near-dups: SimHash per doc, then
+    the shared 64-bit pigeonhole banding (see
+    `hamming64_duplicate_assignments` for the recall argument)."""
+    hashed = ds.map_batches(add_simhash(text_col), batch_format="pyarrow")
+    return hamming64_duplicate_assignments(hashed, "simhash", id_col, max_hamming)
+
+
+def image_duplicate_assignments(
+    media_ds,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    max_hamming: int = 3,
+    *,
+    strict: bool = False,
+):
+    """(id, keep_id) pairs for IMAGE near-dups: 64-bit perceptual
+    difference hash (dHash) per decodable payload in an actor-pool
+    stage, then the shared pigeonhole banding — the LAION-style
+    near-duplicate-image sweep. Undecodable payloads hash to null and
+    never pair (strict=True raises instead). Only (id, band, hash)
+    rows ride the shuffle — pixels never leave the hashing stage."""
+    from .multimodal import ImageDHash
+
+    hashed = media_ds.map_batches(
+        ImageDHash,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={
+            "id_col": id_col,
+            "media_col": media_col,
+            "strict": strict,
+        },
+    ).filter(expr="status == 'ok'")
+    return hamming64_duplicate_assignments(hashed, "dhash", id_col, max_hamming)
 
 
 # --- embedding cosine near-dup ----------------------------------------------

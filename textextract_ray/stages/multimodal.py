@@ -171,6 +171,78 @@ class DecodeImage:
         )
 
 
+class ImageDHash:
+    """Actor-pool stage: image payload -> 64-bit perceptual difference
+    hash (imageops.dhash64) for near-duplicate-image detection. The
+    hash feeds the shared pigeonhole hamming banding
+    (`stages.dedup.image_duplicate_assignments`) — pixels stay inside
+    this stage; only (id, dhash) leaves.
+
+    Decode ladder mirrors PreprocessImage: PIL if importable, else the
+    own stdlib PNG codec. Undecodable / out-of-subset payloads emit
+    status "skipped" with dhash null (strict=True raises instead);
+    malformed PNGs become decode_error rows."""
+
+    def __init__(self, *, id_col: str = "media_id", media_col: str = "media",
+                 strict: bool = False):
+        self.id_col = id_col
+        self.media_col = media_col
+        self.strict = strict
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _pixels(self, payload: bytes) -> "np.ndarray":
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"))
+        return png_decode(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imageops import dhash64
+
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.media_col].to_pylist()
+        hashes, sts = [], []
+        for p in payloads:
+            p = p or b""
+            if not has_valid_ihdr(p) and self._pil is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-PNG perceptual hashing requires PIL; not "
+                        "available in this container "
+                        "(skip path: ImageDHash(strict=False))"
+                    )
+                hashes.append(None)
+                sts.append("skipped")
+                continue
+            try:
+                hashes.append(dhash64(self._pixels(p)))
+                sts.append("ok")
+            except UnsupportedPngError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "PNG outside the stdlib codec subset requires PIL"
+                    ) from None
+                hashes.append(None)
+                sts.append("skipped")
+            except Exception as exc:
+                hashes.append(None)
+                sts.append(f"decode_error: {type(exc).__name__}")
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "dhash": pa.array(hashes, pa.uint64()),
+                "status": pa.array(sts, pa.string()),
+            }
+        )
+
+
 class ImageFeatures:
     """Actor-pool stage: payload -> fixed-dim feature vector.
 
