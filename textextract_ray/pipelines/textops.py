@@ -3604,3 +3604,99 @@ def line_frequency_filter_ds(
         return out
 
     return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- unicode normalization / mojibake repair ---------------------------------
+
+MOJIBAKE_MARKERS = "Ã|â€|Â|Ð|â„|â€š"
+
+
+def normalize_text_ds(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+    fix_mojibake: bool = True,
+):
+    """Unicode text normalization (the ftfy-shaped cleanup every
+    crawl corpus needs before tokenization): CRLF/CR → LF, C0/C1
+    control characters stripped (tab and newline survive), UTF-8-read-
+    as-Latin-1/Windows-1252 mojibake repaired ("Ã©tÃ©" → "été"), then
+    canonical composition (``pc.utf8_normalize``, NFC by default so
+    visually-identical strings hash identically in every dedup stage).
+
+    Scale shape: ZERO shuffle — one streaming map_batches. The fast
+    path is all Arrow kernels; mojibake repair costs Python only for
+    rows a vectorized marker regex flags (rare in real corpora), and a
+    repair is accepted only when the strict cp1252/latin-1 → UTF-8
+    round-trip succeeds AND strictly reduces marker count (so clean
+    text containing a literal "Ã" is never corrupted). Composition
+    runs ``unicodedata.normalize`` gated by a vectorized non-ASCII
+    detector (ASCII is normalization-invariant, so most web-text rows
+    never leave Arrow) — this container's
+    ``pc.utf8_normalize(form="NFC")`` DECOMPOSES (verified: composed
+    'café' comes back as 'e'+U+0301 under every form), so the Arrow
+    kernel cannot be trusted for canonical composition here.
+
+    Returns (id_col, text_col, mojibake_fixed: bool). Deterministic
+    per row — layout/retry invariant by construction."""
+    import re
+
+    marker_re = re.compile(MOJIBAKE_MARKERS)
+
+    def repair(s: str) -> str:
+        best = s
+        for enc in ("cp1252", "latin-1"):
+            try:
+                cand = s.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(marker_re.findall(cand)) < len(marker_re.findall(best)):
+                best = cand
+            break  # cp1252 encode succeeded; latin-1 would double-map
+        return best
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        text = pc.replace_substring(text, pattern="\r\n", replacement="\n")
+        text = pc.replace_substring(text, pattern="\r", replacement="\n")
+        # mojibake repair BEFORE control stripping: latin-1-read UTF-8
+        # continuation bytes surface as C1 controls the repair needs
+        fixed = np.zeros(len(text), dtype=bool)
+        if fix_mojibake:
+            flagged = pc.match_substring_regex(
+                text, MOJIBAKE_MARKERS
+            ).to_numpy(zero_copy_only=False)
+            if flagged.any():
+                vals = text.to_pylist()
+                for i in np.flatnonzero(flagged):
+                    out = repair(vals[i])
+                    if out != vals[i]:
+                        vals[i] = out
+                        fixed[i] = True
+                text = pa.array(vals, type=pa.string())
+        text = pc.replace_substring_regex(
+            text,
+            pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]",
+            replacement="",
+        )
+        non_ascii = pc.match_substring_regex(text, r"[^\x00-\x7f]").to_numpy(
+            zero_copy_only=False
+        )
+        if non_ascii.any():
+            import unicodedata
+
+            vals = text.to_pylist()
+            for i in np.flatnonzero(non_ascii):
+                vals[i] = unicodedata.normalize(form, vals[i])
+            text = pa.array(vals, type=pa.string())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: text,
+                "mojibake_fixed": pa.array(fixed, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
