@@ -1,0 +1,160 @@
+"""Dolma-style attribute store: tag once, filter many times.
+
+The Dolma toolkit (Soldaini et al. 2024, arXiv:2402.00159) separates
+*taggers* (compute per-document attributes into sidecar files keyed by
+doc id) from *mixers* (filter/route documents by reading ONLY the
+attribute files and applying cheap predicates). At 100 TB this split is
+the difference between re-running quality/toxicity/lang models per
+experiment and re-running a predicate over a table that is ~1% of
+corpus bytes.
+
+Ray-Data shape:
+- ``tag_attributes_ds``: one streaming map_batches over the corpus;
+  each tagger is a vectorized ``fn(batch) -> pa.Array`` so a batch
+  pays ONE pass for all taggers. Write the result with
+  ``write_parquet`` next to the corpus — that file IS the store.
+- ``filter_by_attributes_ds``: evaluates the predicate on the
+  ATTRIBUTE dataset only (cheap columns), reduces it to a doc-id
+  verdict, and ships the SMALLER side (keep ids or drop ids) as one
+  sorted-int64 broadcast (``ray.put``) that document batches probe
+  with ``searchsorted`` — the corpus text never rides a shuffle. Past
+  ``broadcast_budget_rows`` on BOTH sides it falls back to a doc-id
+  co-group join (the one case where documents pay an all-to-all, and
+  the predicate selectivity that causes it is reported in the raised
+  guidance rather than silently paid — callers at that scale should
+  partition corpus and attributes by the same id buckets and zip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ATTR_BROADCAST_BUDGET_ROWS = 50_000_000  # 8 B/id -> ~400 MB object
+
+
+def tag_attributes_ds(docs, taggers: dict, *, id_col: str = "doc_id"):
+    """corpus -> attribute table (id_col + one column per tagger).
+    ``taggers`` maps column name -> vectorized ``fn(batch: pa.Table)
+    -> pa.Array`` (length = batch rows). One streaming pass, zero
+    shuffle; consume with ``write_parquet`` to create the store."""
+    names = list(taggers)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch[id_col].cast(pa.int64())}
+        for name in names:
+            arr = taggers[name](batch)
+            if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                arr = pa.array(arr)
+            if len(arr) != batch.num_rows:
+                raise ValueError(
+                    f"tagger {name!r} returned {len(arr)} values for a "
+                    f"{batch.num_rows}-row batch"
+                )
+            cols[name] = arr
+        return pa.table(cols)
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_by_attributes_ds(
+    docs,
+    attrs,
+    predicate,
+    *,
+    id_col: str = "doc_id",
+    broadcast_budget_rows: int = ATTR_BROADCAST_BUDGET_ROWS,
+    num_buckets: int = 64,
+):
+    """Keep the documents whose attribute row satisfies ``predicate``
+    (a vectorized ``fn(batch: pa.Table) -> pa.BooleanArray`` evaluated
+    on ATTRIBUTE batches). Documents with no attribute row are
+    dropped — the store is authoritative, exactly like Dolma's mixer.
+
+    Returns ``docs`` filtered, original schema untouched."""
+    import ray
+    import ray.data as rd
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        keep = predicate(batch)
+        if not isinstance(keep, (pa.Array, pa.ChunkedArray)):
+            keep = pa.array(np.asarray(keep, dtype=bool))
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "_keep": pc.fill_null(keep, False),
+            }
+        )
+
+    verdicts = attrs.map_batches(
+        verdict, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    n_keep = verdicts.filter(expr="_keep").count()
+
+    # the verdict must act as BOTH a predicate and a membership test
+    # (docs absent from the store drop), so only the keep side can
+    # broadcast — a drop-id set says nothing about absent ids
+    if n_keep <= broadcast_budget_rows:
+        ids = np.sort(
+            np.concatenate(
+                [
+                    b[id_col].to_numpy(zero_copy_only=False)
+                    for b in verdicts.filter(expr="_keep").iter_batches(
+                        batch_size=65536, batch_format="pyarrow"
+                    )
+                ]
+                or [np.empty(0, np.int64)]
+            ).astype(np.int64)
+        )
+        ref = ray.put(ids)
+
+        def keep_members(batch: pa.Table) -> pa.Table:
+            members = ray.get(ref)
+            bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(members):
+                return batch.slice(0, 0)
+            pos = np.searchsorted(members, bids)
+            pos[pos == len(members)] = 0
+            return batch.filter(pa.array(members[pos] == bids))
+
+        return docs.map_batches(
+            keep_members, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # keep side past budget: doc-id-bucket co-group (documents pay
+    # ONE all-to-all — the unavoidable join when neither verdict side
+    # broadcasts; callers at this scale should bucket-align the store)
+    from ..functions.scalar import stable_bucket
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].cast(pa.int64())
+            out = {
+                "_bucket": pa.array(
+                    stable_bucket(ids, num_buckets), pa.int32()
+                ),
+                "_side": pa.array(np.full(len(ids), side, np.int8), pa.int8()),
+            }
+            for name in batch.column_names:
+                out[name] = batch[name]
+            return pa.table(out)
+
+        return fn
+
+    keep_ids = verdicts.filter(expr="_keep").drop_columns(["_keep"])
+    tagged = docs.map_batches(tag(0), batch_format="pyarrow").union(
+        keep_ids.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    doc_cols = [c for c in docs.schema().names]
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        members = set(df.loc[df["_side"] == 1, id_col].astype("int64"))
+        rows = df[df["_side"] == 0]
+        rows = rows[rows[id_col].astype("int64").isin(members)]
+        return rows[doc_cols].reset_index(drop=True)
+
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
