@@ -252,3 +252,105 @@ def read_warc(paths, *, keep_text_placeholder: bool = True) -> rd.Dataset:
     return rd.from_items(
         [{"path": p} for p in shard_list], override_num_blocks=max(1, len(shard_list))
     ).map_batches(parse, batch_format="pyarrow")
+
+
+def read_jsonl(paths, *, schema=None) -> rd.Dataset:
+    """Dolma-interchange source: ``.jsonl`` / ``.jsonl.gz`` shards
+    (one JSON object per line — the format Dolma, RedPajama, and most
+    released text corpora ship in) -> Dataset. One shard per read
+    task; parsing is pyarrow's C JSON reader over a (gzip-)stream, so
+    no Python-per-line cost and bounded memory per shard. Pass
+    ``schema`` (pyarrow.Schema) to pin types instead of inferring —
+    always do this at corpus scale, per-shard inference can drift."""
+    from pyarrow import json as pajson
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    shard_list = []
+    for p in map(str, paths):
+        if os.path.isdir(p):
+            shard_list.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith((".jsonl", ".jsonl.gz"))
+                )
+            )
+        else:
+            shard_list.append(p)
+    if not shard_list:
+        raise ValueError("read_jsonl: no .jsonl[.gz] shards found")
+
+    parse_options = (
+        pajson.ParseOptions(explicit_schema=schema) if schema is not None else None
+    )
+
+    def parse(batch):
+        import pyarrow as pa
+
+        for path in batch["path"].to_pylist():
+            stream = pa.input_stream(
+                path, compression="gzip" if path.endswith(".gz") else None
+            )
+            yield pajson.read_json(stream, parse_options=parse_options)
+
+    return rd.from_items(
+        [{"path": p} for p in shard_list],
+        override_num_blocks=max(1, len(shard_list)),
+    ).map_batches(parse, batch_format="pyarrow")
+
+
+def write_jsonl(ds, out_dir: str, *, compression: str = "gzip") -> "rd.Dataset":
+    """Dolma-interchange sink: Dataset -> ``part-<hash>.jsonl[.gz]``
+    shards, one per block, written atomically (tmp + rename) and named
+    by CONTENT hash — a retried/resumed block rewrites the same file
+    instead of duplicating it. Returns the manifest Dataset (path,
+    rows, bytes) so callers can verify/record lineage. Binary columns
+    are rejected (JSON has no bytes type — encode or drop them first);
+    this is a text-corpus interchange sink, parquet remains the native
+    format."""
+    import gzip as _gzip
+    import hashlib
+
+    if compression not in ("gzip", None, "none"):
+        raise ValueError(f"write_jsonl: compression must be gzip|none, got {compression!r}")
+    gz = compression == "gzip"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch):
+        import pyarrow as pa
+
+        for name in batch.column_names:
+            t = batch[name].type
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                raise TypeError(
+                    f"write_jsonl: column {name!r} is binary; JSON cannot "
+                    "carry bytes — encode (e.g. base64) or drop it first"
+                )
+        df = batch.to_pandas()
+        payload = df.to_json(orient="records", lines=True, force_ascii=False)
+        raw = payload.encode("utf-8")
+        name = f"part-{hashlib.sha1(raw).hexdigest()[:16]}.jsonl" + (
+            ".gz" if gz else ""
+        )
+        final = os.path.join(out_dir, name)
+        tmp = final + ".tmp"
+        data = (
+            _gzip.compress(raw, compresslevel=6, mtime=0) if gz else raw
+        )  # mtime=0: byte-deterministic archives
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        return pa.table(
+            {
+                "path": pa.array([final], pa.string()),
+                "rows": pa.array([batch.num_rows], pa.int64()),
+                "bytes": pa.array([len(data)], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        write_block, batch_format="pyarrow", zero_copy_batch=True
+    )
