@@ -117,3 +117,42 @@ def test_filter_empty_keep_set(ray_session):
     attrs = tag_attributes_ds(_ds(docs), TAGGERS).to_pandas()
     got = _filter(docs, attrs, lambda b: pc.greater(b["n_tokens"], 10_000))
     assert len(got) == 0
+
+
+def test_standard_taggers_e2e_store(ray_session, tmp_path):
+    """tag -> write_parquet store -> re-read -> filter: the full Dolma
+    tag/mix cycle, with the compression-ratio signal separating
+    repetitive boilerplate from prose."""
+    import ray.data as rd
+
+    from textextract_ray.pipelines.attributes import (
+        filter_by_attributes_ds,
+        standard_taggers,
+        tag_attributes_ds,
+    )
+
+    rows = []
+    for i in range(20):
+        if i < 5:  # heavily repetitive -> tiny compression ratio
+            text = "buy now click here " * 200
+        else:
+            text = f"Document {i} discusses topic {i * 7} in plain prose. " * 3
+        rows.append((i, text))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ds = _ds(docs)
+
+    store = str(tmp_path / "attrs")
+    tag_attributes_ds(ds, standard_taggers()).write_parquet(store)
+    attrs = rd.read_parquet(store)
+    adf = attrs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(adf.columns) == [
+        "doc_id", "n_chars", "n_tokens", "pred_lang", "compression_ratio",
+    ]
+    assert (adf.loc[:4, "compression_ratio"] < 0.05).all()
+    assert (adf.loc[5:, "compression_ratio"] > 0.2).all()
+    assert (adf["n_tokens"] > 0).all()
+
+    kept = filter_by_attributes_ds(
+        ds, attrs, lambda b: pc.greater(b["compression_ratio"], 0.1)
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == list(range(5, 20))

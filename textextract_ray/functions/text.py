@@ -492,3 +492,23 @@ def winnow_fingerprints(
             wins = np.lib.stride_tricks.sliding_window_view(acc, w)
             out.append(np.unique(wins.min(axis=1)))
     return out
+
+
+def compression_ratio(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """zlib-deflate size / raw size per document (level 6) — the
+    RefinedWeb/Dolma-family gibberish-vs-repetition signal: heavily
+    repeated boilerplate compresses to a small fraction, natural prose
+    sits around 0.3-0.6, random noise near 1.0. Empty/null docs report
+    0.0. Per-row zlib is one C call per document (no Python inner
+    loop); treat it as a tagger-pass signal, not a hot-path kernel."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_pylist()
+    out = np.zeros(len(vals), np.float64)
+    for i, s in enumerate(vals):
+        if s:
+            b = s.encode("utf-8")
+            out[i] = len(zlib.compress(b, 6)) / len(b)
+    return pa.array(out, pa.float64())

@@ -158,3 +158,22 @@ def filter_by_attributes_ds(
         return rows[doc_cols].reset_index(drop=True)
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def standard_taggers(text_col: str = "text") -> dict:
+    """The default tagger set a Dolma-style pipeline runs first over a
+    text corpus: size, token count, heuristic language ID, and the
+    zlib compression-ratio gibberish/repetition signal. All vectorized
+    (compression ratio is one C call per doc); compose with
+    ``tag_attributes_ds(docs, {**standard_taggers(), ...})``."""
+    from ..functions.text import compression_ratio, lang_id, token_count
+
+    def _text(b: pa.Table):
+        return pc.fill_null(b[text_col].combine_chunks(), "")
+
+    return {
+        "n_chars": lambda b: pc.utf8_length(_text(b)).cast(pa.int64()),
+        "n_tokens": lambda b: token_count(_text(b)).cast(pa.int64()),
+        "pred_lang": lambda b: lang_id(_text(b)),
+        "compression_ratio": lambda b: compression_ratio(_text(b)),
+    }
