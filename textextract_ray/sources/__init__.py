@@ -106,6 +106,25 @@ def read_pages_http(urls, columns=None) -> rd.Dataset:
     ).map_batches(fetch, batch_format="pyarrow")
 
 
+def _fs_from_uri(uri: str):
+    """Resolve a URI to (filesystem, path). pyarrow-native schemes
+    (file://, s3://, gcs://, hdfs://) resolve directly; any other
+    fsspec-resolvable scheme falls back to an fsspec filesystem
+    wrapped as a pyarrow ``PyFileSystem`` — the exact route an
+    object-store scheme without a native pyarrow driver takes, so the
+    fallback is testable offline with fsspec's built-in schemes."""
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(uri)
+    except Exception:
+        import fsspec
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+        fs, path = fsspec.core.url_to_fs(uri)
+        return PyFileSystem(FSSpecHandler(fs)), path
+
+
 def read_table(sf_dir: str, name: str, columns=None, filter=None) -> rd.Dataset:
     """Read one test table with column pruning + pushdown."""
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -156,7 +175,7 @@ def read_pages(paths, columns=None) -> rd.Dataset:
             )
         for p in paths:
             if "://" in str(p):
-                f, sp = pafs.FileSystem.from_uri(str(p))
+                f, sp = _fs_from_uri(str(p))
                 if filesystem is None:
                     filesystem = f
                 info = f.get_file_info(sp)
