@@ -3700,3 +3700,90 @@ def normalize_text_ds(
         )
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- sentence-boundary chunking ----------------------------------------------
+
+def sentence_chunks_ds(
+    docs,
+    *,
+    max_tokens: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sentence-boundary-respecting chunking: segment each document
+    with the vectorized rule-based splitter
+    (``functions.text.split_sentences``) and pack CONSECUTIVE
+    sentences next-fit into chunks of at most ``max_tokens``
+    whitespace tokens — a sentence never splits across chunks (an
+    oversize single sentence gets a chunk of its own, flagged
+    ``truncate``) — the RAG/embedding-window alternative to the
+    fixed-stride ``chunk_windows``. Chunk text rejoins sentences with
+    a single space (the boundary whitespace the splitter consumed).
+
+    Scale shape: ZERO shuffle — one streaming map_batches; the
+    explode / token count / chunk-text rebuild are Arrow kernels, and
+    the only sequential work is next-fit's inherent per-chunk
+    searchsorted (the ``pack_bins`` pattern: O(chunks·log sentences),
+    never per token). Returns (id_col, chunk_idx, text, n_tokens,
+    n_sentences, truncate)."""
+    from ..functions.text import split_sentences, token_count
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        parts = split_sentences(text)
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        nt = token_count(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n = len(flat)
+        chunk_of = np.empty(n, dtype=np.int64)
+        # per-doc next-fit on the capacity-clipped token cumsum (the
+        # pack_bins loop: one searchsorted per CHUNK, not per sentence)
+        clipped = np.minimum(nt, max_tokens)
+        doc_starts = np.flatnonzero(
+            np.concatenate(([True], parents[1:] != parents[:-1]))
+        ) if n else np.empty(0, np.int64)
+        doc_ends = np.append(doc_starts[1:], n)
+        for s, e in zip(doc_starts, doc_ends):
+            cum = np.cumsum(clipped[s:e])
+            i = c = 0
+            while i < e - s:
+                base = cum[i - 1] if i else 0
+                j = int(np.searchsorted(cum, base + max_tokens, side="right"))
+                j = max(j, i + 1)
+                chunk_of[s + i : s + j] = c
+                i, c = j, c + 1
+
+        # chunk starts = positions where (parent, chunk) changes
+        if n:
+            new_chunk = np.concatenate(
+                (
+                    [True],
+                    (parents[1:] != parents[:-1])
+                    | (chunk_of[1:] != chunk_of[:-1]),
+                )
+            )
+        else:
+            new_chunk = np.empty(0, bool)
+        starts = np.flatnonzero(new_chunk)
+        ends = np.append(starts[1:], n)
+        offsets = np.concatenate(([0], ends)).astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(pa.array(offsets), flat)
+        joined = pc.binary_join(chunk_list, " ")
+        seg = np.add.reduceat(nt, starts) if len(starts) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[parents[starts]], pa.int64()),
+                "chunk_idx": pa.array(chunk_of[starts], pa.int64()),
+                text_col: joined,
+                "n_tokens": pa.array(seg, pa.int64()),
+                "n_sentences": pa.array(ends - starts, pa.int64()),
+                "truncate": pa.array(seg > max_tokens, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
