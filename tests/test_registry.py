@@ -121,3 +121,50 @@ def test_round4_registered_stages(ray_session):
         media, [{"stage": "resize_image", "options": {"size": 16}}]
     ).to_pandas()
     assert png_decode(resized["media"][0]).shape == (16, 16, 3)
+
+
+def test_registry_round4b_stages(ray_session):
+    """normalize_text composes in-place; sentence_chunks applies as a
+    dataset-level 1->N op; image_dhash builds an actor stage."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import build_pipeline
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["l'Ã©tÃ© arrive. Hello there. More words follow.",
+                     "plain. text. here."],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    spec = [
+        {"stage": "normalize_text"},
+        {"stage": "sentence_chunks", "options": {"max_tokens": 4}},
+    ]
+    out = build_pipeline(ds, spec).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]
+    )
+    joined = " ".join(out.loc[out["doc_id"] == 0, "text"])
+    assert "été" in joined and "Ã" not in joined
+    assert (out["n_tokens"] <= 4).all()
+
+    from textextract_ray.png import png_encode
+    import numpy as np
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "media": pa.array(
+                    [png_encode(np.zeros((8, 8, 3), dtype=np.uint8))],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    got = build_pipeline(media, [{"stage": "image_dhash"}]).to_pandas()
+    assert list(got.columns) == ["media_id", "dhash", "status"]
+    assert got["status"].iloc[0] == "ok"

@@ -110,6 +110,10 @@ def build_pipeline(ds, spec: list | str, *, capture_errors: bool = False):
         if isinstance(built, tuple):
             cls, kwargs = built
             ds = ds.map_batches(cls, batch_format="pyarrow", **kwargs)
+        elif getattr(built, "is_dataset_op", False):
+            # dataset-level stage (multi-pass or reshaping ops that a
+            # single map_batches kernel cannot express)
+            ds = built(ds)
         else:
             fn = with_error_capture(built) if capture_errors else built
             ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -292,3 +296,106 @@ def _group_split_factory(group_col: str = "source", salt: str = "split"):
         return batch.append_column("split", pa.array(labels, pa.string()))
 
     return kernel
+
+
+@register("normalize_text")
+def _normalize_text_factory(
+    text_col: str = "text", form: str = "NFC", fix_mojibake: bool = True
+):
+    """Unicode/mojibake cleanup kernel (the textops.normalize_text_ds
+    pipeline re-expressed COMPOSABLY: the text column is replaced in
+    place and mojibake_fixed appended, all other columns pass through,
+    so the stage slots anywhere in a job spec)."""
+    import re
+
+    from ..pipelines.textops import MOJIBAKE_MARKERS
+
+    marker_re = re.compile(MOJIBAKE_MARKERS)
+
+    def repair(s: str) -> str:
+        for enc in ("cp1252", "latin-1"):
+            try:
+                cand = s.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(marker_re.findall(cand)) < len(marker_re.findall(s)):
+                return cand
+            break
+        return s
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        import numpy as np
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        text = pc.replace_substring(text, pattern="\r\n", replacement="\n")
+        text = pc.replace_substring(text, pattern="\r", replacement="\n")
+        fixed = np.zeros(len(text), dtype=bool)
+        if fix_mojibake:
+            flagged = pc.match_substring_regex(
+                text, MOJIBAKE_MARKERS
+            ).to_numpy(zero_copy_only=False)
+            if flagged.any():
+                vals = text.to_pylist()
+                for i in np.flatnonzero(flagged):
+                    out = repair(vals[i])
+                    if out != vals[i]:
+                        vals[i] = out
+                        fixed[i] = True
+                text = pa.array(vals, type=pa.string())
+        text = pc.replace_substring_regex(
+            text, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]",
+            replacement="",
+        )
+        non_ascii = pc.match_substring_regex(text, r"[^\x00-\x7f]").to_numpy(
+            zero_copy_only=False
+        )
+        if non_ascii.any():
+            vals = text.to_pylist()
+            for i in np.flatnonzero(non_ascii):
+                vals[i] = unicodedata.normalize(form, vals[i])
+            text = pa.array(vals, type=pa.string())
+        idx = batch.column_names.index(text_col)
+        batch = batch.set_column(idx, text_col, text)
+        return batch.append_column("mojibake_fixed", pa.array(fixed, pa.bool_()))
+
+    return kernel
+
+
+@register("sentence_chunks")
+def _sentence_chunks_factory(
+    max_tokens: int = 128, id_col: str = "doc_id", text_col: str = "text"
+):
+    from ..pipelines.textops import sentence_chunks_ds
+
+    # reshaping 1->N stage: exposed as a dataset-level op (the builder
+    # applies it directly instead of wrapping it in map_batches)
+    def ds_op(ds):
+        return sentence_chunks_ds(
+            ds, max_tokens=max_tokens, id_col=id_col, text_col=text_col
+        )
+
+    ds_op.is_dataset_op = True
+    return ds_op
+
+
+@register("image_dhash")
+def _image_dhash_factory(
+    id_col: str = "media_id", media_col: str = "media",
+    batch_size: int = 64, concurrency=(1, 8), strict: bool = False,
+):
+    from ..stages.multimodal import ImageDHash
+
+    return (
+        ImageDHash,
+        dict(
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "id_col": id_col, "media_col": media_col, "strict": strict,
+            },
+        ),
+    )
