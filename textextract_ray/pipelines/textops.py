@@ -3787,3 +3787,46 @@ def sentence_chunks_ds(
         )
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- robots noindex compliance filter ----------------------------------------
+
+NOINDEX_RE = (
+    r'(?i)<meta[^>]*(?:name\s*=\s*["\x27]?(?:robots|googlebot)\b'
+    r'[^>]*content\s*=\s*["\x27]?[^"\x27>]*noindex'
+    r'|content\s*=\s*["\x27]?[^"\x27>]*noindex[^>]*'
+    r'name\s*=\s*["\x27]?(?:robots|googlebot)\b)'
+)
+NOINDEX_SCAN_BYTES = 16384  # the meta lives in <head>; bound the scan
+
+
+def filter_noindex_ds(
+    pages,
+    *,
+    html_col: str = "html",
+    audit: bool = False,
+):
+    """Robots-meta compliance: drop pages whose head carries
+    ``<meta name="robots|googlebot" content="...noindex...">`` (either
+    attribute order, any case/quoting) — the standard publisher opt-out
+    a responsible training-data crawl honors (REP meta extension,
+    honored by RefinedWeb/CommonCrawl-derived corpora). One vectorized
+    RE2 pass over the first ``NOINDEX_SCAN_BYTES`` of the raw payload
+    (binary kernel — no decode needed), ZERO shuffle.
+
+    ``audit=True`` appends a ``noindex`` bool instead of filtering so
+    a compliance report can be aggregated without a second scan."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        payload = batch[html_col]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        head = pc.binary_slice(
+            pc.fill_null(payload, b""), 0, NOINDEX_SCAN_BYTES
+        )
+        flagged = pc.match_substring_regex(head, pattern=NOINDEX_RE)
+        if audit:
+            return batch.append_column("noindex", flagged)
+        return batch.filter(pc.invert(flagged))
+
+    return pages.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
