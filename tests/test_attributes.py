@@ -156,3 +156,45 @@ def test_standard_taggers_e2e_store(ray_session, tmp_path):
         ds, attrs, lambda b: pc.greater(b["compression_ratio"], 0.1)
     ).to_pandas()
     assert sorted(kept["doc_id"]) == list(range(5, 20))
+
+
+def test_code_taggers_parity(ray_session):
+    from textextract_ray.pipelines.attributes import code_taggers, tag_attributes_ds
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "short\n" + "x" * 500 + "\nmid line here",  # minified-ish blob
+                "def f():\n    return 1",
+                "",
+                None,
+            ],
+        }
+    )
+    got = (
+        tag_attributes_ds(_ds(docs), code_taggers())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def brute(t):
+        t = t or ""
+        lines = t.split("\n")
+        lens = [len(ln) for ln in lines]
+        total = max(len(t), 1)
+        return (
+            max(lens),
+            sum(lens) / len(lens),
+            sum(c.isascii() and c.isalnum() for c in t) / total,
+            sum(c.isascii() and c.isalpha() for c in t) / total,
+        )
+
+    for i, r in got.iterrows():
+        mx, mn, an, al = brute(docs["text"][i])
+        assert r["max_line_len"] == mx
+        assert abs(r["mean_line_len"] - mn) < 1e-12
+        assert abs(r["alnum_frac"] - an) < 1e-12
+        assert abs(r["alpha_frac"] - al) < 1e-12
+    assert got.loc[0, "max_line_len"] == 500

@@ -177,3 +177,56 @@ def standard_taggers(text_col: str = "text") -> dict:
         "pred_lang": lambda b: lang_id(_text(b)),
         "compression_ratio": lambda b: compression_ratio(_text(b)),
     }
+
+
+def code_taggers(text_col: str = "text") -> dict:
+    """RedPajama-code/StarCoder-style per-document line statistics for
+    code corpora: max/mean line length (chars), alphanumeric and
+    alphabetic character fractions — the four cheap signals that kill
+    minified blobs, data dumps, and ASCII art before any model runs.
+    All Arrow + reduceat vectorized; compose with
+    ``standard_taggers()`` in one tagging pass."""
+
+    def _lines(b: pa.Table):
+        text = pc.fill_null(b[text_col].combine_chunks(), "")
+        parts = pc.split_pattern(text, "\n")
+        flat = pc.list_flatten(parts)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        starts = np.searchsorted(parents, np.arange(n))
+        return lens, starts, n
+
+    def max_line_len(b: pa.Table) -> pa.Array:
+        lens, starts, n = _lines(b)
+        out = (
+            np.maximum.reduceat(lens, starts)
+            if len(lens)
+            else np.zeros(n, np.int64)
+        )
+        # reduceat repeats the next segment's value for empty segments
+        # (docs with no lines cannot occur: split always yields >=1)
+        return pa.array(out, pa.int64())
+
+    def mean_line_len(b: pa.Table) -> pa.Array:
+        lens, starts, n = _lines(b)
+        if not len(lens):
+            return pa.array(np.zeros(n, np.float64), pa.float64())
+        sums = np.add.reduceat(lens, starts)
+        counts = np.diff(np.append(starts, len(lens)))
+        return pa.array(sums / np.maximum(counts, 1), pa.float64())
+
+    def _frac(b: pa.Table, pattern: str) -> pa.Array:
+        text = pc.fill_null(b[text_col].combine_chunks(), "")
+        total = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        hits = pc.count_substring_regex(text, pattern).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        return pa.array(hits / np.maximum(total, 1.0), pa.float64())
+
+    return {
+        "max_line_len": max_line_len,
+        "mean_line_len": mean_line_len,
+        "alnum_frac": lambda b: _frac(b, r"[a-zA-Z0-9]"),
+        "alpha_frac": lambda b: _frac(b, r"[a-zA-Z]"),
+    }

@@ -3830,3 +3830,77 @@ def filter_noindex_ds(
         return batch.filter(pc.invert(flagged))
 
     return pages.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- fill-in-the-middle (FIM) transformation ---------------------------------
+
+FIM_PREFIX = "<fim_prefix>"
+FIM_MIDDLE = "<fim_middle>"
+FIM_SUFFIX = "<fim_suffix>"
+
+
+def fim_transform_ds(
+    docs,
+    *,
+    rate: float = 0.5,
+    seed: int = 0xF1E,
+    min_chars: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022,
+    arXiv:2207.14255, PSM mode): a deterministic ``rate`` fraction of
+    documents is rewritten as ``<fim_prefix>P<fim_suffix>S<fim_middle>M``
+    where (P, M, S) is a random-by-hash character split of the
+    original; the rest (and docs shorter than ``min_chars``) pass
+    through byte-identical with ``fim_applied=false``. Selection AND
+    split points derive from ``hash64(doc_id:seed)`` — no RNG state,
+    so the transform is retry/layout-stable and a different ``seed``
+    gives an independent epoch, exactly like the engine's other
+    hash-keyed sampling decisions.
+
+    Scale shape: ZERO shuffle — one streaming map_batches; the
+    unselected majority takes a vectorized pass-through, selected rows
+    pay three C-level string slices each (bounded by ``rate``). Split
+    points snap to UTF-8 code-point boundaries via Python slicing
+    (str indexing is code-point-exact by construction)."""
+    from ..functions.scalar import hash_utf8
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        ids = batch[id_col].cast(pa.string())
+        h = hash_utf8(
+            pc.binary_join_element_wise(ids, pa.array([str(seed)] * len(text)), ":")
+        )
+        # top 53 bits -> uniform [0,1) selection; low bits -> split points
+        u_sel = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        selected = (u_sel < rate) & (lens >= min_chars)
+        vals = text.to_pylist()
+        applied = np.zeros(len(vals), dtype=bool)
+        for i in np.flatnonzero(selected):
+            s = vals[i]
+            n = len(s)
+            hi = int(h[i])
+            # two independent cut points from disjoint hash bit ranges
+            a = (hi & 0xFFFFFF) % n
+            b = ((hi >> 24) & 0xFFFFFF) % n
+            lo, hi2 = (a, b) if a <= b else (b, a)
+            if lo == hi2:  # empty middle teaches nothing; widen by one
+                hi2 = min(n, hi2 + 1)
+            vals[i] = (
+                FIM_PREFIX + s[:lo] + FIM_SUFFIX + s[hi2:] + FIM_MIDDLE + s[lo:hi2]
+            )
+            applied[i] = True
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array(vals, pa.string()),
+                "fim_applied": pa.array(applied, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
