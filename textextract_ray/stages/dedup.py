@@ -349,14 +349,24 @@ def add_simhash(text_col: str):
     return kernel
 
 
-def hamming64_duplicate_assignments(hashed, hash_col: str, id_col: str, max_hamming: int = 3):
+def hamming64_duplicate_assignments(
+    hashed, hash_col: str, id_col: str, max_hamming: int = 3, *, rank_col: str = None
+):
     """(id, keep_id) pairs by pigeonhole banding over ANY 64-bit
     locality hash column: two hashes within Hamming distance d must
     agree exactly on at least one of d+1 disjoint bit bands, so
     bucketing by each band finds all such pairs; Hamming distance
     verifies inside the bucket. Shared back end for text SimHash
-    (`simhash_duplicate_assignments`) and image dHash
-    (`image_duplicate_assignments`).
+    (`simhash_duplicate_assignments`), image dHash
+    (`image_duplicate_assignments`), and the cross-run incremental
+    variant (`incremental_simhash_near_dups`).
+
+    ``rank_col`` (optional int column, lower = higher precedence)
+    changes the keep order from smallest-id to (rank, id) — the
+    incremental case: prior-run survivors carry rank 0 and ALWAYS win
+    against new docs, and only rows with rank > 0 may be dropped (a
+    rank-0 row is already shipped; assigning it a keep would be a
+    correctness bug, so it is structurally impossible here).
 
     Band count is DERIVED from max_hamming (n_bands = max_hamming + 1)
     so recall is complete for any accepted value. Bands narrower than
@@ -376,37 +386,51 @@ def hamming64_duplicate_assignments(hashed, hash_col: str, id_col: str, max_hamm
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_id, out_band, out_key, out_sim = [], [], [], []
+        cols = {
+            "id": np.tile(ids.astype(np.int64), n_bands),
+            "band_id": np.repeat(np.arange(n_bands, dtype=np.int32), len(ids)),
+            "band_key": np.empty(n_bands * len(ids), np.int64),
+            hash_col: np.tile(sh, n_bands),
+        }
         for bi in range(n_bands):
             mask = np.uint64((1 << widths[bi]) - 1)
             key = (sh >> np.uint64(offsets[bi])) & mask
-            out_id.append(ids)
-            out_band.append(np.full(len(ids), bi, dtype=np.int32))
-            out_key.append(key.astype(np.int64))
-            out_sim.append(sh)
-        return pa.table(
-            {
-                "id": pa.array(np.concatenate(out_id), pa.int64()),
-                "band_id": pa.array(np.concatenate(out_band), pa.int32()),
-                "band_key": pa.array(np.concatenate(out_key), pa.int64()),
-                hash_col: pa.array(np.concatenate(out_sim), pa.uint64()),
-            }
-        )
+            cols["band_key"][bi * len(ids) : (bi + 1) * len(ids)] = key.astype(
+                np.int64
+            )
+        out = {
+            "id": pa.array(cols["id"], pa.int64()),
+            "band_id": pa.array(cols["band_id"], pa.int32()),
+            "band_key": pa.array(cols["band_key"], pa.int64()),
+            hash_col: pa.array(cols[hash_col], pa.uint64()),
+        }
+        if rank_col is not None:
+            rank = batch[rank_col].to_numpy(zero_copy_only=False).astype(np.int32)
+            out[rank_col] = pa.array(np.tile(rank, n_bands), pa.int32())
+        return pa.table(out)
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
+    order = ([rank_col] if rank_col is not None else []) + ["id"]
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import popcount64
 
         if len(group) < 2:
             return pd.DataFrame({"id": [], "keep_id": []}).astype("int64")
-        g = group.sort_values("id").drop_duplicates("id").head(4096)
+        g = group.sort_values(order).drop_duplicates("id").head(4096)
         ids = g["id"].to_numpy()
         sh = g[hash_col].to_numpy().astype(np.uint64)
+        droppable = (
+            g[rank_col].to_numpy() > 0
+            if rank_col is not None
+            else np.ones(len(ids), bool)
+        )
         ham = popcount64(sh[:, None] ^ sh[None, :])
         match = ham <= max_hamming
         out_id, out_keep = [], []
         for j in range(1, len(ids)):
+            if not droppable[j]:
+                continue
             hits = np.where(match[:j, j])[0]
             if len(hits):
                 out_id.append(ids[j])
@@ -989,3 +1013,133 @@ def winnow_overlap_pairs(
     )
     shared["overlap"] = shared["n_shared"] / np.maximum(1, denom)
     return rd.from_pandas(shared.astype({"n_shared": "int64"}))
+
+
+# --- incremental cross-run near-dup ------------------------------------------
+
+def incremental_simhash_near_dups(
+    new_docs,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """Cross-RUN near-dup: today's increment dedups against every
+    prior run WITHOUT re-reading prior text — the near-dup counterpart
+    of the exact ``state.seen_index`` story. ``index_dir`` persists
+    one (id, simhash) row per previously-ACCEPTED doc (8+8 bytes ≈
+    0.02% of corpus bytes); prior rows enter the shared pigeonhole
+    banding at rank 0 so they always win, and only NEW ids can appear
+    in the drop column (structurally — rank-0 rows are never emitted).
+
+    Returns ``(assignments, new_index)``: assignments = (id, keep_id)
+    for new docs that near-dup a prior survivor or an earlier new doc;
+    new_index = (id, simhash) of the SURVIVING new docs — append it
+    with ``append_simhash_index`` to complete the increment. By
+    induction the index only holds mutual non-dups at the radius, so
+    prior-vs-prior pairs cannot occur.
+
+    Scale shape: prior text never moves (only its 16-byte sketch rows
+    re-enter one banding shuffle per increment); at very large index
+    sizes, shard ``index_dir`` by band key so an increment reads only
+    the shards its band keys touch."""
+    import os as _os
+
+    import ray.data as rd
+
+    def keyed(rank: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(pa.int64()),
+                    "simhash": batch["simhash"],
+                    "_rank": pa.array(
+                        np.full(batch.num_rows, rank, np.int32), pa.int32()
+                    ),
+                }
+            )
+
+        return fn
+
+    new_hashed = new_docs.map_batches(
+        add_simhash(text_col), batch_format="pyarrow"
+    ).map_batches(keyed(1), batch_format="pyarrow").materialize()
+
+    have_index = _os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(index_dir)
+    )
+    union = new_hashed
+    if have_index:
+        old = rd.read_parquet(index_dir).map_batches(
+            keyed(0), batch_format="pyarrow"
+        )
+        union = union.union(old)
+
+    assignments = hamming64_duplicate_assignments(
+        union, "simhash", id_col, max_hamming, rank_col="_rank"
+    ).materialize()
+
+    # survivors: new rows not assigned a keep (assignment table is
+    # O(dups) — broadcast its ids, probe with a sorted-member filter)
+    import ray as _ray
+
+    drop_ids = np.sort(
+        assignments.to_pandas()["id"].to_numpy().astype(np.int64)
+    ) if assignments.count() else np.empty(0, np.int64)
+    ref = _ray.put(drop_ids)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        dropped = _ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(dropped):
+            keep = np.ones(len(ids), bool)
+        else:
+            pos = np.searchsorted(dropped, ids)
+            pos[pos == len(dropped)] = 0
+            keep = dropped[pos] != ids
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "simhash": batch["simhash"].filter(pa.array(keep)),
+            }
+        )
+
+    new_index = new_hashed.map_batches(survivors, batch_format="pyarrow")
+    return assignments, new_index
+
+
+def append_simhash_index(index_rows, index_dir: str) -> int:
+    """Append an increment's surviving (id, simhash) rows to the
+    persisted index: one content-hash-named parquet shard per block
+    (atomic tmp+rename, rewrite-idempotent — the write_jsonl naming
+    contract). Returns rows appended."""
+    import hashlib
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    _os.makedirs(index_dir, exist_ok=True)
+    total = 0
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(batch, buf)
+        data = buf.getvalue()
+        name = f"index-{hashlib.sha1(data).hexdigest()[:16]}.parquet"
+        final = _os.path.join(index_dir, name)
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, final)
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    out = index_rows.map_batches(
+        write_block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    total = int(out["rows"].sum()) if len(out) else 0
+    return total
