@@ -103,3 +103,51 @@ def test_canonicalize_url_idempotent(scheme, host, port, path, query, frag):
     once = canonicalize_url(pa.array([u])).to_pylist()[0]
     twice = canonicalize_url(pa.array([once])).to_pylist()[0]
     assert once == twice, (u, once, twice)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=800))
+def test_split_sentences_total_and_lossless_tokens(s):
+    """Splitter totality + conservation: rejoining the sentences with
+    single spaces preserves the non-whitespace token sequence."""
+    sents = tx.split_sentences(pa.array([s])).to_pylist()[0]
+    assert isinstance(sents, list) and len(sents) >= 1
+    assert " ".join(" ".join(sents).split()) == " ".join(s.split())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=500))
+def test_compression_ratio_bounds(s):
+    r = tx.compression_ratio(pa.array([s])).to_pylist()[0]
+    if s:
+        assert 0.0 < r  # zlib never emits zero bytes for nonempty input
+    else:
+        assert r == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_tables_total_property(blob):
+    from textextract_ray.tables import extract_tables
+
+    tables = extract_tables(blob)
+    assert isinstance(tables, list)
+    for t in tables:
+        assert len(t["rows"]) == len(t["header_rows"])
+        assert all(isinstance(c, str) for row in t["rows"] for c in row)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400))
+def test_dhash_is_deterministic_and_valid(s):
+    """dhash over arbitrary synthetic pixels: same pixels, same hash."""
+    import numpy as np
+
+    from textextract_ray.imageops import dhash64
+
+    seed = abs(hash(s)) % (2**32)
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    h = dhash64(px)
+    assert 0 <= h < 2**64
+    assert dhash64(px) == h

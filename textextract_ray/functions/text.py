@@ -539,6 +539,9 @@ def split_sentences(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
     (compose with line/paragraph splitters for display-text corpora)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # a literal sentinel in the input (C0 control, never legitimate
+    # text) would fabricate boundaries — neutralize it to a space first
+    col = pc.replace_substring(col, pattern=_SENT_MARK, replacement=" ")
     marked = pc.replace_substring_regex(
         col, pattern=_SENT_BOUNDARY, replacement="\\1" + _SENT_MARK + "\\2"
     )

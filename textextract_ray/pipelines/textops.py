@@ -3589,15 +3589,18 @@ def line_frequency_filter_ds(
         kept_flat = flat.filter(pa.array(keep))
         if isinstance(kept_flat, pa.ChunkedArray):
             kept_flat = kept_flat.combine_chunks()
+        # large_string inputs (e.g. extracted_text) yield large_string
+        # pieces; binary_join needs list<string> + string separator
+        if kept_flat.type != pa.string():
+            kept_flat = kept_flat.cast(pa.string())
         new_parts = pa.ListArray.from_arrays(pa.array(offsets), kept_flat)
         joined = pc.binary_join(new_parts, sep)
         dropped_per_doc = np.bincount(parents[drop], minlength=n_docs)
-        out = pa.table(
-            {
-                id_col: batch[id_col],
-                text_col: joined,
-                "n_dropped": pa.array(dropped_per_doc, pa.int64()),
-            }
+        # text replaced in place, other columns pass through (composable)
+        out = batch.set_column(
+            batch.column_names.index(text_col), text_col, joined
+        ).append_column(
+            "n_dropped", pa.array(dropped_per_doc, pa.int64())
         )
         if drop_empty:
             out = out.filter(pc.greater(pc.utf8_length(out[text_col]), 0))
@@ -3691,13 +3694,12 @@ def normalize_text_ds(
             for i in np.flatnonzero(non_ascii):
                 vals[i] = unicodedata.normalize(form, vals[i])
             text = pa.array(vals, type=pa.string())
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                text_col: text,
-                "mojibake_fixed": pa.array(fixed, pa.bool_()),
-            }
+        # text replaced in place, all other columns pass through — the
+        # stage composes anywhere in a chain without dropping metadata
+        out = batch.set_column(
+            batch.column_names.index(text_col), text_col, text
         )
+        return out.append_column("mojibake_fixed", pa.array(fixed, pa.bool_()))
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -3735,6 +3737,8 @@ def sentence_chunks_ds(
         flat = pc.list_flatten(parts)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
+        if flat.type != pa.string():  # large_string corpora (see linefreq)
+            flat = flat.cast(pa.string())
         parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
         nt = token_count(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
