@@ -598,3 +598,50 @@ def test_bpe_encode_corpus_ids(ray_session, sf_dir):
         # decode: join symbols, strip end-of-word -> original words
         decoded = "".join(inv[i] for i in ids).replace("</w>", " ").split()
         assert decoded == words
+
+
+def test_surt_host_key_oracle_and_locality():
+    """SURT reversed-host key: Python-oracle parity on edge cases, and
+    the locality property (sorting groups a registrable domain with
+    its subdomains between unrelated neighbors)."""
+    import pyarrow as pa
+
+    from textextract_ray.functions.scalar import surt_host_key
+
+    urls = [
+        "https://www.Example.com/a/b?x=1",
+        "http://user:pw@Sub.Domain.example.ORG:8080/path",
+        "https://localhost/x",
+        "https://a.example.com/",
+        "https://example.com/",
+        "https://z.example.com/deep",
+        "https://examples.net/",
+        "not a url",
+        None,
+    ]
+
+    def oracle(u):
+        if u is None:
+            return ""
+        import re
+
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", u)
+        host = (m.group(1) if m else u).lower()
+        host = re.sub(r"^[^@]*@", "", host)
+        host = re.sub(r":\d+$", "", host)
+        return ",".join(reversed(host.split(".")))
+
+    got = surt_host_key(pa.array(urls, pa.string())).to_pylist()
+    assert got == [oracle(u) for u in urls]
+
+    # locality: all example.com hosts sort contiguously
+    keys = sorted(
+        (k, u) for k, u in zip(got, urls) if u and u.startswith("http")
+    )
+    com_block = [u for k, u in keys if k.startswith("com,example")]
+    assert com_block == [
+        "https://example.com/",
+        "https://a.example.com/",
+        "https://www.Example.com/a/b?x=1",
+        "https://z.example.com/deep",
+    ]

@@ -345,3 +345,40 @@ def stable_hash64(values) -> "np.ndarray":
 
 # Back-compat alias for the pre-round-2 name; same contract.
 crc32_bucket = stable_bucket
+
+
+def surt_host_key(url_col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """SURT-style reversed-host sort key ("www.example.com" →
+    "com,example,www") — the Common Crawl / web-archive convention
+    (Sort-friendly URI Reordering Transform): sorting or
+    range-partitioning by this key co-locates a registrable domain
+    with all its subdomains, the locality a politeness-aware or
+    per-site stage wants. Lowercased; credentials and port stripped;
+    non-url rows key as their lowercased whole string.
+
+    Fully vectorized: host extraction and cleanup are RE2 kernels, the
+    label reversal is one numpy permutation over the flattened
+    split-by-dot labels (no Python per row)."""
+    host = url_host(url_col)
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    host = pc.utf8_lower(pc.fill_null(host, ""))
+    # strip userinfo and port ("user:pw@h.com:8080" -> "h.com")
+    host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r":\d+$", replacement="")
+    parts = pc.split_pattern(host, ".")
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    n_rows = len(host)
+    counts = np.bincount(parents, minlength=n_rows) if len(parents) else np.zeros(n_rows, np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # position i maps to its mirror within the same parent's segment
+    idx = np.arange(len(parents), dtype=np.int64)
+    perm = starts[parents] + (ends[parents] - 1 - idx)
+    reversed_flat = flat.take(pa.array(perm, pa.int64()))
+    offsets = np.concatenate(([0], ends)).astype(np.int32)
+    rebuilt = pa.ListArray.from_arrays(pa.array(offsets), reversed_flat)
+    return pc.binary_join(rebuilt, ",")
