@@ -551,3 +551,112 @@ def split_sentences(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
         replacement="\\1 ",
     )
     return pc.split_pattern(unmarked, _SENT_MARK)
+
+
+# Gopher quality-filter thresholds (Rae et al. 2021, arXiv:2112.11446
+# table A1 — public paper). Our repetition signals measure the
+# occurrence fraction of repeated n-grams (not the paper's
+# character-mass fraction); the thresholds below are applied to that
+# statistic and the delta is documented here and in the filter test.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1       # '#' and ellipsis per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9   # ≥90% of lines must NOT start with a bullet
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.20
+GOPHER_MAX_TOP_3GRAM_FRAC = 0.18
+GOPHER_MAX_TOP_4GRAM_FRAC = 0.16
+
+
+def gopher_rules(col: "pa.ChunkedArray | pa.Array") -> pa.Table:
+    """Per-rule boolean columns for the Gopher document filter — all
+    Arrow/RE2 vectorized (the repetition rules live in
+    ``repetition_features``; ``gopher_filter_ds`` combines both).
+    True = the rule PASSES (doc survives that rule)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n_tokens = token_count(col).cast(pa.float64())
+    safe_tokens = pc.max_element_wise(n_tokens, 1.0)
+    n_chars = pc.utf8_length(col).cast(pa.float64())
+    n_spaces = pc.count_substring_regex(col, r"\s").cast(pa.float64())
+    mean_tok = pc.divide(pc.subtract(n_chars, n_spaces), safe_tokens)
+
+    symbols = pc.count_substring_regex(col, r"#|\.\.\.|…").cast(pa.float64())
+    n_lines = pc.add(
+        pc.count_substring_regex(col, r"\n").cast(pa.float64()), 1.0
+    )
+    bullet_lines = pc.count_substring_regex(
+        col, r"(?m)^[ \t]*[-*•‣▪]"
+    ).cast(pa.float64())
+    ellipsis_lines = pc.count_substring_regex(
+        col, r"(?m)(\.\.\.|…)[ \t]*$"
+    ).cast(pa.float64())
+    alpha_words = pc.count_substring_regex(
+        col, r"[^\s]*[A-Za-z][^\s]*"
+    ).cast(pa.float64())
+    lower = pc.utf8_lower(col)
+    stop_hits = None
+    for w in GOPHER_REQUIRED_STOPWORDS:
+        hit = pc.match_substring_regex(lower, r"\b" + w + r"\b").cast(pa.int32())
+        stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
+
+    return pa.table(
+        {
+            "rule_word_count": pc.and_(
+                pc.greater_equal(n_tokens, GOPHER_MIN_WORDS),
+                pc.less_equal(n_tokens, GOPHER_MAX_WORDS),
+            ),
+            "rule_mean_word_len": pc.and_(
+                pc.greater_equal(mean_tok, GOPHER_MEAN_WORD_LEN[0]),
+                pc.less_equal(mean_tok, GOPHER_MEAN_WORD_LEN[1]),
+            ),
+            "rule_symbol_ratio": pc.less(
+                pc.divide(symbols, safe_tokens), GOPHER_MAX_SYMBOL_RATIO
+            ),
+            "rule_bullet_lines": pc.less_equal(
+                pc.divide(bullet_lines, n_lines), 1.0 - GOPHER_MAX_BULLET_LINE_FRAC
+            ),
+            "rule_ellipsis_lines": pc.less_equal(
+                pc.divide(ellipsis_lines, n_lines), GOPHER_MAX_ELLIPSIS_LINE_FRAC
+            ),
+            "rule_alpha_words": pc.greater_equal(
+                pc.divide(alpha_words, safe_tokens), GOPHER_MIN_ALPHA_WORD_FRAC
+            ),
+            "rule_stopwords": pc.greater_equal(
+                stop_hits, GOPHER_MIN_STOPWORD_HITS
+            ),
+        }
+    )
+
+
+def top_ngram_fractions(texts: list, ns=(2, 3, 4)) -> pa.Table:
+    """Per-doc share of all n-gram occurrences taken by the single
+    most frequent n-gram, for each n — the statistic the Gopher
+    top-n-gram rules threshold (0.20/0.18/0.16 for n=2/3/4, table A1;
+    the paper measures the character mass of that n-gram, this is the
+    occurrence share — same detector, documented variant). Shares one
+    token-hash pass across all n (the repetition_features machinery;
+    kept separate because that function's column set is pinned by a
+    gate oracle)."""
+    h, offs = _flat_token_hashes(texts)
+    n_docs = len(texts)
+    out = {n: np.zeros(n_docs, dtype=np.float64) for n in ns}
+    for d in range(n_docs):
+        hd = h[offs[d] : offs[d + 1]]
+        for n in ns:
+            m = len(hd) - n + 1
+            if m < 1:
+                continue
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                acc = acc * _SHINGLE_B + hd[j : j + m]
+            _, counts = np.unique(acc, return_counts=True)
+            out[n][d] = counts.max() / m
+    return pa.table(
+        {f"top_{n}gram_frac": pa.array(out[n], pa.float64()) for n in ns}
+    )

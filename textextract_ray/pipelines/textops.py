@@ -3908,3 +3908,49 @@ def fim_transform_ds(
         )
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_filter_ds(docs, *, text_col: str = "text", audit: bool = False):
+    """The Gopher document-quality filter (Rae et al. 2021,
+    arXiv:2112.11446 table A1): word-count window, mean word length,
+    symbol/bullet/ellipsis ratios, alphabetic-word fraction, required
+    stopwords, plus the repetition rules (top-bigram and dup-3/4-gram
+    thresholds over ``repetition_features`` — occurrence-fraction
+    variant, documented there). ZERO shuffle, one streaming pass;
+    ``audit=True`` appends the per-rule booleans and ``gopher_pass``
+    instead of filtering, so a rejection-breakdown report is one
+    groupby away."""
+    from ..functions.text import (
+        GOPHER_MAX_TOP_3GRAM_FRAC,
+        GOPHER_MAX_TOP_4GRAM_FRAC,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+        gopher_rules,
+        top_ngram_fractions,
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        rules = gopher_rules(text)
+        rep = top_ngram_fractions(text.to_pylist())
+        rules = rules.append_column(
+            "rule_top_2gram",
+            pc.less_equal(rep["top_2gram_frac"], GOPHER_MAX_TOP_BIGRAM_FRAC),
+        ).append_column(
+            "rule_top_3gram",
+            pc.less_equal(rep["top_3gram_frac"], GOPHER_MAX_TOP_3GRAM_FRAC),
+        ).append_column(
+            "rule_top_4gram",
+            pc.less_equal(rep["top_4gram_frac"], GOPHER_MAX_TOP_4GRAM_FRAC),
+        )
+        passed = None
+        for name in rules.column_names:
+            col = rules[name]
+            passed = col if passed is None else pc.and_(passed, col)
+        if audit:
+            out = batch
+            for name in rules.column_names:
+                out = out.append_column(name, rules[name])
+            return out.append_column("gopher_pass", passed)
+        return batch.filter(passed)
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
