@@ -27,6 +27,11 @@ def _docs() -> pd.DataFrame:
         (6, GOOD + " " + " ".join(["1234"] * 120)),                # alpha word frac
         (7, " ".join([f"w{i}rd unique{i}" for i in range(60)])),   # no stopwords
         (8, GOOD + " " + "repeat this exact phrase " * 60),        # repetition
+        # a modest list (50% bullet lines) must PASS — table A1 drops
+        # only when MORE than 90% of lines are bullets
+        (9, GOOD + "\n" + "\n".join(
+            f"- item{i} covers point{i} fully" for i in range(5)
+        )),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
@@ -69,8 +74,11 @@ def test_gopher_filter_each_rule_fires(ray_session):
         and bool(by_id.loc[8, "rule_top_3gram"])
         and bool(by_id.loc[8, "rule_top_4gram"])
     )
+    assert bool(by_id.loc[9, "rule_bullet_lines"]) and bool(
+        by_id.loc[9, "gopher_pass"]
+    )
     kept = _run(df)
-    assert list(kept["doc_id"]) == [0]
+    assert list(kept["doc_id"]) == [0, 9]
 
 
 def test_gopher_arithmetic_rules_brute_force(ray_session):

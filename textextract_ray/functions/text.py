@@ -562,7 +562,7 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
 GOPHER_MAX_SYMBOL_RATIO = 0.1       # '#' and ellipsis per word
-GOPHER_MAX_BULLET_LINE_FRAC = 0.9   # ≥90% of lines must NOT start with a bullet
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9   # drop only when MORE than 90% of lines are bullets
 GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
@@ -618,8 +618,11 @@ def gopher_rules(col: "pa.ChunkedArray | pa.Array") -> pa.Table:
             "rule_symbol_ratio": pc.less(
                 pc.divide(symbols, safe_tokens), GOPHER_MAX_SYMBOL_RATIO
             ),
+            # table A1 removes a doc only when MORE than 90% of its
+            # lines start with a bullet (a README with a modest list
+            # must pass — the inverted <=10% reading over-filters)
             "rule_bullet_lines": pc.less_equal(
-                pc.divide(bullet_lines, n_lines), 1.0 - GOPHER_MAX_BULLET_LINE_FRAC
+                pc.divide(bullet_lines, n_lines), GOPHER_MAX_BULLET_LINE_FRAC
             ),
             "rule_ellipsis_lines": pc.less_equal(
                 pc.divide(ellipsis_lines, n_lines), GOPHER_MAX_ELLIPSIS_LINE_FRAC

@@ -387,23 +387,34 @@ def crawl_delta_ds(
     )
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64 throughout: a plain unstack would coerce the
+        # 64-bit hashes to float64 (53-bit mantissa), letting two
+        # DIFFERENT hashes compare equal and a changed page classify
+        # unchanged — ~2^11 worse than the documented 2^-64 trade
         per_side = (
-            df.groupby([url_col, "side"])["h"].max().unstack("side")
+            df.groupby([url_col, "side"])["h"]
+            .max()
+            .astype("Int64")
+            .unstack("side")
         )
-        old_h = per_side[0] if 0 in per_side.columns else pd.Series(
-            np.nan, index=per_side.index
+        old_h = (
+            per_side[0]
+            if 0 in per_side.columns
+            else pd.Series(pd.NA, index=per_side.index, dtype="Int64")
         )
-        new_h = per_side[1] if 1 in per_side.columns else pd.Series(
-            np.nan, index=per_side.index
+        new_h = (
+            per_side[1]
+            if 1 in per_side.columns
+            else pd.Series(pd.NA, index=per_side.index, dtype="Int64")
         )
+        has_old = old_h.notna().to_numpy()
+        has_new = new_h.notna().to_numpy()
+        differs = (old_h != new_h).fillna(False).to_numpy()
         change = np.where(
-            old_h.isna(),
+            ~has_old,
             "added",
-            np.where(
-                new_h.isna(),
-                "removed",
-                np.where(old_h != new_h, "changed", "unchanged"),
-            ),
+            np.where(~has_new, "removed",
+                     np.where(differs, "changed", "unchanged")),
         )
         out = pd.DataFrame({url_col: per_side.index, "change": change})
         if not include_unchanged:

@@ -302,66 +302,13 @@ def _group_split_factory(group_col: str = "source", salt: str = "split"):
 def _normalize_text_factory(
     text_col: str = "text", form: str = "NFC", fix_mojibake: bool = True
 ):
-    """Unicode/mojibake cleanup kernel (the textops.normalize_text_ds
-    pipeline re-expressed COMPOSABLY: the text column is replaced in
-    place and mojibake_fixed appended, all other columns pass through,
-    so the stage slots anywhere in a job spec)."""
-    import re
+    """Unicode/mojibake cleanup stage — THE shared kernel from
+    textops.build_normalize_kernel (one implementation, two surfaces:
+    text replaced in place, mojibake_fixed appended, all other columns
+    pass through)."""
+    from ..pipelines.textops import build_normalize_kernel
 
-    from ..pipelines.textops import MOJIBAKE_MARKERS
-
-    marker_re = re.compile(MOJIBAKE_MARKERS)
-
-    def repair(s: str) -> str:
-        for enc in ("cp1252", "latin-1"):
-            try:
-                cand = s.encode(enc).decode("utf-8")
-            except (UnicodeEncodeError, UnicodeDecodeError):
-                continue
-            if len(marker_re.findall(cand)) < len(marker_re.findall(s)):
-                return cand
-            break
-        return s
-
-    def kernel(batch: pa.Table) -> pa.Table:
-        import unicodedata
-
-        import numpy as np
-        import pyarrow.compute as pc
-
-        text = pc.fill_null(batch[text_col].combine_chunks(), "")
-        text = pc.replace_substring(text, pattern="\r\n", replacement="\n")
-        text = pc.replace_substring(text, pattern="\r", replacement="\n")
-        fixed = np.zeros(len(text), dtype=bool)
-        if fix_mojibake:
-            flagged = pc.match_substring_regex(
-                text, MOJIBAKE_MARKERS
-            ).to_numpy(zero_copy_only=False)
-            if flagged.any():
-                vals = text.to_pylist()
-                for i in np.flatnonzero(flagged):
-                    out = repair(vals[i])
-                    if out != vals[i]:
-                        vals[i] = out
-                        fixed[i] = True
-                text = pa.array(vals, type=pa.string())
-        text = pc.replace_substring_regex(
-            text, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]",
-            replacement="",
-        )
-        non_ascii = pc.match_substring_regex(text, r"[^\x00-\x7f]").to_numpy(
-            zero_copy_only=False
-        )
-        if non_ascii.any():
-            vals = text.to_pylist()
-            for i in np.flatnonzero(non_ascii):
-                vals[i] = unicodedata.normalize(form, vals[i])
-            text = pa.array(vals, type=pa.string())
-        idx = batch.column_names.index(text_col)
-        batch = batch.set_column(idx, text_col, text)
-        return batch.append_column("mojibake_fixed", pa.array(fixed, pa.bool_()))
-
-    return kernel
+    return build_normalize_kernel(text_col, form, fix_mojibake)
 
 
 @register("sentence_chunks")

@@ -3489,7 +3489,6 @@ LINE_FREQ_SET_BUDGET = 5_000_000
 def line_frequency_filter_ds(
     docs,
     *,
-    id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
     min_chars: int = 30,
@@ -3518,7 +3517,8 @@ def line_frequency_filter_ds(
     documents and declines; here the broadcast set must stay compact,
     so ~2⁻⁶⁴-per-pair false removals are accepted and documented).
 
-    Returns (id_col, text_col, n_dropped); documents whose every line
+    Text replaced in place, all other columns pass through, n_dropped
+    appended; documents whose every line
     is removed disappear when ``drop_empty``."""
     import ray
 
@@ -3614,36 +3614,16 @@ def line_frequency_filter_ds(
 MOJIBAKE_MARKERS = "Ã|â€|Â|Ð|â„|â€š"
 
 
-def normalize_text_ds(
-    docs,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    form: str = "NFC",
-    fix_mojibake: bool = True,
+def build_normalize_kernel(
+    text_col: str = "text", form: str = "NFC", fix_mojibake: bool = True
 ):
-    """Unicode text normalization (the ftfy-shaped cleanup every
-    crawl corpus needs before tokenization): CRLF/CR → LF, C0/C1
-    control characters stripped (tab and newline survive), UTF-8-read-
-    as-Latin-1/Windows-1252 mojibake repaired ("Ã©tÃ©" → "été"), then
-    canonical composition (``pc.utf8_normalize``, NFC by default so
-    visually-identical strings hash identically in every dedup stage).
-
-    Scale shape: ZERO shuffle — one streaming map_batches. The fast
-    path is all Arrow kernels; mojibake repair costs Python only for
-    rows a vectorized marker regex flags (rare in real corpora), and a
-    repair is accepted only when the strict cp1252/latin-1 → UTF-8
-    round-trip succeeds AND strictly reduces marker count (so clean
-    text containing a literal "Ã" is never corrupted). Composition
-    runs ``unicodedata.normalize`` gated by a vectorized non-ASCII
-    detector (ASCII is normalization-invariant, so most web-text rows
-    never leave Arrow) — this container's
-    ``pc.utf8_normalize(form="NFC")`` DECOMPOSES (verified: composed
-    'café' comes back as 'e'+U+0301 under every form), so the Arrow
-    kernel cannot be trusted for canonical composition here.
-
-    Returns (id_col, text_col, mojibake_fixed: bool). Deterministic
-    per row — layout/retry invariant by construction."""
+    """THE normalize kernel — shared by ``normalize_text_ds`` and the
+    ``normalize_text`` registry stage so the two surfaces can never
+    drift. Text is replaced in place as plain ``string()`` regardless
+    of input batch type (a conditional rebuild would leave some blocks
+    ``large_string`` and some ``string``, breaking schema unification
+    at any downstream shuffle/write); all other columns pass through;
+    ``mojibake_fixed`` is appended."""
     import re
 
     marker_re = re.compile(MOJIBAKE_MARKERS)
@@ -3662,6 +3642,8 @@ def normalize_text_ds(
 
     def kernel(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        if text.type != pa.string():  # large_string corpora: one block type
+            text = text.cast(pa.string())
         text = pc.replace_substring(text, pattern="\r\n", replacement="\n")
         text = pc.replace_substring(text, pattern="\r", replacement="\n")
         # mojibake repair BEFORE control stripping: latin-1-read UTF-8
@@ -3701,7 +3683,44 @@ def normalize_text_ds(
         )
         return out.append_column("mojibake_fixed", pa.array(fixed, pa.bool_()))
 
-    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return kernel
+
+
+def normalize_text_ds(
+    docs,
+    *,
+    text_col: str = "text",
+    form: str = "NFC",
+    fix_mojibake: bool = True,
+):
+    """Unicode text normalization (the ftfy-shaped cleanup every
+    crawl corpus needs before tokenization): CRLF/CR → LF, C0/C1
+    control characters stripped (tab and newline survive), UTF-8-read-
+    as-Latin-1/Windows-1252 mojibake repaired ("Ã©tÃ©" → "été"), then
+    canonical composition (NFC by default so visually-identical
+    strings hash identically in every dedup stage).
+
+    Scale shape: ZERO shuffle — one streaming map_batches. The fast
+    path is all Arrow kernels; mojibake repair costs Python only for
+    rows a vectorized marker regex flags (rare in real corpora), and a
+    repair is accepted only when the strict cp1252/latin-1 → UTF-8
+    round-trip succeeds AND strictly reduces marker count (so clean
+    text containing a literal "Ã" is never corrupted). Composition
+    runs ``unicodedata.normalize`` gated by a vectorized non-ASCII
+    detector (ASCII is normalization-invariant, so most web-text rows
+    never leave Arrow) — this container's
+    ``pc.utf8_normalize(form="NFC")`` DECOMPOSES (verified: composed
+    'café' comes back as 'e'+U+0301 under every form), so the Arrow
+    kernel cannot be trusted for canonical composition here.
+
+    Text column replaced in place (always ``string()``), all other
+    columns pass through, ``mojibake_fixed: bool`` appended.
+    Deterministic per row — layout/retry invariant by construction."""
+    return docs.map_batches(
+        build_normalize_kernel(text_col, form, fix_mojibake),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # --- sentence-boundary chunking ----------------------------------------------
@@ -3899,13 +3918,13 @@ def fim_transform_ds(
                 FIM_PREFIX + s[:lo] + FIM_SUFFIX + s[hi2:] + FIM_MIDDLE + s[lo:hi2]
             )
             applied[i] = True
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                text_col: pa.array(vals, pa.string()),
-                "fim_applied": pa.array(applied, pa.bool_()),
-            }
+        # text replaced in place, other columns pass through (composable)
+        out = batch.set_column(
+            batch.column_names.index(text_col),
+            text_col,
+            pa.array(vals, pa.string()),
         )
+        return out.append_column("fim_applied", pa.array(applied, pa.bool_()))
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 

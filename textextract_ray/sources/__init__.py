@@ -323,11 +323,17 @@ def write_jsonl(ds, out_dir: str, *, compression: str = "gzip") -> "rd.Dataset":
     """Dolma-interchange sink: Dataset -> ``part-<hash>.jsonl[.gz]``
     shards, one per block, written atomically (tmp + rename) and named
     by CONTENT hash — a retried/resumed block rewrites the same file
-    instead of duplicating it. Returns the manifest Dataset (path,
-    rows, bytes) so callers can verify/record lineage. Binary columns
-    are rejected (JSON has no bytes type — encode or drop them first);
-    this is a text-corpus interchange sink, parquet remains the native
-    format."""
+    instead of duplicating it. The flip side of that idempotency: two
+    DISTINCT blocks whose serialized bytes are identical collapse into
+    one shard (the manifest then lists the same path twice with the
+    true per-block row counts). That requires byte-identical duplicate
+    blocks — impossible when rows carry any identifying column
+    (doc_id/url/copy_idx, the engine's convention) — so give rows an
+    id before sinking a corpus that may contain exact duplicates.
+    Returns the manifest Dataset (path, rows, bytes) so callers can
+    verify/record lineage. Binary columns are rejected (JSON has no
+    bytes type — encode or drop them first); this is a text-corpus
+    interchange sink, parquet remains the native format."""
     import gzip as _gzip
     import hashlib
 

@@ -22,7 +22,7 @@ import html as _htmllib
 from .oracle import _TOKEN_RE, _WS_RUN_RE, _decode
 
 _SKIP_TAGS = frozenset({"script", "style", "template", "noscript", "svg"})
-_CELL_BREAK_TAGS = frozenset({"br", "p", "div", "li", "tr"})
+_CELL_BREAK_TAGS = frozenset({"br", "p", "div", "li"})
 
 
 class _Table:
