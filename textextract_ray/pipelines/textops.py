@@ -3973,3 +3973,202 @@ def gopher_filter_ds(docs, *, text_col: str = "text", audit: bool = False):
         return batch.filter(passed)
 
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- interpolated bigram LM perplexity ----------------------------------------
+
+def bigram_perplexity_ds(
+    docs,
+    *,
+    vocab_size: int = 4096,
+    bigram_budget: int = 65536,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-trained INTERPOLATED BIGRAM LM perplexity — the
+    CCNet-fidelity upgrade over ``perplexity_buckets``'s unigram model
+    (Wenzek et al. LREC 2020 score with a 5-gram KenLM; an
+    interpolated bigram is the strongest stand-in trainable in two
+    streaming passes without an external model):
+
+        p(w_i | w_{i-1}) = λ · c(w_{i-1} w_i)/c(w_{i-1} ·)
+                         + (1-λ) · p_unigram(w_i)
+
+    Distributed shape (all passes keys-only, text never re-shuffles):
+
+    1. unigram (token, count) partials → groupby → exact top-V vocab
+       via local-top nomination (the perplexity_buckets pattern);
+       vocab broadcast once; OOV maps to one <unk> id, so the bigram
+       alphabet is V+1 and a bigram packs into ONE int64 key
+       ``ctx·(V+1)+tok`` (V+1 ≤ 2^21 keeps the product < 2^42).
+    2. bigram (key, count) partials — pre-combined per batch with
+       ``np.unique``, adjacent pairs never cross doc boundaries —
+       → groupby → exact top-``bigram_budget`` table by the same
+       nomination, PLUS the ≤V+1-row context-marginal table c(w ·)
+       from the same partials.
+    3. scoring: one broadcast (vocab, unigram logp, sorted bigram
+       keys+counts, context counts); per batch everything is
+       ``index_in`` + ``searchsorted`` + ``bincount``. A bigram
+       outside the kept table contributes its interpolation floor
+       (1-λ)·p_uni — the standard budgeted-LM behavior; each doc's
+       first token scores unigram-only.
+
+    Deterministic and layout-invariant: every count is exact, both
+    top-K cuts order by (count desc, key asc), scoring is per-row.
+    Returns (id_col, n_tokens, n_oov, perplexity)."""
+    import ray
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    # --- pass 1: unigram vocab ------------------------------------------------
+    def unigram_partials(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_lower_token_lists(batch[text_col]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"tok": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(unigram_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = counts.sum("n") or 0
+    if total == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_oov": pa.array([], pa.int64()),
+            "perplexity": pa.array([], pa.float64()),
+        }))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "tok"], ascending=[False, True]
+        ).head(vocab_size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    vocab = cand.sort_values(["n", "tok"], ascending=[False, True]).head(vocab_size)
+    vocab_toks = pa.array(vocab["tok"].tolist(), pa.string())
+    uni_n = vocab["n"].to_numpy(np.float64)
+    V = len(vocab_toks)
+    unk_id = V                      # OOV bucket
+    alphabet = np.int64(V + 1)
+    # unigram probs: OOV mass = everything outside the vocab, floored
+    oov_mass = max(float(total) - float(uni_n.sum()), 1.0)
+    p_uni = np.concatenate((uni_n, [oov_mass])) / float(total)
+    vref = ray.put(vocab_toks)
+
+    def _ids(batch: pa.Table):
+        lists = _lower_token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        idx = (
+            pc.fill_null(pc.index_in(flat, value_set=ray.get(vref)), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = np.where(idx >= 0, idx, unk_id)
+        return ids, idx, parent
+
+    # --- pass 2: bigram + context counts ---------------------------------------
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        ids, _, parent = _ids(batch)
+        if len(ids) < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = parent[1:] == parent[:-1]
+        keys = ids[:-1][same_doc] * alphabet + ids[1:][same_doc]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    big = (
+        docs.map_batches(bigram_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def ctx_partials(batch: pa.Table) -> pa.Table:
+        ctx = pc.divide(batch["key"], pa.scalar(int(alphabet), pa.int64()))
+        df = pa.table({"ctx": ctx, "n": batch["n"]}).to_pandas()
+        g = df.groupby("ctx", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ctx_df = (
+        big.map_batches(ctx_partials, batch_format="pyarrow")
+        .groupby("ctx")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ V+1 rows
+    )
+    ctx_counts = np.zeros(V + 1, np.float64)
+    if "ctx" in ctx_df.columns and len(ctx_df):  # empty tables lose columns
+        ctx_counts[ctx_df["ctx"].to_numpy(np.int64)] = ctx_df["n"].to_numpy(
+            np.float64
+        )
+
+    def local_top_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "key"], ascending=[False, True]
+        ).head(bigram_budget)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bcand = big.map_batches(local_top_keys, batch_format="pyarrow").to_pandas()
+    if "key" in bcand.columns and len(bcand):
+        btop = bcand.sort_values(["n", "key"], ascending=[False, True]).head(
+            bigram_budget
+        ).sort_values("key")
+        bkeys = btop["key"].to_numpy(np.int64)
+        bns = btop["n"].to_numpy(np.float64)
+    else:  # budget 0 / bigram-free corpus: every pair takes the floor
+        bkeys = np.empty(0, np.int64)
+        bns = np.empty(0, np.float64)
+    sref = ray.put((bkeys, bns, ctx_counts, p_uni))
+
+    # --- pass 3: scoring --------------------------------------------------------
+    def score(batch: pa.Table) -> pa.Table:
+        keys_s, ns_s, ctx_s, puni_s = ray.get(sref)
+        ids, idx, parent = _ids(batch)
+        n_rows = batch.num_rows
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        n_oov = np.bincount(
+            parent, weights=(idx < 0).astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        logp = np.log(puni_s[ids])  # default: unigram (first-token + floor base)
+        if len(ids) >= 2:
+            same_doc = parent[1:] == parent[:-1]
+            pos = np.flatnonzero(same_doc) + 1   # positions with a context
+            keys = ids[pos - 1] * alphabet + ids[pos]
+            loc = np.searchsorted(keys_s, keys)
+            if len(keys_s):
+                loc_c = np.minimum(loc, len(keys_s) - 1)
+                hit = keys_s[loc_c] == keys
+                bn = np.where(hit, ns_s[loc_c], 0.0)
+            else:
+                bn = np.zeros(len(keys), np.float64)
+            cn = ctx_s[ids[pos - 1]]
+            p_bi = np.divide(bn, cn, out=np.zeros_like(bn), where=cn > 0)
+            logp[pos] = np.log(lam * p_bi + (1.0 - lam) * puni_s[ids[pos]])
+        lp_sum = np.bincount(parent, weights=logp, minlength=n_rows)
+        ppl = np.where(n_tok > 0, np.exp(-lp_sum / np.maximum(n_tok, 1)), 1.0)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "perplexity": pa.array(ppl, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
