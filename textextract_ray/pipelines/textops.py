@@ -3902,8 +3902,16 @@ def fim_transform_ds(
         u_sel = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
         lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
         selected = (u_sel < rate) & (lens >= min_chars)
-        vals = text.to_pylist()
-        applied = np.zeros(len(vals), dtype=bool)
+        applied = np.zeros(len(text), dtype=bool)
+        if not selected.any():  # untouched batch: zero-copy pass-through
+            return batch.append_column(
+                "fim_applied", pa.array(applied, pa.bool_())
+            )
+        # unselected rows keep their ORIGINAL value (incl. nulls) and
+        # the column keeps its original type, so touched and untouched
+        # batches stay value- and schema-consistent
+        orig = batch[text_col].combine_chunks()
+        vals = orig.to_pylist()
         for i in np.flatnonzero(selected):
             s = vals[i]
             n = len(s)
@@ -3922,7 +3930,7 @@ def fim_transform_ds(
         out = batch.set_column(
             batch.column_names.index(text_col),
             text_col,
-            pa.array(vals, pa.string()),
+            pa.array(vals, type=orig.type),
         )
         return out.append_column("fim_applied", pa.array(applied, pa.bool_()))
 
