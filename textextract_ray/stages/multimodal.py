@@ -811,3 +811,113 @@ def sample_frames(media_ds, *, n_frames: int = 4, batch_size: int = 8, concurren
         concurrency=concurrency,
         fn_constructor_kwargs={"n_frames": n_frames},
     )
+
+
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("duration_ms", pa.int64()),
+        pa.field("rms", pa.float64()),           # mean loudness, [-1,1] scale
+        pa.field("peak", pa.float64()),          # max |sample|
+        pa.field("zcr", pa.float64()),           # zero-crossing rate per sample
+        pa.field("silence_frac", pa.float64()),  # |sample| < 1% full scale
+        pa.field("clipping_frac", pa.float64()),  # |sample| > 99% full scale
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV payload -> REAL sample-level features
+    (the audio analogue of ImageFeatures' pixel statistics): RMS
+    loudness, peak, zero-crossing rate, silence and clipping
+    fractions — the standard cheap screens for dead/garbled/clipped
+    audio in a media-corpus pipeline. PCM frames read via the stdlib
+    ``wave`` module, statistics fully numpy-vectorized; multi-channel
+    audio averages to mono first. Non-WAV payloads emit status
+    "skipped" with zeroed features (strict=True raises); malformed
+    RIFF becomes a decode_error row. 8/16/32-bit integer PCM
+    supported (the wave module's subset)."""
+
+    def __init__(self, *, strict: bool = False, max_frames: int = 10_000_000):
+        self.strict = strict
+        self.max_frames = max_frames  # bound per-row memory (~40 MB mono f64)
+
+    def _features(self, payload: bytes) -> tuple:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            n = min(w.getnframes(), self.max_frames)
+            raw = w.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if ch > 1:
+            x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+        if len(x) == 0:
+            return 0, 0.0, 0.0, 0.0, 1.0, 0.0, "ok"
+        dur = int(len(x) * 1000 / rate) if rate else 0
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.abs(x).max())
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+        silence = float(np.mean(np.abs(x) < 0.01))
+        clipping = float(np.mean(np.abs(x) > 0.99))
+        return dur, rms, peak, zcr, silence, clipping, "ok"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        rows = []
+        for p in batch["media"].to_pylist():
+            p = p or b""
+            if not (p.startswith(b"RIFF") and p[8:12] == b"WAVE"):
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio features require ffmpeg/soundfile; "
+                        "not available in this container "
+                        "(skip path: AudioFeatures(strict=False))"
+                    )
+                rows.append((0, 0.0, 0.0, 0.0, 0.0, 0.0, "skipped"))
+                continue
+            try:
+                rows.append(self._features(p))
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                rows.append(
+                    (0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                     f"decode_error: {type(exc).__name__}")
+                )
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(list(cols[0]), pa.int64()),
+                pa.array(list(cols[1]), pa.float64()),
+                pa.array(list(cols[2]), pa.float64()),
+                pa.array(list(cols[3]), pa.float64()),
+                pa.array(list(cols[4]), pa.float64()),
+                pa.array(list(cols[5]), pa.float64()),
+                pa.array(list(cols[6]), pa.string()),
+            ],
+            schema=AUDIO_FEATURES_SCHEMA,
+        )
+
+
+def audio_features(media_ds, *, batch_size: int = 32, concurrency=(1, 8),
+                   strict: bool = False):
+    """media Dataset -> per-clip sample statistics (AudioFeatures)."""
+    return media_ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"strict": strict},
+    )
