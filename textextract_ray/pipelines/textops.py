@@ -4180,3 +4180,76 @@ def bigram_perplexity_ds(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- curriculum mixing schedule ----------------------------------------------
+
+def curriculum_mix_ds(
+    docs,
+    phases: list,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0xC0DE,
+):
+    """Phase-wise curriculum data mixing: training proceeds through
+    ``phases`` (e.g. broad web early, high-quality/rare sources
+    up-weighted late — the staged-mixture recipe used by several
+    published pretraining runs); each phase is
+    ``{"name": str, "weights": {source: w}, "default_weight": float}``
+    and expands the corpus with ITS OWN weight table, stamping
+    ``phase_idx``/``phase`` columns. Each (phase, doc, copy) gets an
+    independent shuffle key ``hash64(phase:doc:copy, seed)`` so
+    sorting by (phase_idx, shuffle_key) IS the training order: phases
+    stay contiguous, order within a phase is seed-reproducible and
+    decorrelated across copies and phases.
+
+    Scale shape: the expansion per phase is the shuffle-free
+    ``mix_by_weights_ds`` kernel (pure per-row md5 decision); the one
+    deliberate all-to-all is the final keys-only sort — identical to
+    ``epoch_stream``'s. Returns a Dataset of (id_col, key_col,
+    copy_idx, phase_idx, phase, shuffle_key) sorted into training
+    order; consume with write_parquet / iter_batches."""
+    from ..functions.scalar import hash_utf8
+
+    if not phases:
+        raise ValueError("curriculum_mix_ds: need at least one phase")
+
+    parts = []
+    for pi, phase in enumerate(phases):
+        name = phase.get("name", f"phase{pi}")
+        mixed = mix_by_weights_ds(
+            docs,
+            phase["weights"],
+            key_col=key_col,
+            default_weight=phase.get("default_weight", 0.0),
+            id_col=id_col,
+        )
+
+        def stamp(batch: pa.Table, _pi=pi, _name=name) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                pa.array([str(_pi)] * batch.num_rows),
+                batch[id_col].cast(pa.string()),
+                batch["copy_idx"].cast(pa.string()),
+                ":",
+            )
+            k = hash_utf8(joined, seed=seed)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    key_col: batch[key_col],
+                    "copy_idx": batch["copy_idx"],
+                    "phase_idx": pa.array(
+                        np.full(batch.num_rows, _pi, np.int32), pa.int32()
+                    ),
+                    "phase": pa.array([_name] * batch.num_rows, pa.string()),
+                    "shuffle_key": pa.array(k.view(np.int64), pa.int64()),
+                }
+            )
+
+        parts.append(mixed.map_batches(stamp, batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort(["phase_idx", "shuffle_key", id_col, "copy_idx"])
