@@ -168,3 +168,39 @@ def test_registry_round4b_stages(ray_session):
     got = build_pipeline(media, [{"stage": "image_dhash"}]).to_pandas()
     assert list(got.columns) == ["media_id", "dhash", "status"]
     assert got["status"].iloc[0] == "ok"
+
+
+def test_registry_filter_stages_compose(ray_session):
+    """gopher_filter / line_frequency_filter / fim_transform chain in
+    one job spec (dataset-level ops through the builder)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.registry import build_pipeline
+
+    banner = "Please enable javascript to continue using this website today."
+    rows = []
+    for i in range(8):
+        body = " ".join(
+            f"The section{i}part{j} explains detail{j} of the method and "
+            f"shows result{j} that we have."
+            for j in range(4)
+        )
+        rows.append((i, banner + "\n" + body))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        )
+    )
+    spec = [
+        {"stage": "line_frequency_filter", "options": {"min_count": 5}},
+        {"stage": "gopher_filter"},
+        {"stage": "fim_transform", "options": {"rate": 1.0}},
+    ]
+    out = build_pipeline(ds, spec).to_pandas()
+    assert len(out) == 8
+    assert not out["text"].str.contains("javascript", regex=False).any()
+    assert out["fim_applied"].all()
+    assert "n_dropped" in out.columns

@@ -346,3 +346,55 @@ def _image_dhash_factory(
             },
         ),
     )
+
+
+@register("gopher_filter")
+def _gopher_filter_factory(text_col: str = "text", audit: bool = False):
+    from ..pipelines.textops import gopher_filter_ds
+
+    def ds_op(ds):
+        return gopher_filter_ds(ds, text_col=text_col, audit=audit)
+
+    ds_op.is_dataset_op = True
+    return ds_op
+
+
+@register("noindex_filter")
+def _noindex_filter_factory(html_col: str = "html", audit: bool = False):
+    from ..pipelines.textops import filter_noindex_ds
+
+    def ds_op(ds):
+        return filter_noindex_ds(ds, html_col=html_col, audit=audit)
+
+    ds_op.is_dataset_op = True
+    return ds_op
+
+
+@register("line_frequency_filter")
+def _linefreq_factory(text_col: str = "text", min_chars: int = 30,
+                      min_count: int = 3, drop_empty: bool = True):
+    from ..pipelines.textops import line_frequency_filter_ds
+
+    def ds_op(ds):
+        return line_frequency_filter_ds(
+            ds, text_col=text_col, min_chars=min_chars,
+            min_count=min_count, drop_empty=drop_empty,
+        )
+
+    ds_op.is_dataset_op = True
+    return ds_op
+
+
+@register("fim_transform")
+def _fim_factory(rate: float = 0.5, seed: int = 0xF1E, min_chars: int = 32,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    from ..pipelines.textops import fim_transform_ds
+
+    def ds_op(ds):
+        return fim_transform_ds(
+            ds, rate=rate, seed=seed, min_chars=min_chars,
+            id_col=id_col, text_col=text_col,
+        )
+
+    ds_op.is_dataset_op = True
+    return ds_op
