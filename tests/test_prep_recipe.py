@@ -77,3 +77,20 @@ def test_pretraining_prep_stage_resume(ray_session, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_pretraining_prep_clean_stage(ray_session, sf_dir, tmp_path):
+    """clean=True prepends the normalize+linefreq stage: the report
+    carries a 'clean' row, the stage dir persists with a marker, and
+    downstream stages consume the cleaned survivors."""
+    import os
+
+    from textextract_ray.pipelines.textops import pretraining_prep
+
+    out = str(tmp_path / "prep_clean")
+    rep = pretraining_prep(sf_dir, out, clean=True, min_quality=0.0)
+    assert list(rep["stage"])[:2] == ["input", "clean"]
+    assert os.path.exists(os.path.join(out, "clean", "_DONE"))
+    counts = dict(zip(rep["stage"], rep["rows"]))
+    assert 0 < counts["clean"] <= counts["input"]
+    assert counts["quality"] <= counts["clean"]

@@ -2771,6 +2771,8 @@ def pretraining_prep(
     sf_dir: str,
     out_dir: str,
     *,
+    clean: bool = False,
+    linefreq_min_count: int = 3,
     min_quality: float = 0.3,
     k: int = 20,
     capacity: int = 512,
@@ -2784,6 +2786,9 @@ def pretraining_prep(
     stage (directory + ``_DONE`` marker = completed; delete a stage dir
     to force recompute):
 
+      0. ``clean``       (opt-in ``clean=True``) unicode/mojibake
+                         normalize + frequent-line boilerplate
+                         scrub                             [1 keys-only shuffle]
       1. ``quality``     Gopher composite filter >= min_quality  [no shuffle]
       2. ``paradedup``   C4 paragraph dedup                      [1 bucket shuffle]
       3. ``substrdedup`` exact-substring dedup (Lee et al.)      [keys-only shuffle]
@@ -2818,9 +2823,25 @@ def pretraining_prep(
     def _read(name: str):
         return ray.data.read_parquet(_stage_dir(name))
 
+    stages = (("clean",) if clean else ()) + PREP_STAGES
+
+    # 0. opt-in cleaning: normalize + frequent-line scrub
+    if clean and not _done("clean"):
+        raw = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        _write(
+            "clean",
+            line_frequency_filter_ds(
+                normalize_text_ds(raw), min_count=linefreq_min_count
+            ).select_columns(["doc_id", "text"]),
+        )
+
     # 1. quality filter (vectorized, shuffle-free)
     if not _done("quality"):
-        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        docs = (
+            _read("clean").select_columns(["doc_id", "text"])
+            if clean
+            else read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        )
 
         def qfilter(batch: pa.Table) -> pa.Table:
             score = quality_features(batch["text"])["quality_score"]
@@ -2858,7 +2879,7 @@ def pretraining_prep(
         _write("pack", pack_sequences_ds(survivors, capacity=capacity))
 
     rows = [("input", read_table(sf_dir, "documents", columns=["doc_id"]).count())]
-    for name in PREP_STAGES:
+    for name in stages:
         rows.append((name, _read(name).count()))
     return pd.DataFrame(rows, columns=["stage", "rows"])
 
