@@ -783,3 +783,48 @@ def test_group_split_leakage_free(ray_session, sf_dir):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         group_split_ds(ds, "source", fractions=(("a", 0.5), ("b", 0.2)))
+
+
+def test_broadcast_semi_join_utility(ray_session):
+    """Public semi/anti-join probe: DuckDB parity on string and int
+    keys, budget guard, empty right side."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from textextract_ray.pipelines.relational import broadcast_semi_join_ds
+
+    ldf = pd.DataFrame(
+        {"url": [f"https://h{i % 7}.com/p{i}" for i in range(50)],
+         "host": [f"h{i % 7}.com" for i in range(50)],
+         "v": range(50)}
+    )
+    rdf = pd.DataFrame({"host": ["h1.com", "h3.com", "h9.com"]})
+    lds = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+
+    semi = broadcast_semi_join_ds(lds, rds, "host").to_pandas()
+    anti = broadcast_semi_join_ds(lds, rds, "host", anti=True).to_pandas()
+    want_semi = duckdb.sql(
+        "SELECT * FROM ldf WHERE host IN (SELECT host FROM rdf) ORDER BY v"
+    ).df()
+    want_anti = duckdb.sql(
+        "SELECT * FROM ldf WHERE host NOT IN (SELECT host FROM rdf) ORDER BY v"
+    ).df()
+    pd.testing.assert_frame_equal(
+        semi.sort_values("v").reset_index(drop=True), want_semi
+    )
+    pd.testing.assert_frame_equal(
+        anti.sort_values("v").reset_index(drop=True), want_anti
+    )
+    assert len(semi) + len(anti) == 50
+
+    # empty right side: semi keeps nothing, anti keeps everything
+    empty = rd.from_arrow(pa.Table.from_pandas(rdf.iloc[:0], preserve_index=False))
+    assert broadcast_semi_join_ds(lds, empty, "host").count() == 0
+    assert broadcast_semi_join_ds(lds, empty, "host", anti=True).count() == 50
+
+    with pytest.raises(ValueError, match="budget_rows"):
+        broadcast_semi_join_ds(lds, rds, "host", budget_rows=1).count()
