@@ -561,6 +561,7 @@ def semantic_duplicate_assignments(
     n_centroids: int = 16,
     seed: int = 13,
     cluster_cap: int = 4096,
+    refine_iters: int = 0,
 ):
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540 — public paper): k-means-cluster the embedding
@@ -587,6 +588,17 @@ def semantic_duplicate_assignments(
     cents = train_centroids(
         ds, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids, seed=seed
     )
+    if refine_iters:
+        # full-corpus Lloyd refinement (kmeans.kmeans_refine): tighter
+        # clusters → fewer boundary-straddling missed pairs, at the
+        # cost of refine_iters extra streaming passes. Default off so
+        # existing goldens stay bit-stable.
+        from .kmeans import kmeans_refine
+
+        refined, _ = kmeans_refine(
+            ds, cents.astype(np.float64), vec_col=vec_col, iters=refine_iters
+        )
+        cents = refined
     cents_ref = ray.put(cents.astype(np.float32))
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -158,14 +158,24 @@ def train_centroids(ds, *, vec_col="embedding", id_col="vec_id", n_centroids=16,
 
 
 def ivf_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10,
-             n_centroids=16, nprobe=4, seed=13):
+             n_centroids=16, nprobe=4, seed=13, refine_iters=0):
     """IVF approximate top-k: assign rows to their nearest centroid,
     keep only rows whose centroid is among the query's nprobe nearest,
     then exact cosine within the probed subset. Centroids broadcast
-    once; assignment is one matmul per batch."""
+    once; assignment is one matmul per batch. ``refine_iters > 0``
+    additionally refines the sample-trained centroids with that many
+    full-corpus distributed Lloyd passes (``kmeans.kmeans_refine``) —
+    off by default so results stay bit-stable for existing callers."""
     import ray
 
     cents = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids, seed=seed)
+    if refine_iters:
+        from .kmeans import kmeans_refine
+
+        refined, _ = kmeans_refine(
+            ds, cents.astype(np.float64), vec_col=vec_col, iters=refine_iters
+        )
+        cents = refined.astype(np.float32)
     qmat = _unit(queries["mat"].astype(np.float32))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # [nq, nprobe]
     probed_sets = [set(row.tolist()) for row in probe]
