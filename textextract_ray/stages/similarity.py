@@ -95,6 +95,38 @@ def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id",
 
 # --- IVF (scale path) --------------------------------------------------------
 
+def _hash_sample(ds, *, vec_col="embedding", id_col="vec_id",
+                 sample_frac=0.2, sample_budget_rows=100_000) -> np.ndarray:
+    """Layout-independent, absolutely-budgeted sample pull shared by
+    every sample-trained model in this module (IVF centroids, PQ
+    codebooks): stable-hash bucket selection on the id column (NOT
+    ``random_sample`` — see train_centroids docstring), rows sorted by
+    id so arrival order cannot leak into training. Returns the raw
+    float32 sample matrix (callers normalize as their model needs)."""
+    import math
+
+    import pyarrow as pa
+
+    from ..functions.scalar import stable_bucket
+
+    n_buckets = 1000
+    count = ds.count()  # parquet metadata count — no full scan
+    if count * sample_frac > sample_budget_rows:
+        sample_frac = sample_budget_rows / max(count, 1)
+        n_buckets = max(1000, math.ceil(count / sample_budget_rows) * 10)
+    cut = max(1, int(sample_frac * n_buckets))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch[id_col], n_buckets)
+        return batch.filter(pa.array(b < cut))
+
+    sample = sorted(
+        ds.map_batches(pick, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )
+    return np.array([r[vec_col] for r in sample], dtype=np.float32)
+
+
 def train_centroids(ds, *, vec_col="embedding", id_col="vec_id", n_centroids=16,
                     sample_frac=0.2, sample_budget_rows=100_000, iters=10,
                     seed=13) -> np.ndarray:
@@ -116,33 +148,14 @@ def train_centroids(ds, *, vec_col="embedding", id_col="vec_id", n_centroids=16,
     the cut can express it; k-means on ≥10^5 hash-spread rows trains
     the same centroids for all practical purposes. For corpora where
     frac × count ≤ budget the selection is bit-identical to the
-    budget-free behavior (goldens unchanged)."""
-    import math
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..functions.scalar import stable_bucket
-
-    n_buckets = 1000
-    count = ds.count()  # parquet metadata count — no full scan
-    if count * sample_frac > sample_budget_rows:
-        sample_frac = sample_budget_rows / max(count, 1)
-        n_buckets = max(1000, math.ceil(count / sample_budget_rows) * 10)
-    cut = max(1, int(sample_frac * n_buckets))
-
-    def pick(batch: pa.Table) -> pa.Table:
-        b = stable_bucket(batch[id_col], n_buckets)
-        return batch.filter(pa.array(b < cut))
-
-    # sort by id: take_all() returns blocks in streaming completion
-    # order, which varies with parallelism — the trained centroids must
-    # not depend on row arrival order
-    sample = sorted(
-        ds.map_batches(pick, batch_format="pyarrow").take_all(),
-        key=lambda r: r[id_col],
+    budget-free behavior (goldens unchanged). Sample selection lives
+    in ``_hash_sample`` (shared with the PQ codebook trainer)."""
+    mat = _unit(
+        _hash_sample(
+            ds, vec_col=vec_col, id_col=id_col,
+            sample_frac=sample_frac, sample_budget_rows=sample_budget_rows,
+        )
     )
-    mat = _unit(np.array([r[vec_col] for r in sample], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(iters):
@@ -454,6 +467,17 @@ def quantized_topk(qds, queries, params, *, k=10, id_col="vec_id",
             return cand.groupby("query_id").map_groups(cut, batch_format="pyarrow")
         return cand
 
+    return _exact_rerank(cand, rerank_ds, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _exact_rerank(cand, rerank_ds, queries, *, k, id_col, vec_col):
+    """Shared exact-rerank tail for the quantized ANN paths (int8 SQ
+    and PQ): pull the O(queries·k·mult) candidate table, fetch ONLY the
+    candidates' float vectors via the broadcast ``is_in`` probe (the
+    module's deferred-fetch idiom), re-score exactly, cut to top-k.
+    Quantization then only affects recall, never returned scores."""
+    import ray
+
     cand_df = cand.to_pandas()  # O(queries * k * mult)
     cand_ids = np.unique(cand_df["vec_id"].to_numpy())
     cref = ray.put(pa.array(cand_ids.astype("int64"), pa.int64()))
@@ -504,3 +528,165 @@ def quantized_topk(qds, queries, params, *, k=10, id_col="vec_id",
             }
         )
     )
+
+
+# --- product quantization (PQ / ADC — the 100-TB ANN memory path) -------------
+
+def train_pq(ds, *, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
+             sample_frac=0.2, sample_budget_rows=100_000, iters=15, seed=29):
+    """Train a product quantizer (Jégou, Douze, Schmid, TPAMI 2011 —
+    public paper): split the UNIT vector into ``m`` contiguous
+    subvectors and learn an independent ``n_codes``-word Euclidean
+    k-means codebook per subspace, on the shared budget-capped hash
+    sample (``_hash_sample`` — the corpus never materializes).
+
+    Storage story this buys at scale: d=64 float64 embeddings are
+    512 B/vector; PQ codes are m=8 B/vector — 64× — so the searchable
+    index for 10^12 vectors fits in ~8 TB of object store instead of
+    ~0.5 PB, and every scoring pass streams uint8 codes, not floats.
+
+    Returns {"codebooks": float64[m, n_codes, dsub], "d": d, "m": m}.
+    Deterministic: sample is layout-independent, init is
+    RandomState(seed + j) over the sorted sample, empty codewords keep
+    their previous value."""
+    sample = _unit(_hash_sample(
+        ds, vec_col=vec_col, id_col=id_col,
+        sample_frac=sample_frac, sample_budget_rows=sample_budget_rows,
+    ).astype(np.float64))
+    n, d = sample.shape
+    if d % m != 0:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    n_codes = min(n_codes, n)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        c = x[rng.choice(n, size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            # Euclidean assignment: argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            assign = d2.argmin(axis=1)
+            for w in range(n_codes):
+                members = x[assign == w]
+                if len(members):
+                    c[w] = members.mean(axis=0)
+        books[j] = c
+    return {"codebooks": books, "d": d, "m": m}
+
+
+def pq_encode(ds, pq, *, vec_col="embedding", id_col="vec_id"):
+    """Unit-normalize and encode every vector to its per-subspace
+    nearest codeword: (id, pqcode fixed_size_list<uint8>[m]). Codebooks
+    broadcast once via ``ray.put``; one matmul per subspace per batch;
+    streams (callers write or chain)."""
+    import ray
+
+    pref = ray.put(pq)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        p = ray.get(pref)
+        books, mq = p["codebooks"], p["m"]
+        dsub = p["d"] // mq
+        x = _unit(_as_matrix(batch[vec_col]))
+        codes = np.empty((x.shape[0], mq), dtype=np.uint8)
+        for j in range(mq):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            c = books[j]
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        flat = pa.array(codes.ravel(), pa.uint8())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pqcode": pa.FixedSizeListArray.from_arrays(flat, mq),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+class PQTopK:
+    """Actor-pool stage: ADC (asymmetric distance computation) partial
+    top-m per batch. Per-query lookup tables LUT[j, w] = q_sub_j ·
+    codebook[j][w] are built ONCE PER ACTOR in __init__ (nq × m ×
+    n_codes floats — tiny); scoring a batch is one uint8 gather + sum
+    per query, no float vectors touched."""
+
+    def __init__(self, queries_ref, pq_ref, id_col: str, m_out: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        p = ray.get(pq_ref)
+        books = p["codebooks"]  # [m, n_codes, dsub]
+        self.mq = p["m"]
+        dsub = p["d"] // self.mq
+        self.qids = q["query_id"]
+        qmat = _unit(q["mat"].astype(np.float64))
+        # luts[qi]: [m, n_codes] partial dot products
+        self.luts = np.stack([
+            np.stack([
+                books[j] @ qmat[qi, j * dsub : (j + 1) * dsub]
+                for j in range(self.mq)
+            ])
+            for qi in range(qmat.shape[0])
+        ])
+        self.id_col = id_col
+        self.m_out = m_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = (
+            batch["pqcode"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(-1, self.mq)
+        ).astype(np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        j_idx = np.arange(self.mq)
+        out_q, out_id, out_s = [], [], []
+        mo = min(self.m_out, codes.shape[0])
+        for qi in range(len(self.qids)):
+            scores = self.luts[qi][j_idx[None, :], codes].sum(axis=1)
+            order = np.lexsort((ids, -scores))[:mo]
+            out_q.append(np.full(mo, self.qids[qi], dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(scores[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def pq_topk(code_ds, queries, pq, *, k=10, id_col="vec_id",
+            rerank_ds=None, vec_col="embedding", rerank_mult=4):
+    """Approximate cosine top-k over PQ codes via ADC. Without
+    ``rerank_ds``: reconstructed-dot scores directly. With it: the
+    top-(k·rerank_mult) candidate pool per query is re-scored EXACTLY
+    through the shared deferred-fetch rerank (``_exact_rerank``), so PQ
+    affects recall only. Same (query_id, vec_id, score) contract and
+    tie rule (score desc, id asc) as every other top-k in the module."""
+    import ray
+
+    m_out = k * (rerank_mult if rerank_ds is not None else 1)
+    qref = ray.put(queries)
+    pref = ray.put(pq)
+    partial = code_ds.map_batches(
+        PQTopK,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, pq_ref=pref, id_col=id_col, m_out=m_out
+        ),
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(order[: min(m_out, len(group))])
+
+    cand = partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    if rerank_ds is None:
+        return cand
+    return _exact_rerank(cand, rerank_ds, queries, k=k, id_col=id_col, vec_col=vec_col)
