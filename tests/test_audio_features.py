@@ -88,3 +88,22 @@ def test_audio_features_strict_and_dataset(ray_session):
     got = audio_features(ds).to_pandas()
     assert len(got) == 8 and (got["status"] == "ok").all()
     assert (got["duration_ms"] == 250).all()
+
+
+def test_audio_features_duration_beyond_max_frames():
+    """duration_ms comes from the header frame count, not the
+    max_frames-truncated analysis prefix: a clip longer than the bound
+    still reports its true duration while statistics cover the prefix."""
+    from textextract_ray.stages.multimodal import AudioFeatures
+
+    t = np.arange(16000) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)  # 1 s at 16 kHz
+    out = (
+        AudioFeatures(max_frames=4000)(_batch([(0, _wav(sine))]))
+        .to_pandas()
+        .iloc[0]
+    )
+    assert out["status"] == "ok"
+    assert out["duration_ms"] == 1000  # whole clip, not 250 ms
+    # stats are over the 4000-frame prefix and stay sane
+    assert abs(out["rms"] - 0.5 / np.sqrt(2)) < 0.01

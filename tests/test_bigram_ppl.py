@@ -123,3 +123,23 @@ def test_bigram_ppl_layout_invariant(ray_session):
     b = _run(df.sample(frac=1.0, random_state=3).reset_index(drop=True),
              repartition=5, vocab_size=32, bigram_budget=50, lam=LAM)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bigram_ppl_rejects_lam_one(ray_session):
+    """lam=1.0 has no interpolation floor: a budget-dropped bigram would
+    contribute log(0) = -inf, so the validation excludes it."""
+    import pytest
+
+    with pytest.raises(ValueError, match=r"lam must be in \[0, 1\)"):
+        _run(_corpus(), vocab_size=8, lam=1.0)
+
+
+def test_bigram_ppl_token_free_corpus(ray_session):
+    """A corpus with zero tokens anywhere keeps the per-doc contract:
+    one (id, 0, 0, 1.0) row per doc, same as token-less docs get in a
+    non-degenerate corpus — not an empty dataset."""
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "   ", None]})
+    got = _run(df, vocab_size=8, lam=LAM)
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert (got["n_tokens"] == 0).all() and (got["n_oov"] == 0).all()
+    assert (got["perplexity"] == 1.0).all()

@@ -114,3 +114,13 @@ def test_train_pq_rejects_indivisible_dim(pq_ds):
 
     with pytest.raises(ValueError, match="not divisible"):
         train_pq(ds, m=5)
+
+
+def test_train_pq_rejects_oversized_codebook(pq_ds):
+    """Codes are stored as uint8; n_codes > 256 would silently wrap
+    mod 256 in pq_encode, so train_pq must reject it up front."""
+    ds, _ = pq_ds
+    from textextract_ray.stages.similarity import train_pq
+
+    with pytest.raises(ValueError, match="n_codes"):
+        train_pq(ds, m=8, n_codes=300, seed=29)

@@ -828,3 +828,49 @@ def test_broadcast_semi_join_utility(ray_session):
 
     with pytest.raises(ValueError, match="budget_rows"):
         broadcast_semi_join_ds(lds, rds, "host", budget_rows=1).count()
+
+
+def test_broadcast_semi_join_null_keys(ray_session):
+    """SQL SEMI/ANTI (EXISTS/NOT EXISTS) null semantics: NULL never
+    matches — a right-side NULL entry is inert, left NULL rows drop
+    from the semi join and survive the anti join, and a literal 'None'
+    string does not conflate with NULL."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.relational import broadcast_semi_join_ds
+
+    ldf = pd.DataFrame(
+        {"host": ["a.com", None, "None", "b.com", None, "c.com"],
+         "v": range(6)}
+    )
+    rdf = pd.DataFrame({"host": ["a.com", None, "None"]})
+    lds = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+
+    semi = broadcast_semi_join_ds(lds, rds, "host").to_pandas()
+    anti = broadcast_semi_join_ds(lds, rds, "host", anti=True).to_pandas()
+    want_semi = duckdb.sql(
+        "SELECT * FROM ldf WHERE EXISTS "
+        "(SELECT 1 FROM rdf WHERE rdf.host = ldf.host) ORDER BY v"
+    ).df()
+    want_anti = duckdb.sql(
+        "SELECT * FROM ldf WHERE NOT EXISTS "
+        "(SELECT 1 FROM rdf WHERE rdf.host = ldf.host) ORDER BY v"
+    ).df()
+    pd.testing.assert_frame_equal(
+        semi.sort_values("v").reset_index(drop=True), want_semi
+    )
+    pd.testing.assert_frame_equal(
+        anti.sort_values("v").reset_index(drop=True), want_anti
+    )
+    # the string "None" matched (it IS in the right set); NULLs went anti
+    assert semi["v"].tolist() == [0, 2]
+    assert anti["v"].tolist() == [1, 3, 4, 5]
+
+    # an all-NULL right side is an empty key set
+    rnull = rd.from_arrow(pa.table({"host": pa.array([None, None], pa.string())}))
+    assert broadcast_semi_join_ds(lds, rnull, "host").count() == 0
+    assert broadcast_semi_join_ds(lds, rnull, "host", anti=True).count() == 6

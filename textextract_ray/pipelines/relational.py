@@ -1435,6 +1435,12 @@ def broadcast_semi_join_ds(
     ``ray.put``, and left batches probe with ``searchsorted`` — the
     left side never shuffles.
 
+    NULL keys follow SQL SEMI/ANTI (EXISTS/NOT EXISTS) semantics: a
+    NULL never matches anything — right-side NULLs are dropped from
+    the key set and left-side NULL rows are excluded by the semi join
+    and kept by the anti join (so an anti-join denylist with a stray
+    NULL entry cannot silently drop every null-keyed row).
+
     ``budget_rows`` guards the broadcast (8 B/key): past it the right
     side is too large for this plan and the call raises with guidance
     (co-partition both sides by the key bucket instead — see
@@ -1445,7 +1451,11 @@ def broadcast_semi_join_ds(
     from ..functions.scalar import stable_hash64
 
     def key_partials(batch: pa.Table) -> pa.Table:
-        h = np.unique(stable_hash64(batch[on]))
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()  # NULL never matches (SQL join semantics)
+        h = np.unique(stable_hash64(col)) if len(col) else np.empty(0, np.uint64)
         return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
 
     keys = (
@@ -1479,13 +1489,18 @@ def broadcast_semi_join_ds(
 
     def probe(batch: pa.Table) -> pa.Table:
         members = ray.get(ref)
-        h = stable_hash64(batch[on]).view(np.int64)
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = stable_hash64(col).view(np.int64)
         if not len(members):
             hit = np.zeros(len(h), bool)
         else:
             pos = np.searchsorted(members, h)
             pos[pos == len(members)] = 0
             hit = members[pos] == h
+        if col.null_count:  # NULL keys never match (semi drops, anti keeps)
+            hit &= ~col.is_null().to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~hit if anti else hit))
 
     return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

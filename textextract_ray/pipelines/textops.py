@@ -35,6 +35,30 @@ def _lower_token_lists(col, pattern: str = "[^a-z]+"):
     return pc.split_pattern_regex(low, pattern=pattern)
 
 
+def _exact_top(counts_ds, key_col: str, count_col: str, k: int) -> pd.DataFrame:
+    """Exact global top-``k`` of an aggregated (key, count) dataset by
+    (count desc, key asc): every block nominates ITS top-k (a block can
+    contribute at most k global winners, so nominations are exact), the
+    O(blocks·k) nomination set pulls to the driver, and the same order
+    picks the global cut. This is THE nomination kernel behind every
+    top-K table in this module (perplexity_buckets, tfidf, train_bpe,
+    bigram LM) — the two-level order must be byte-identical for
+    exactness and layout invariance, so it lives in exactly one place.
+    Returns a pandas frame of ≤k rows (empty-with-columns when the
+    input has no rows)."""
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            [count_col, key_col], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts_ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    if key_col not in cand.columns:  # fully empty datasets lose columns
+        return pd.DataFrame({key_col: [], count_col: []})
+    return cand.sort_values([count_col, key_col], ascending=[False, True]).head(k)
+
+
 def token_stats(sf_dir: str):
     """Whitespace + BPE-ish token counts per doc, aggregated per lang.
 
@@ -1232,14 +1256,7 @@ def perplexity_buckets(
     if total == 0:
         return empty
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "tok"], ascending=[False, True]
-        ).head(vocab_size)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    vocab = cand.sort_values(["n", "tok"], ascending=[False, True]).head(vocab_size)
+    vocab = _exact_top(counts, "tok", "n", vocab_size)
     vocab_toks = pa.array(vocab["tok"].tolist(), pa.string())
     logp = np.log(vocab["n"].to_numpy(np.float64) / float(total))
     oov_lp = float(np.log(1.0 / float(total)))
@@ -2363,14 +2380,7 @@ def tfidf_topk_ds(
     if dfs.count() == 0:
         return ray.data.from_pandas(empty)
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        t = batch.to_pandas().sort_values(
-            ["df", "term"], ascending=[False, True]
-        ).head(vocab_top)
-        return pa.Table.from_pandas(t, preserve_index=False)
-
-    cand = dfs.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    vocab = cand.sort_values(["df", "term"], ascending=[False, True]).head(vocab_top)
+    vocab = _exact_top(dfs, "term", "df", vocab_top)
     vocab_terms = pa.array(vocab["term"].tolist(), pa.string())
     idf = np.log((1.0 + n_docs) / (1.0 + vocab["df"].to_numpy(np.float64))) + 1.0
     # alphabetical rank per vocab slot, for the vectorized term-asc
@@ -2618,14 +2628,7 @@ def train_bpe(sf_dir: str, *, n_merges: int = 200, vocab_words: int = 20_000):
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "tok"], ascending=[False, True]
-        ).head(vocab_words)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    hist = cand.sort_values(["n", "tok"], ascending=[False, True]).head(vocab_words)
+    hist = _exact_top(counts, "tok", "n", vocab_words)
     return _train(dict(zip(hist["tok"], hist["n"])), n_merges)
 
 
@@ -2828,10 +2831,16 @@ def pretraining_prep(
     # 0. opt-in cleaning: normalize + frequent-line scrub
     if clean and not _done("clean"):
         raw = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        # materialize the normalized corpus ONCE: line_frequency_filter_ds
+        # consumes its input twice (frequency pass + scrub pass) and a lazy
+        # upstream would re-run the recipe's dominant Python-cost kernel
+        # (mojibake repair + NFC) over every document a second time; the
+        # materialized blocks live in the object store and spill at scale
+        normalized = normalize_text_ds(raw).materialize()
         _write(
             "clean",
             line_frequency_filter_ds(
-                normalize_text_ds(raw), min_count=linefreq_min_count
+                normalized, min_count=linefreq_min_count
             ).select_columns(["doc_id", "text"]),
         )
 
@@ -4048,8 +4057,11 @@ def bigram_perplexity_ds(
     Returns (id_col, n_tokens, n_oov, perplexity)."""
     import ray
 
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if not 0.0 <= lam < 1.0:
+        # lam=1.0 is rejected: with no unigram mass the interpolation
+        # floor vanishes, so any bigram dropped by bigram_budget would
+        # contribute log(0) = -inf and the doc's perplexity goes infinite
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
 
     # --- pass 1: unigram vocab ------------------------------------------------
     def unigram_partials(batch: pa.Table) -> pa.Table:
@@ -4069,21 +4081,23 @@ def bigram_perplexity_ds(
     )
     total = counts.sum("n") or 0
     if total == 0:
-        return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "n_oov": pa.array([], pa.int64()),
-            "perplexity": pa.array([], pa.float64()),
-        }))
+        # token-free corpus: keep the per-doc contract the non-degenerate
+        # path has for token-less docs — one (id, 0, 0, 1.0) row each —
+        # rather than dropping every doc from downstream joins
+        def degenerate(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(np.zeros(n, np.int64)),
+                "n_oov": pa.array(np.zeros(n, np.int64)),
+                "perplexity": pa.array(np.ones(n, np.float64)),
+            })
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "tok"], ascending=[False, True]
-        ).head(vocab_size)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return docs.map_batches(
+            degenerate, batch_format="pyarrow", zero_copy_batch=True
+        )
 
-    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    vocab = cand.sort_values(["n", "tok"], ascending=[False, True]).head(vocab_size)
+    vocab = _exact_top(counts, "tok", "n", vocab_size)
     vocab_toks = pa.array(vocab["tok"].tolist(), pa.string())
     uni_n = vocab["n"].to_numpy(np.float64)
     V = len(vocab_toks)
@@ -4147,17 +4161,9 @@ def bigram_perplexity_ds(
             np.float64
         )
 
-    def local_top_keys(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "key"], ascending=[False, True]
-        ).head(bigram_budget)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    bcand = big.map_batches(local_top_keys, batch_format="pyarrow").to_pandas()
-    if "key" in bcand.columns and len(bcand):
-        btop = bcand.sort_values(["n", "key"], ascending=[False, True]).head(
-            bigram_budget
-        ).sort_values("key")
+    bcand = _exact_top(big, "key", "n", bigram_budget)
+    if len(bcand):
+        btop = bcand.sort_values("key")
         bkeys = btop["key"].to_numpy(np.int64)
         bns = btop["n"].to_numpy(np.float64)
     else:  # budget 0 / bigram-free corpus: every pair takes the floor

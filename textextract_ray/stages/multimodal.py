@@ -849,8 +849,12 @@ class AudioFeatures:
 
         with wave.open(io.BytesIO(payload)) as w:
             rate, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-            n = min(w.getnframes(), self.max_frames)
+            total_frames = w.getnframes()
+            n = min(total_frames, self.max_frames)
             raw = w.readframes(n)
+        # duration reflects the WHOLE clip (from the header frame count);
+        # the statistics below are over the max_frames-bounded prefix
+        dur = int(total_frames * 1000 / rate) if rate else 0
         if width == 2:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
         elif width == 1:  # 8-bit WAV is unsigned
@@ -862,8 +866,7 @@ class AudioFeatures:
         if ch > 1:
             x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
         if len(x) == 0:
-            return 0, 0.0, 0.0, 0.0, 1.0, 0.0, "ok"
-        dur = int(len(x) * 1000 / rate) if rate else 0
+            return dur, 0.0, 0.0, 0.0, 1.0, 0.0, "ok"
         rms = float(np.sqrt(np.mean(x * x)))
         peak = float(np.abs(x).max())
         zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0

@@ -549,6 +549,10 @@ def train_pq(ds, *, m=8, n_codes=256, vec_col="embedding", id_col="vec_id",
     Deterministic: sample is layout-independent, init is
     RandomState(seed + j) over the sorted sample, empty codewords keep
     their previous value."""
+    if not 1 <= n_codes <= 256:
+        # codes are stored as uint8 (that IS the compression); a larger
+        # codebook would silently wrap mod 256 in pq_encode
+        raise ValueError(f"train_pq: n_codes must be in [1, 256], got {n_codes}")
     sample = _unit(_hash_sample(
         ds, vec_col=vec_col, id_col=id_col,
         sample_frac=sample_frac, sample_budget_rows=sample_budget_rows,
