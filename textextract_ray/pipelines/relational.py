@@ -1504,3 +1504,228 @@ def broadcast_semi_join_ds(
         return batch.filter(pa.array(~hit if anti else hit))
 
     return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_lookup_join_ds(
+    left,
+    dim,
+    on: str,
+    *,
+    dim_cols: list[str] | None = None,
+    how: str = "inner",
+    budget_rows: int = 5_000_000,
+):
+    """Public dimension-attach join — the J1 pattern (user ⋈ plan,
+    page ⋈ host-policy) as one named utility: attach ``dim_cols`` from
+    a small dimension table to every left row whose ``on`` key matches.
+    The dimension pulls to the driver ONCE under ``budget_rows``,
+    broadcasts via ``ray.put``, and each left batch resolves matches
+    with ``pc.index_in`` (EXACT value equality — unlike the semi join's
+    8-byte hash probe, an enrich must never attach another key's
+    values) + one ``take`` per attached column. The left side never
+    shuffles and is never materialized.
+
+    Contract: ``dim`` must be unique on ``on`` (a lookup, not a 1→N
+    join — duplicates raise rather than silently exploding rows);
+    NULL keys never match (SQL semantics): dropped under
+    ``how="inner"``, kept with null attachments under ``how="left"``.
+    Past ``budget_rows`` the call raises with co-partition guidance
+    (``_cogroup_join_apply`` is the bucketed template)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how}")
+    if dim_cols is None:
+        dim_cols = [c for c in dim.schema().names if c != on]
+    n_dim = dim.count()
+    if n_dim > budget_rows:
+        raise ValueError(
+            f"broadcast_lookup_join_ds: {n_dim} dim rows exceed "
+            f"budget_rows={budget_rows}; co-partition both sides by "
+            "stable_bucket(key) instead (see _cogroup_join_apply)"
+        )
+    dim_tbl = pa.concat_tables(
+        dim.select_columns([on, *dim_cols]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    ) if n_dim else pa.table(
+        {c: pa.array([], t) for c, t in zip(
+            [on, *dim_cols],
+            [dim.schema().base_schema.field(c).type for c in [on, *dim_cols]],
+        )}
+    )
+    key_arr = dim_tbl[on].combine_chunks()
+    if key_arr.null_count:  # NULL keys can never be probed — drop them
+        dim_tbl = dim_tbl.filter(pc.is_valid(dim_tbl[on]))
+        key_arr = dim_tbl[on].combine_chunks()
+    n_distinct = len(pc.unique(key_arr))
+    if n_distinct != len(key_arr):
+        raise ValueError(
+            f"broadcast_lookup_join_ds: dim has {len(key_arr) - n_distinct} "
+            f"duplicate '{on}' keys — a lookup dimension must be unique "
+            "(dedupe with groupby(key).map_groups(take_first) or "
+            "drop_cluster_duplicates first)"
+        )
+    ref = ray.put(dim_tbl)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        keys = d[on].combine_chunks()
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.index_in(col, value_set=keys)  # exact equality; null → null
+        if col.null_count:  # a NULL key matches nothing, even a dim NULL
+            idx = pc.if_else(pc.is_valid(col), idx, pa.scalar(None, pa.int32()))
+        out = batch
+        for c in dim_cols:
+            out = out.append_column(c, pc.take(d[c].combine_chunks(), idx))
+        if how == "inner":
+            out = out.filter(pc.is_valid(idx))
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_join_ds(
+    points,
+    intervals,
+    *,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    interval_cols: list[str] | None = None,
+    num_buckets: int = 64,
+):
+    """Keyed point-in-interval join: attach the interval row covering
+    each point — ``p.key = i.key AND i.start <= p.ts < i.end`` — the
+    billing-period / session-window / validity-range lookup (M11/G3's
+    anchored periods generalized to arbitrary interval tables). Points
+    with no covering interval drop (inner semantics).
+
+    Scale shape: both sides tag ``stable_bucket(key)`` and co-locate in
+    ONE union + groupby(bucket) shuffle — the `_cogroup_join_apply`
+    pattern — so dispatch is O(num_buckets), never O(keys). Inside a
+    bucket the intervals sort by (key, start) once and every point
+    resolves with ONE ``np.searchsorted`` over the flattened
+    (key_rank, start) space; no pandas merge explosion, no per-key
+    loop.
+
+    Contract: intervals must be non-overlapping PER KEY (the
+    subscription/session shape — each point has at most one cover);
+    overlap raises with the offending key rather than silently picking
+    one. 1→N "all overlapping intervals" is a different operator —
+    compose from `_bucketed_apply` with an interval tree if ever
+    needed."""
+    from ..functions.scalar import stable_bucket
+
+    if interval_cols is None:
+        interval_cols = [
+            c
+            for c in intervals.schema().names
+            if c not in (key_col, start_col, end_col)
+        ]
+
+    pt_schema = points.schema()
+    point_cols = [c for c in pt_schema.names if c != key_col]
+    pt_types = {c: pt_schema.base_schema.field(c).type for c in point_cols}
+    iv_schema = intervals.schema()
+    iv_keep = [start_col, end_col, *interval_cols]
+    iv_types = {c: iv_schema.base_schema.field(c).type for c in iv_keep}
+    all_cols = {**pt_types, **iv_types}
+
+    def tag(side: int, keep: list[str]):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            present = set(batch.column_names)
+            data = {key_col: batch[key_col]}
+            for c, t in all_cols.items():
+                data[c] = (
+                    batch[c] if (c in present and c in keep) else pa.nulls(n, t)
+                )
+            data["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            data["_bucket"] = pa.array(
+                stable_bucket(batch[key_col], num_buckets), pa.int32()
+            )
+            return pa.table(data)
+
+        return _f
+
+    tagged = points.map_batches(tag(0, point_cols), batch_format="pyarrow").union(
+        intervals.map_batches(tag(1, iv_keep), batch_format="pyarrow")
+    )
+
+    out_cols = [key_col, *point_cols, start_col, end_col, *interval_cols]
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        # Arrow group format: each side's own columns carry no padding
+        # nulls after the side filter, so int64/timestamp types survive
+        # (a pandas group would widen null-padded ints to float64 and
+        # corrupt 8-byte hash ids)
+        smask = pc.equal(tbl["_side"], 0)
+        pts_t = tbl.filter(smask).select([key_col, *point_cols])
+        ivs_t = tbl.filter(pc.invert(smask)).select(
+            [key_col, start_col, end_col, *interval_cols]
+        )
+        if pts_t.num_rows == 0 or ivs_t.num_rows == 0:
+            return tbl.select(out_cols).slice(0, 0)
+        # rank interval keys dense, sort intervals by (key, start) once
+        ivk_pd = ivs_t.select([key_col, start_col, end_col]).to_pandas()
+        iv_codes, keys_uniq = pd.factorize(ivk_pd[key_col], sort=True)
+        keys_uniq = pd.Index(keys_uniq)
+        sort_idx = np.lexsort((ivk_pd[start_col].to_numpy(), iv_codes))
+        iv_k = iv_codes[sort_idx]
+        starts = ivk_pd[start_col].to_numpy()[sort_idx]
+        ends = ivk_pd[end_col].to_numpy()[sort_idx]
+        # non-overlap contract: within a key each start >= previous end
+        same = iv_k[1:] == iv_k[:-1]
+        bad = same & (starts[1:] < ends[:-1])
+        if bad.any():
+            k = keys_uniq[iv_k[int(np.flatnonzero(bad)[0]) + 1]]
+            raise ValueError(
+                f"interval_join_ds: overlapping intervals for key {k!r} — "
+                "intervals must be non-overlapping per key"
+            )
+        pts_pd = pts_t.select([key_col, ts_col]).to_pandas()
+        p_codes = keys_uniq.get_indexer(pts_pd[key_col])  # -1 = keyless
+        p_rows = np.flatnonzero(p_codes >= 0)
+        if not len(p_rows):
+            return tbl.select(out_cols).slice(0, 0)
+        p_k = p_codes[p_rows]
+        p_ts = pts_pd[ts_col].to_numpy()[p_rows]
+        # fully-vectorized per-key "last interval with start <= ts":
+        # merge both sides ordered by (key, value, interval-before-point)
+        # and count intervals seen within the key prefix — no per-key
+        # Python loop, O((P+I)·log) numpy
+        m_k = np.concatenate([iv_k, p_k])
+        m_v = np.concatenate([starts, p_ts])
+        m_tag = np.concatenate(
+            [np.zeros(len(iv_k), np.int8), np.ones(len(p_k), np.int8)]
+        )
+        order = np.lexsort((m_tag, m_v, m_k))
+        is_iv = m_tag[order] == 0
+        cum = np.cumsum(is_iv)  # intervals seen up to each merged slot
+        key_sorted = m_k[order]
+        first_of_key = np.searchsorted(key_sorted, key_sorted, side="left")
+        base = np.where(first_of_key > 0, cum[np.maximum(first_of_key - 1, 0)], 0)
+        in_key_rank = cum - base - 1  # idx of last same-key start <= value
+        pt_slots = np.flatnonzero(~is_iv)
+        orig_pt = order[pt_slots] - len(iv_k)  # back into p_rows order
+        rank = in_key_rank[pt_slots]
+        lo = np.searchsorted(iv_k, p_k[orig_pt], side="left")
+        cand = lo + np.maximum(rank, 0)
+        ok = (rank >= 0) & (p_ts[orig_pt] < ends[cand])
+        matched_rows = p_rows[orig_pt[ok]]
+        if not len(matched_rows):
+            return tbl.select(out_cols).slice(0, 0)
+        res = pts_t.take(pa.array(matched_rows, pa.int64()))
+        iv_orig = sort_idx[cand[ok]]  # sorted slot -> original ivs_t row
+        for c in (start_col, end_col, *interval_cols):
+            res = res.append_column(
+                c, pc.take(ivs_t[c].combine_chunks(), pa.array(iv_orig, pa.int64()))
+            )
+        return res
+
+    return tagged.groupby("_bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
