@@ -1,0 +1,266 @@
+"""Output-layout operators: shard compaction and key-range clustering.
+
+Two storage-shaped operators a 100-TB resumable pipeline needs around
+its parquet output, re-expressed Ray-first:
+
+* ``compact_shards`` — the small-file problem: a long run with
+  per-partition commits (or a streaming writer emitting one file per
+  block) leaves thousands of KB-scale parquet files whose per-file
+  open/footer cost dominates downstream reads. Compaction greedily
+  groups files to a target size and rewrites each group in ONE Ray
+  task that streams row groups through a ``ParquetWriter`` — a group
+  is never materialized in memory, the driver only ever holds file
+  names + sizes (O(files) metadata), and the output commits with the
+  engine's tmp+rename idiom (``state/checkpoint.py``, reference
+  src/updater.py:548,667-679).
+
+* ``write_clustered`` / ``read_clustered`` — prune-at-the-read for
+  range predicates: one budgeted hash-sample pass picks approximate
+  equal-depth key boundaries, one streaming pass tags each row's range
+  id and writes hive-partitioned (``_range=N/``) files, and a boundary
+  manifest next to the data lets ``read_clustered`` open ONLY the
+  range directories overlapping the requested key interval (plus an
+  exact residual filter). The write is shuffle-FREE — rows are not
+  globally sorted, just co-filed by range — which is exactly what
+  footer-level pruning needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..functions.scalar import stable_hash64
+
+_COMPACT_META = "_compaction.json"
+_CLUSTER_META = "_cluster_manifest.json"
+
+
+def _list_parquet(in_dir: str) -> list[tuple[str, int]]:
+    out = []
+    for root, _dirs, files in os.walk(in_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
+@ray.remote(num_cpus=1)
+def _compact_group(paths: list[str], out_path: str, row_group_rows: int) -> dict:
+    """Rewrite one group of parquet files as a single file, streaming
+    row groups (bounded memory regardless of group size)."""
+    schema = pq.ParquetFile(paths[0]).schema_arrow
+    tmp = out_path + ".tmp"
+    rows = 0
+    with pq.ParquetWriter(tmp, schema) as w:
+        for p in paths:
+            f = pq.ParquetFile(p)
+            if not f.schema_arrow.equals(schema):
+                raise ValueError(
+                    f"compact_shards: schema mismatch between {paths[0]} "
+                    f"and {p} — compaction requires a uniform schema"
+                )
+            for batch in f.iter_batches(batch_size=row_group_rows):
+                w.write_batch(batch)
+                rows += batch.num_rows
+    os.replace(tmp, out_path)
+    return {"path": out_path, "rows": rows, "inputs": len(paths)}
+
+
+def compact_shards(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_mb: int = 256,
+    row_group_rows: int = 65536,
+) -> pd.DataFrame:
+    """Compact the parquet files under ``in_dir`` into ~``target_mb``
+    files under ``out_dir``. Grouping is first-fit-decreasing over the
+    (size, name) order, so the layout is deterministic for a given
+    input set; files larger than the target pass through as their own
+    group (compaction never splits a file). Raw Ray tasks are the right
+    tool here — this is a per-group IO job with no dataflow semantics
+    for ``map_batches`` to add, and the Dataset writer would re-block
+    rows instead of preserving the explicit grouping.
+
+    Returns the compaction manifest (one row per output file: path,
+    rows, input count), which is also committed as
+    ``out_dir/_compaction.json`` via tmp+rename."""
+    files = _list_parquet(in_dir)
+    if not files:
+        raise ValueError(f"compact_shards: no parquet files under {in_dir}")
+    target = target_mb * (1 << 20)
+    # first-fit-decreasing, name as the deterministic tie-break
+    order = sorted(files, key=lambda fs: (-fs[1], fs[0]))
+    groups: list[list[str]] = []
+    sizes: list[int] = []
+    for path, size in order:
+        placed = False
+        for i, s in enumerate(sizes):
+            if s + size <= target:
+                groups[i].append(path)
+                sizes[i] += size
+                placed = True
+                break
+        if not placed:
+            groups.append([path])
+            sizes.append(size)
+    os.makedirs(out_dir, exist_ok=True)
+    futs = [
+        _compact_group.remote(
+            g, os.path.join(out_dir, f"compact-{i:05d}.parquet"), row_group_rows
+        )
+        for i, g in enumerate(groups)
+    ]
+    manifest = pd.DataFrame(ray.get(futs))
+    tmp = os.path.join(out_dir, _COMPACT_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest.to_dict(orient="records"), fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _COMPACT_META))
+    return manifest
+
+
+def _boundary_sample(ds, key_col: str, sample_k: int):
+    """Deterministic budget-bounded key sample: every block nominates
+    its bottom-``sample_k`` keys by the repo hash, the driver merges to
+    the global bottom-k — a layout-invariant uniform sample of
+    O(blocks·k) rows, never the corpus."""
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if not len(col):
+            return pa.table({"k": col, "h": pa.array([], pa.uint64())})
+        h = stable_hash64(col)
+        keep = np.argsort(h, kind="stable")[:sample_k]
+        return pa.table(
+            {"k": col.take(pa.array(keep, pa.int64())), "h": pa.array(h[keep])}
+        )
+
+    nom = ds.map_batches(nominate, batch_format="pyarrow").to_pandas()
+    if not len(nom):
+        raise ValueError("write_clustered: no non-null keys to cluster on")
+    nom = nom.sort_values(["h", "k"]).head(sample_k)
+    return np.sort(nom["k"].to_numpy())
+
+
+def write_clustered(
+    ds,
+    out_dir: str,
+    key_col: str,
+    *,
+    num_ranges: int = 64,
+    sample_k: int = 65536,
+) -> pd.DataFrame:
+    """Range-cluster ``ds`` by ``key_col`` under ``out_dir``: rows land
+    in hive directories ``_range=N/`` whose key intervals are recorded
+    in ``_cluster_manifest.json``, so a later range read opens only the
+    overlapping directories. Boundaries are approximate equal-depth
+    (from the deterministic hash sample); skewed keys only skew file
+    sizes, never correctness. NULL keys go to range 0 and are excluded
+    by any bounded read (SQL comparison semantics).
+
+    Shuffle-free: tagging is a per-batch ``searchsorted``; the writer
+    splits each block by range id. Returns the manifest as a DataFrame
+    (range id, lower bound inclusive / None for the first)."""
+    sample = _boundary_sample(ds, key_col, sample_k)
+    n_b = min(num_ranges - 1, max(len(sample) - 1, 0))
+    # boundary b[i] = smallest key of range i+1
+    idx = (np.arange(1, n_b + 1) * len(sample)) // (n_b + 1)
+    bounds = np.unique(sample[idx]) if n_b else sample[:0]
+    blist = bounds.tolist()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        r = np.zeros(len(vals), np.int32)
+        if len(blist) and valid.any():
+            r[valid] = np.searchsorted(
+                np.asarray(blist), vals[valid], side="right"
+            ).astype(np.int32)
+        return batch.append_column("_range", pa.array(r, pa.int32()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["_range"]
+    )
+    manifest = {
+        "key_col": key_col,
+        "bounds": [None] + [_json_key(b) for b in blist],
+        "n_ranges": len(blist) + 1,
+    }
+    tmp = os.path.join(out_dir, _CLUSTER_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _CLUSTER_META))
+    return pd.DataFrame(
+        {"range": range(len(blist) + 1), "lower_bound": [None] + blist}
+    )
+
+
+def _json_key(v):
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def read_clustered(out_dir: str, *, lo=None, hi=None):
+    """Read back a clustered layout, opening ONLY the range directories
+    that can contain keys in ``[lo, hi)`` per the manifest, then
+    applying the exact residual filter (boundaries are approximate, the
+    result is exact). ``lo``/``hi`` of None leave that side unbounded.
+    Returns the pruned Dataset; ``read_clustered.last_pruning`` records
+    (ranges_read, ranges_total) for tests/reports."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, _CLUSTER_META)) as fh:
+        m = json.load(fh)
+    key_col = m["key_col"]
+    bounds = m["bounds"]  # bounds[i] = inclusive lower bound of range i
+    n = m["n_ranges"]
+    keep = []
+    for i in range(n):
+        lower = bounds[i]  # None for range 0
+        upper = bounds[i + 1] if i + 1 < n else None
+        if lo is not None and upper is not None and upper <= lo:
+            continue
+        if hi is not None and lower is not None and lower >= hi:
+            continue
+        keep.append(i)
+    read_clustered.last_pruning = (len(keep), n)
+    dirs = [os.path.join(out_dir, f"_range={i}") for i in keep]
+    paths = []
+    for d in dirs:  # read_parquet expands ONE dir, not a list of dirs
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.string())}))
+    ds = rd.read_parquet(paths)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        mask = pc.is_valid(col)
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(col, pa.scalar(lo)))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less(col, pa.scalar(hi)))
+        return batch.filter(mask)
+
+    if lo is None and hi is None:
+        return ds
+    return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
