@@ -264,3 +264,47 @@ def read_clustered(out_dir: str, *, lo=None, hi=None):
     if lo is None and hi is None:
         return ds
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_clustered_keys(out_dir: str, keys: list):
+    """Point-lookup variant of ``read_clustered``: open only the range
+    directories whose interval can contain one of ``keys``, then apply
+    the exact ``is_in`` residual. The lookup path for a clustered
+    dimension (e.g. postings by term): k keys touch at most k range
+    directories no matter how large the layout is."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, _CLUSTER_META)) as fh:
+        m = json.load(fh)
+    key_col = m["key_col"]
+    bounds = m["bounds"]
+    n = m["n_ranges"]
+    ks = sorted(set(k for k in keys if k is not None))
+    keep = set()
+    for k in ks:
+        # range i covers [bounds[i], bounds[i+1]); bounds[0] is None
+        lo_i = 0
+        for i in range(n - 1, -1, -1):
+            if bounds[i] is not None and k >= bounds[i]:
+                lo_i = i
+                break
+        keep.add(lo_i)
+    read_clustered_keys.last_pruning = (len(keep), n)
+    paths = []
+    for i in sorted(keep):
+        d = os.path.join(out_dir, f"_range={i}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths or not ks:
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.string())}))
+    ds = rd.read_parquet(paths)
+    vset = pa.array(ks)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key_col], value_set=vset))
+
+    return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
