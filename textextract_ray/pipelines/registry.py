@@ -398,3 +398,18 @@ def _fim_factory(rate: float = 0.5, seed: int = 0xF1E, min_chars: int = 32,
 
     ds_op.is_dataset_op = True
     return ds_op
+
+
+@register("embed_text")
+def _embed_text_factory(text_col: str = "text", id_col: str = "doc_id",
+                        dim: int = 64, keep_cols=()):
+    from ..pipelines.embed import embed_text_ds
+
+    def ds_op(ds):
+        return embed_text_ds(
+            ds, text_col=text_col, id_col=id_col, dim=dim,
+            keep_cols=tuple(keep_cols),
+        )
+
+    ds_op.is_dataset_op = True
+    return ds_op
