@@ -9,6 +9,8 @@ retrieval through the existing ANN stack; (6) cluster_topics labels
 recover planted topics and are layout-stable.
 """
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -34,7 +36,7 @@ TOPICS = {
 
 def _topic_docs(topic: str, n: int, words=24):
     vocab = TOPICS[topic].split()
-    rng = np.random.RandomState(hash(topic) % (2**31))
+    rng = np.random.RandomState(zlib.crc32(topic.encode()) % (2**31))
     return [
         " ".join(vocab[rng.randint(0, len(vocab))] for _ in range(words))
         for _ in range(n)

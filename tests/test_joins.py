@@ -190,3 +190,105 @@ def test_interval_join_edges_and_layout(ray_session):
     assert (
         interval_join_ds(_ds(pts), _ds(ivl.iloc[:0]), **kw).count() == 0
     )
+
+
+# --- hash_join_ds ---------------------------------------------------------------
+
+
+def _fact_frames():
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {
+            "k": [int(x) if x % 13 else None for x in rng.randint(0, 40, 120)],
+            "region": [f"r{i % 3}" for i in range(120)],
+            "lv": np.arange(120, dtype=np.int64),
+            "big": rng.randint(0, 2**62, 120).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [int(x) if x % 7 else None for x in rng.randint(0, 50, 90)],
+            "region": [f"r{i % 4}" for i in range(90)],
+            "rv": np.arange(90, dtype=np.int64) * 10,
+        }
+    )
+    return left, right
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_hash_join_inner_duckdb_parity(ray_session):
+    from textextract_ray.pipelines.relational import hash_join_ds
+
+    lhs, rhs = _fact_frames()
+    got = hash_join_ds(_ds(lhs, 5), _ds(rhs, 3), "k").to_pandas()
+    want = duckdb.sql(
+        "SELECT l.k, l.region AS region_l, l.lv, l.big, "
+        "r.region AS region_r, r.rv "
+        "FROM lhs l JOIN rhs r USING (k)"
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"]),
+        check_dtype=False,
+    )
+    # N→M fan-out really happened (multiple rows per key both sides)
+    assert len(got) > got["k"].nunique()
+    # int64 facts survive the bucket merge exactly
+    assert got["big"].dtype == np.int64
+
+
+def test_hash_join_left_nulls_and_types(ray_session):
+    from textextract_ray.pipelines.relational import hash_join_ds
+
+    lhs, rhs = _fact_frames()
+    out = hash_join_ds(_ds(lhs, 5), _ds(rhs, 3), "k", how="left")
+    got = out.to_pandas()
+    want = duckdb.sql(
+        "SELECT l.k, l.region AS region_l, l.lv, l.big, "
+        "r.region AS region_r, r.rv "
+        "FROM lhs l LEFT JOIN rhs r ON l.k = r.k"
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"]),
+        check_dtype=False,
+    )
+    # null-key left rows survive with null right columns
+    nk = got[got["k"].isna()]
+    assert len(nk) == lhs["k"].isna().sum()
+    assert nk["rv"].isna().all()
+    # the ARROW schema keeps int64 (null-padded, never float64-widened);
+    # pandas rendering of nullable ints as float64 is a display choice
+    sch = out.schema()
+    assert str(sch.base_schema.field("rv").type) == "int64"
+    assert str(sch.base_schema.field("big").type) == "int64"
+
+
+def test_hash_join_multikey_and_layout(ray_session):
+    from textextract_ray.pipelines.relational import hash_join_ds
+
+    lhs, rhs = _fact_frames()
+    a = hash_join_ds(_ds(lhs, 2), _ds(rhs, 9), ["k", "region"]).to_pandas()
+    b = hash_join_ds(_ds(lhs, 11), _ds(rhs, 1), ["k", "region"]).to_pandas()
+    want = duckdb.sql(
+        "SELECT l.k, l.region, l.lv, l.big, r.rv "
+        "FROM lhs l JOIN rhs r USING (k, region)"
+    ).df()
+    key = ["k", "region", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted(a, key), _sorted(want, key),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(_sorted(a, key), _sorted(b, key))
+
+
+def test_hash_join_contracts(ray_session):
+    from textextract_ray.pipelines.relational import hash_join_ds
+
+    lhs, rhs = _fact_frames()
+    with pytest.raises(ValueError, match="how"):
+        hash_join_ds(_ds(lhs), _ds(rhs), "k", how="outer")
+    with pytest.raises(ValueError, match="missing"):
+        hash_join_ds(_ds(lhs), _ds(rhs), "lv")
+    # disjoint keys -> empty inner result
+    rhs2 = rhs.assign(k=rhs["k"] + 1000)
+    assert hash_join_ds(_ds(lhs), _ds(rhs2), "k").count() == 0

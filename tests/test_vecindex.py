@@ -7,6 +7,8 @@ index determinism across input layouts, and RRF fusion arithmetic
 (including a doc ranked by only one system).
 """
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -32,7 +34,7 @@ def _corpus():
     docs, labels = [], []
     for t, vocab in TOPICS.items():
         words = vocab.split()
-        rng = np.random.RandomState(hash(t) % (2**31))
+        rng = np.random.RandomState(zlib.crc32(t.encode()) % (2**31))
         for _ in range(25):
             docs.append(" ".join(words[rng.randint(0, len(words))]
                                  for _ in range(24)))

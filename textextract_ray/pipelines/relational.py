@@ -1729,3 +1729,130 @@ def interval_join_ds(
     return tagged.groupby("_bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def hash_join_ds(
+    left,
+    right,
+    on,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffixes: tuple = ("_l", "_r"),
+):
+    """Public fact ⋈ fact equi-join — the distributed hash join for
+    when NEITHER side fits a broadcast (`broadcast_lookup_join_ds`) and
+    the join is a real 1→N/N→M equi-match rather than a semi filter
+    (`broadcast_semi_join_ds`) or interval cover (`interval_join_ds`).
+    Generalizes the q3 co-partition fallback (J1) into one named
+    utility: both sides tag ``stable_bucket(key)`` and co-locate in ONE
+    union + groupby(bucket) shuffle — O(num_buckets) dispatch, each
+    side's rows ship exactly once — then each bucket inner/left-merges
+    its two sides.
+
+    ``on`` is a column name or list of names present in BOTH sides;
+    non-key columns sharing a name take ``suffixes``. ``how`` is
+    "inner" or "left". NULL keys follow SQL semantics: they never
+    match — inner drops them on both sides; left passes left null-key
+    rows through with null right columns (routed around the shuffle
+    entirely, not just unmatched inside it).
+
+    Types survive: the per-bucket merge runs in pandas but the output
+    rebuilds Arrow columns at the original types (``from_pandas``
+    null handling), so null-padded int64 ids from a left join do NOT
+    come back as float64 — the padding hazard `interval_join_ds`
+    documents. Skewed keys move bucket sizes, never correctness; salt
+    a pathological hot key upstream if one bucket dominates."""
+    from ..functions.scalar import stable_bucket
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lsch = left.schema()
+    rsch = right.schema()
+    for k in keys:
+        if k not in lsch.names or k not in rsch.names:
+            raise ValueError(f"join key {k!r} missing from one side")
+    ltypes = {c: lsch.base_schema.field(c).type for c in lsch.names}
+    rtypes = {c: rsch.base_schema.field(c).type for c in rsch.names}
+    lcols = [c for c in lsch.names if c not in keys]
+    rcols = [c for c in rsch.names if c not in keys]
+    lmap = {c: (c + suffixes[0] if c in rcols else c) for c in lcols}
+    rmap = {c: (c + suffixes[1] if c in lcols else c) for c in rcols}
+    lout = {lmap[c]: ltypes[c] for c in lcols}
+    rout = {rmap[c]: rtypes[c] for c in rcols}
+    all_cols = {**lout, **rout}
+    out_names = [*keys, *lout, *rout]
+    out_types = {**{k: ltypes[k] for k in keys}, **all_cols}
+
+    def tag(side: int, cmap: dict):
+        def _f(batch: pa.Table) -> pa.Table:
+            valid = None  # AND of key validity; NULL keys never match
+            for k in keys:
+                v = pc.is_valid(batch[k])
+                valid = v if valid is None else pc.and_(valid, v)
+            batch = batch.filter(valid)
+            n = len(batch)
+            data = {k: batch[k] for k in keys}
+            inv = {v: c for c, v in cmap.items()}
+            for c, t in all_cols.items():
+                data[c] = batch[inv[c]] if c in inv else pa.nulls(n, t)
+            data["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            data["_bucket"] = pa.array(
+                stable_bucket(
+                    list(zip(*(batch[k].to_pylist() for k in keys)))
+                    if len(keys) > 1
+                    else batch[keys[0]],
+                    num_buckets,
+                ),
+                pa.int32(),
+            )
+            return pa.table(data)
+
+        return _f
+
+    tagged = left.map_batches(tag(0, lmap), batch_format="pyarrow").union(
+        right.map_batches(tag(1, rmap), batch_format="pyarrow")
+    )
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        smask = pc.equal(tbl["_side"], 0)
+        lt = tbl.filter(smask).select([*keys, *lout]).to_pandas()
+        rt = tbl.filter(pc.invert(smask)).select([*keys, *rout]).to_pandas()
+        j = lt.merge(rt, on=keys, how=how)
+        return pa.table(
+            {
+                c: pa.array(j[c], type=out_types[c], from_pandas=True)
+                for c in out_names
+            }
+        )
+
+    joined = tagged.groupby("_bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+    if how == "inner":
+        return joined
+
+    # left join: null-key left rows bypass the shuffle and re-enter
+    # with null right columns (SQL: a NULL key matches nothing but the
+    # row itself survives)
+    def null_key_rows(batch: pa.Table) -> pa.Table:
+        invalid = None
+        for k in keys:
+            v = pc.is_null(batch[k])
+            invalid = v if invalid is None else pc.or_(invalid, v)
+        sub = batch.filter(invalid)
+        n = len(sub)
+        data = {k: sub[k] for k in keys}
+        for c in lout:
+            src = [o for o, v in lmap.items() if v == c][0]
+            data[c] = sub[src]
+        for c, t in rout.items():
+            data[c] = pa.nulls(n, t)
+        return pa.table(data)
+
+    bypass = left.map_batches(
+        null_key_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return joined.union(bypass)

@@ -403,6 +403,46 @@ def decontaminate(
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def fuzzy_decontaminate(
+    sf_dir: str,
+    *,
+    bench_mod: int = 97,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k_shingle: int = 3,
+):
+    """Pytest wrapper over ``stages.dedup.fuzzy_decontaminate_against``
+    with the same deterministic corpus-carved benchmark split as
+    ``decontaminate`` (doc_id % bench_mod == 0 is the eval stand-in).
+    Flags corpus docs that are MinHash near-duplicates of any bench
+    doc — the fuzzy-overlap complement of the exact n-gram check."""
+    from ..stages.dedup import fuzzy_decontaminate_against
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+            sel = (ids % bench_mod == 0) == keep_bench
+            return batch.filter(pa.array(sel))
+
+        return f
+
+    out = fuzzy_decontaminate_against(
+        ds.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True),
+        "text",
+        "doc_id",
+        num_perm=num_perm,
+        bands=bands,
+        k_shingle=k_shingle,
+        threshold=threshold,
+    )
+    df = out.to_pandas().rename(columns={"id": "doc_id"})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def chunk_windows(sf_dir: str, *, window: int = 64, stride: int = 48):
     """Fixed-token-window chunking with overlap — the context-window
     preparation step of an LLM training pipeline (split each document

@@ -338,6 +338,150 @@ def minhash_dedup(ds, text_col: str, id_col: str, **kwargs):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def fuzzy_decontaminate_against(
+    ds,
+    bench_ds,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_bench_rows: int = 2_000_000,
+):
+    """Fuzzy test-set decontamination: flag corpus documents that are
+    NEAR-duplicates of any benchmark document (MinHash-LSH candidacy +
+    signature-agreement verification), not just exact n-gram sharers.
+    The near-dup complement of ``pipelines.textops.decontaminate`` —
+    a lightly paraphrased eval question shares few exact 5-grams but
+    agrees on most MinHash permutations (Lee et al. 2021,
+    arXiv:2107.06499 §4 use exactly this shape for fuzzy overlap).
+
+    Scale shape — ZERO shuffle, one corpus pass: the benchmark side is
+    small by nature (eval sets are thousands of docs), so its
+    signatures (n_bench × num_perm × 8 B) and band-key index build
+    once on the driver and broadcast via ``ray.put``; each corpus
+    batch computes its own signatures (the same per-batch kernel the
+    MinHash dedup stage uses), probes the broadcast band index for
+    candidate bench rows, and verifies agreement with one vectorized
+    signature comparison. Nothing corpus-scale moves; cost is
+    O(corpus shingles + candidate pairs). ``max_bench_rows`` guards
+    the broadcast (past it, use ``decontaminate(bloom_fpr=...)`` —
+    a previously-trained-corpus-sized reference set is a membership
+    problem, not a near-dup one).
+
+    Returns a Dataset of (id, n_candidates, max_agreement,
+    contaminated): n_candidates = distinct bench docs sharing ≥1 LSH
+    band, max_agreement = best signature-agreement fraction over them
+    (an unbiased Jaccard estimate), contaminated = max_agreement ≥
+    threshold. Empty/whitespace-only docs are never contaminated
+    (no shingles → no candidacy; exact dedup owns the empty case).
+    Deterministic and layout-independent: every value is a pure
+    function of the doc's text and the benchmark set.
+    """
+    import ray
+
+    from ..functions.text import batch_shingle_hashes
+
+    a, b = minhash_params(num_perm)
+
+    def bench_sigs(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = [
+            minhash_signature(h, a, b).tolist()
+            for h in batch_shingle_hashes(texts, k_shingle)
+            if len(h)
+        ]
+        return pa.table({"sig": pa.array(sigs, pa.list_(pa.uint64()))})
+
+    mats = []
+    n_bench = 0
+    for blk in bench_ds.map_batches(
+        bench_sigs, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        if blk.num_rows == 0:
+            continue
+        m = np.array(blk["sig"].to_pylist(), dtype=np.uint64)
+        n_bench += len(m)
+        if n_bench > max_bench_rows:
+            raise ValueError(
+                f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
+                "a reference set this large is a membership problem — use "
+                "decontaminate(bloom_fpr=...) instead"
+            )
+        mats.append(m)
+
+    def clean_all(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id": batch[id_col],
+                "n_candidates": pa.array(np.zeros(n, np.int64)),
+                "max_agreement": pa.array(np.zeros(n, np.float64)),
+                "contaminated": pa.array(np.zeros(n, bool)),
+            }
+        )
+
+    if not mats:
+        return ds.map_batches(clean_all, batch_format="pyarrow")
+
+    bench_mat = np.concatenate(mats)
+    band_map: dict = {}
+    for row in range(len(bench_mat)):
+        for bi, key in enumerate(lsh_band_keys(bench_mat[row], bands)):
+            band_map.setdefault((bi, key), []).append(row)
+    band_map = {k: np.array(v, dtype=np.int64) for k, v in band_map.items()}
+    bref = ray.put((bench_mat, band_map))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bmat, bmap = ray.get(bref)
+        texts = batch[text_col].to_pylist()
+        hashes = batch_shingle_hashes(texts, k_shingle)
+        doc_rows, cand_rows, doc_sigs, local_to_batch = [], [], [], []
+        for d, h in enumerate(hashes):
+            if len(h) == 0:
+                continue
+            sig = minhash_signature(h, a, b)
+            cands = [
+                bmap[(bi, key)]
+                for bi, key in enumerate(lsh_band_keys(sig, bands))
+                if (bi, key) in bmap
+            ]
+            if not cands:
+                continue
+            cand = np.unique(np.concatenate(cands))
+            doc_rows.append(np.full(len(cand), len(doc_sigs), dtype=np.int64))
+            cand_rows.append(cand)
+            doc_sigs.append(sig)
+            local_to_batch.append(d)
+        n = batch.num_rows
+        n_cand = np.zeros(n, np.int64)
+        max_agree = np.zeros(n, np.float64)
+        if doc_sigs:
+            sig_local = np.stack(doc_sigs)
+            dr = np.concatenate(doc_rows)
+            cr = np.concatenate(cand_rows)
+            # one vectorized verify for every (doc, bench) candidate pair
+            agree = (sig_local[dr] == bmat[cr]).mean(axis=1)
+            counts = np.array([len(c) for c in cand_rows], np.int64)
+            offs = np.cumsum(counts)[:-1]
+            maxes = np.maximum.reduceat(agree, np.concatenate([[0], offs]))
+            lb = np.array(local_to_batch, np.int64)
+            n_cand[lb] = counts
+            max_agree[lb] = maxes
+        return pa.table(
+            {
+                "id": batch[id_col],
+                "n_candidates": pa.array(n_cand),
+                "max_agreement": pa.array(max_agree),
+                "contaminated": pa.array(max_agree >= threshold),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- SimHash near-dup --------------------------------------------------------
 
 def add_simhash(text_col: str):
