@@ -413,3 +413,19 @@ def _embed_text_factory(text_col: str = "text", id_col: str = "doc_id",
 
     ds_op.is_dataset_op = True
     return ds_op
+
+
+@register("robots_filter")
+def _robots_filter_factory(robots_path: str, url_col: str = "url",
+                           agent: str = "*", audit: bool = False):
+    from ..pipelines.textops import robots_filter_ds
+
+    def ds_op(ds):
+        import ray.data as rd
+
+        robots = rd.read_parquet(robots_path)
+        return robots_filter_ds(ds, robots, url_col=url_col, agent=agent,
+                                audit=audit)
+
+    ds_op.is_dataset_op = True
+    return ds_op

@@ -1774,8 +1774,10 @@ def hash_join_ds(
     for k in keys:
         if k not in lsch.names or k not in rsch.names:
             raise ValueError(f"join key {k!r} missing from one side")
-    ltypes = {c: lsch.base_schema.field(c).type for c in lsch.names}
-    rtypes = {c: rsch.base_schema.field(c).type for c in rsch.names}
+    from ..schemas import arrow_types_of
+
+    ltypes = arrow_types_of(lsch)
+    rtypes = arrow_types_of(rsch)
     lcols = [c for c in lsch.names if c not in keys]
     rcols = [c for c in rsch.names if c not in keys]
     lmap = {c: (c + suffixes[0] if c in rcols else c) for c in lcols}

@@ -3925,6 +3925,135 @@ def filter_noindex_ds(
     return pages.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def robots_filter_ds(
+    pages,
+    robots,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+    audit: bool = False,
+    num_buckets: int = 64,
+):
+    """robots.txt fetch-compliance filter (RFC 9309) — the companion
+    of ``filter_noindex_ds``: drop pages whose URL path the host's
+    robots.txt disallows for ``agent``. ``robots`` is a table of
+    (host, robots_txt) — one row per host, as a crawl frontier stores
+    it; hosts with no row allow everything (the no-robots.txt
+    default). ``audit=True`` appends a ``robots_allowed`` bool
+    instead of filtering, for compliance reporting.
+
+    Scale shape: at web scale the robots table is host-cardinality
+    (10^7-10^8 rows) — too big to broadcast — so both sides tag
+    ``stable_bucket(host)`` and co-locate in ONE union +
+    groupby(bucket) shuffle (the `_cogroup_join_apply` pattern,
+    O(num_buckets) dispatch). Inside a bucket each host's robots.txt
+    parses and compiles ONCE, then its pages' paths evaluate in
+    vectorized RE2 passes (O(rules) passes per host, not O(paths)
+    Python matches). Pages ship through the shuffle once; verdicts
+    are pure functions of (robots_txt, agent, path) so the result is
+    layout-independent.
+
+    Contract: duplicate hosts in ``robots`` raise (a frontier's
+    robots snapshot is a lookup, not a log — pick latest upstream).
+    Matching is RFC 9309 longest-match with allow-wins-ties,
+    ``*``/``$`` wildcards, and longest-substring agent-group
+    selection (functions/robots.py)."""
+    from ..functions.robots import (
+        compile_rules,
+        match_allowed,
+        parse_robots,
+        url_path,
+    )
+    from ..functions.scalar import stable_bucket, url_host
+
+    from ..schemas import arrow_types_of
+
+    pg_schema = pages.schema()
+    page_cols = list(pg_schema.names)
+    pg_types = arrow_types_of(pg_schema)
+
+    def tag_pages(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col]
+        host = url_host(urls)
+        data = {c: batch[c] for c in page_cols}
+        data["_host"] = host
+        data["_path"] = url_path(urls)
+        data["_robots"] = pa.nulls(len(batch), pa.string())
+        data["_side"] = pa.array(np.zeros(len(batch), np.int8))
+        data["_bucket"] = pa.array(
+            stable_bucket(host, num_buckets), pa.int32()
+        )
+        return pa.table(data)
+
+    def tag_robots(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        host = batch[host_col]
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        data = {c: pa.nulls(n, t) for c, t in pg_types.items()}
+        data["_host"] = host
+        data["_path"] = pa.nulls(n, pa.string())
+        data["_robots"] = batch[robots_col].cast(pa.string())
+        data["_side"] = pa.array(np.ones(n, np.int8))
+        data["_bucket"] = pa.array(stable_bucket(host, num_buckets), pa.int32())
+        return pa.table(data)
+
+    tagged = pages.map_batches(tag_pages, batch_format="pyarrow").union(
+        robots.map_batches(tag_robots, batch_format="pyarrow")
+    )
+
+    out_cols = page_cols + (["robots_allowed"] if audit else [])
+
+    def apply_bucket(tbl: pa.Table) -> pa.Table:
+        smask = pc.equal(tbl["_side"], 0)
+        pg = tbl.filter(smask)
+        rb = tbl.filter(pc.invert(smask))
+        rhosts = rb["_host"].to_pylist()
+        if len(rhosts) != len(set(rhosts)):
+            from collections import Counter
+
+            dup = sorted(h for h, c in Counter(rhosts).items() if c > 1)[0]
+            raise ValueError(
+                f"robots_filter_ds: duplicate robots row for host {dup!r} — "
+                "the robots table must be unique per host"
+            )
+        compiled = {
+            h: compile_rules(parse_robots(txt, agent))
+            for h, txt in zip(rhosts, rb["_robots"].to_pylist())
+        }
+        n = pg.num_rows
+        allowed = np.ones(n, dtype=bool)
+        if n and compiled:
+            hosts = np.asarray(pg["_host"].to_pylist(), dtype=object)
+            order = np.argsort(hosts, kind="stable")
+            sorted_hosts = hosts[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], sorted_hosts[1:] != sorted_hosts[:-1]))
+            )
+            paths = pg["_path"].combine_chunks() if isinstance(
+                pg["_path"], pa.ChunkedArray
+            ) else pg["_path"]
+            for gi, lo in enumerate(bounds):
+                hi = bounds[gi + 1] if gi + 1 < len(bounds) else n
+                rules = compiled.get(sorted_hosts[lo])
+                if not rules:
+                    continue
+                rows = order[lo:hi]
+                sub = paths.take(pa.array(rows, pa.int64()))
+                allowed[rows] = match_allowed(sub, rules)
+        res = pg.select(page_cols)
+        if audit:
+            return res.append_column("robots_allowed", pa.array(allowed))
+        return res.filter(pa.array(allowed))
+
+    out = tagged.groupby("_bucket").map_groups(
+        apply_bucket, batch_format="pyarrow"
+    )
+    return out.select_columns(out_cols)
+
+
 # --- fill-in-the-middle (FIM) transformation ---------------------------------
 
 FIM_PREFIX = "<fim_prefix>"
