@@ -1299,3 +1299,225 @@ def append_simhash_index(index_rows, index_dir: str) -> int:
     ).to_pandas()
     total = int(out["rows"].sum()) if len(out) else 0
     return total
+
+
+def incremental_minhash_near_dups(
+    new_docs,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+):
+    """Cross-RUN MinHash near-dup — the Jaccard-radius counterpart of
+    ``incremental_simhash_near_dups``: today's increment dedups against
+    every prior run WITHOUT re-reading prior text. ``index_dir``
+    persists one (id, sig) row per previously-ACCEPTED doc
+    (num_perm × 8 B ≈ 512 B at the defaults — the signature IS the
+    verification state, so prior docs need neither text nor recompute);
+    prior rows enter the shared LSH banding at rank 0 so they always
+    win, and only NEW ids can be dropped (structurally: rank-0 rows are
+    never emitted on the drop side).
+
+    Returns ``(assignments, new_index)``: assignments = (id, keep_id)
+    for new docs that near-dup a prior survivor or an earlier new doc
+    (keep preference: prior first, then smaller id — so a new doc
+    duplicating a prior one always maps to the PRIOR id, preserving
+    the induction that the index holds mutual non-dups at the
+    threshold); new_index = (id, sig) of the surviving new docs —
+    append with ``append_minhash_index`` to complete the increment.
+    Empty/whitespace-only docs carry no signature and never appear
+    (exact dedup owns the empty case, same as the one-shot path).
+
+    Scale shape: signatures do NOT ride the banding shuffle — bands
+    explode to (id, band_id, band_key, _rank) rows exactly like the
+    one-shot path; verification fetches signatures for candidate ids
+    only, via a broadcast probe over the (already materialized)
+    signature table. Prior text never moves; per increment the index
+    contributes one sketch-row scan plus its band rows."""
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import batch_shingle_hashes
+
+    a, b = minhash_params(num_perm)
+
+    def sigs(rank: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if rank == 0:  # index rows already carry (id, sig)
+                return pa.table(
+                    {
+                        "id": batch["id"].cast(pa.int64()),
+                        "sig": batch["sig"],
+                        "_rank": pa.array(
+                            np.zeros(batch.num_rows, np.int32), pa.int32()
+                        ),
+                    }
+                )
+            ids = batch[id_col].to_pylist()
+            texts = batch[text_col].to_pylist()
+            out_ids, out_sigs = [], []
+            for i, h in zip(ids, batch_shingle_hashes(texts, k_shingle)):
+                if len(h) == 0:
+                    continue
+                out_ids.append(i)
+                out_sigs.append(minhash_signature(h, a, b).tolist())
+            return pa.table(
+                {
+                    "id": pa.array(out_ids, pa.int64()),
+                    "sig": pa.array(out_sigs, pa.list_(pa.uint64())),
+                    "_rank": pa.array(np.full(len(out_ids), 1, np.int32)),
+                }
+            )
+
+        return fn
+
+    new_sigs = new_docs.map_batches(
+        sigs(1), batch_format="pyarrow"
+    ).materialize()
+
+    have_index = _os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(index_dir)
+    )
+    union_sigs = new_sigs
+    if have_index:
+        old = rd.read_parquet(index_dir).map_batches(
+            sigs(0), batch_format="pyarrow"
+        )
+        union_sigs = union_sigs.union(old).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        rank = batch["_rank"].to_numpy(zero_copy_only=False)
+        sig_list = batch["sig"].to_pylist()  # one conversion per batch
+        out_id, out_band, out_key, out_rank = [], [], [], []
+        for r in range(batch.num_rows):
+            sig = np.asarray(sig_list[r], dtype=np.uint64)
+            for bi, key in enumerate(lsh_band_keys(sig, bands)):
+                out_id.append(ids[r])
+                out_band.append(bi)
+                out_key.append(key)
+                out_rank.append(rank[r])
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.string()),
+                "_rank": pa.array(out_rank, pa.int32()),
+            }
+        )
+
+    exploded = union_sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.sort_values(["_rank", "id"])
+            .drop_duplicates("id")
+            .head(1024)
+        )
+        ids = g["id"].to_numpy()
+        droppable = g["_rank"].to_numpy() > 0
+        lo, hi = np.triu_indices(len(ids), k=1)
+        keep = droppable[hi]  # (rank, id)-sorted: hi side is the drop
+        return pd.DataFrame({"id": ids[hi[keep]], "keep_id": ids[lo[keep]]})
+
+    cand = _bucketed_group_apply(exploded, ["band_id", "band_key"],
+                                 bucket_candidates)
+    cand_df = cand.to_pandas()
+    empty_assign = pd.DataFrame(
+        {"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")}
+    )
+    if "id" not in cand_df.columns or len(cand_df) == 0:
+        return rd.from_pandas(empty_assign), new_sigs.drop_columns(["_rank"])
+    cand_df = cand_df.drop_duplicates(["id", "keep_id"])
+
+    # verify: fetch signatures for candidate ids only (broadcast probe)
+    cand_ids = pd.unique(pd.concat([cand_df["id"], cand_df["keep_id"]]))
+    cref = ray.put(np.sort(cand_ids.astype(np.int64)))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        members = ray.get(cref)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(members, ids)
+        pos[pos == len(members)] = 0
+        return batch.filter(pa.array(members[pos] == ids))
+
+    sig_df = union_sigs.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    sig_mat = np.array(sig_df["sig"].tolist(), dtype=np.uint64)
+    row_of = {i: r for r, i in enumerate(sig_df["id"])}
+    a_rows = cand_df["id"].map(row_of).to_numpy()
+    b_rows = cand_df["keep_id"].map(row_of).to_numpy()
+    agree = (sig_mat[a_rows] == sig_mat[b_rows]).mean(axis=1)
+    verified = cand_df[agree >= threshold]
+    if len(verified) == 0:
+        return rd.from_pandas(empty_assign), new_sigs.drop_columns(["_rank"])
+
+    # keep preference (prior first, then smaller id): rank-0 keeps sort
+    # before every new id regardless of magnitude
+    keep_rank = verified["keep_id"].map(dict(zip(sig_df["id"], sig_df["_rank"])))
+    verified = verified.assign(_keep_rank=keep_rank.to_numpy())
+    assignments = (
+        verified.sort_values(["id", "_keep_rank", "keep_id"])
+        .groupby("id", as_index=False)
+        .first()[["id", "keep_id"]]
+    )
+
+    drop_ids = np.sort(assignments["id"].to_numpy().astype(np.int64))
+    dref = ray.put(drop_ids)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(dref)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(dropped):
+            keep = np.ones(len(ids), bool)
+        else:
+            pos = np.searchsorted(dropped, ids)
+            pos[pos == len(dropped)] = 0
+            keep = dropped[pos] != ids
+        return pa.table(
+            {
+                "id": pa.array(ids[keep], pa.int64()),
+                "sig": batch["sig"].filter(pa.array(keep)),
+            }
+        )
+
+    new_index = new_sigs.map_batches(survivors, batch_format="pyarrow")
+    return rd.from_pandas(assignments), new_index
+
+
+def append_minhash_index(index_rows, index_dir: str) -> int:
+    """Append an increment's surviving (id, sig) rows to the persisted
+    MinHash index — same content-hash-named atomic-shard contract as
+    ``append_simhash_index``. Returns rows appended."""
+    import hashlib
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    _os.makedirs(index_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(batch, buf)
+        data = buf.getvalue()
+        name = f"index-{hashlib.sha1(data).hexdigest()[:16]}.parquet"
+        final = _os.path.join(index_dir, name)
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, final)
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    out = index_rows.map_batches(
+        write_block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return int(out["rows"].sum()) if len(out) else 0
