@@ -4182,6 +4182,92 @@ def gopher_filter_ds(docs, *, text_col: str = "text", audit: bool = False):
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def host_flag_filter_ds(
+    docs,
+    *,
+    url_col: str = "url",
+    flag_col: str,
+    min_docs: int = 10,
+    max_flag_frac: float = 0.5,
+    audit: bool = False,
+    budget_rows: int = 50_000_000,
+):
+    """Domain-level quality filtering (the C4/RefinedWeb/FineWeb move
+    of judging HOSTS, not just documents): aggregate a per-document
+    boolean quality flag (``flag_col`` — e.g. Gopher-audit failure,
+    classifier verdict, PII hit) per host, and drop EVERY document
+    from hosts where the flagged fraction exceeds ``max_flag_frac``
+    over at least ``min_docs`` documents (small hosts never convict —
+    one bad page on a 3-page host is noise, 600 on a 1000-page host is
+    a content farm). ``audit=True`` returns the per-host stats table
+    (host, n_docs, n_flagged, flag_frac, host_bad) instead of
+    filtering.
+
+    Scale shape — hierarchical rollup + small-side broadcast: one pass
+    emits PRE-COMBINED per-batch (host, n, n_flagged) partials, the
+    only shuffle is the keys-only groupby of those partials
+    (host-cardinality, never corpus); the convicted-host DENYLIST is
+    O(bad hosts) — broadcast once through the public anti semi-join
+    (`relational.broadcast_semi_join_ds`), so the corpus itself never
+    shuffles. ``budget_rows`` is that join's broadcast guard."""
+    from ..functions.scalar import url_host
+    from .relational import broadcast_semi_join_ds
+
+    def partials(batch: pa.Table) -> pa.Table:
+        host = url_host(batch[url_col])
+        flag = pc.fill_null(batch[flag_col], False)
+        df = pd.DataFrame(
+            {
+                "host": host.to_pylist(),
+                "n": 1,
+                "n_flagged": flag.to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        agg = df.groupby("host", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats = (
+        docs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .sum(["n", "n_flagged"])
+        .map_batches(
+            lambda b: b.rename_columns(["host", "n_docs", "n_flagged"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = batch["n_flagged"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.where(n > 0, f / np.maximum(n, 1), 0.0)
+        bad = (n >= min_docs) & (frac > max_flag_frac)
+        out = batch.append_column("flag_frac", pa.array(frac, pa.float64()))
+        return out.append_column("host_bad", pa.array(bad))
+
+    stats = stats.map_batches(verdict, batch_format="pyarrow")
+    if audit:
+        return stats
+
+    bad_hosts = stats.map_batches(
+        lambda b: b.filter(b["host_bad"]).select(["host"]),
+        batch_format="pyarrow",
+    )
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_host", url_host(batch[url_col]))
+
+    kept = broadcast_semi_join_ds(
+        docs.map_batches(with_host, batch_format="pyarrow", zero_copy_batch=True),
+        bad_hosts.map_batches(
+            lambda b: b.rename_columns(["_host"]), batch_format="pyarrow"
+        ),
+        "_host",
+        anti=True,
+        budget_rows=budget_rows,
+    )
+    return kept.drop_columns(["_host"])
+
+
 # --- interpolated bigram LM perplexity ----------------------------------------
 
 def bigram_perplexity_ds(
