@@ -51,11 +51,12 @@ def _oracle_embed(text: str, dim: int, ngrams=(1, 2)) -> np.ndarray:
         occ.extend(batch_shingle_hashes([text], k=k)[0].tolist())
     v = np.zeros(dim, dtype=np.float64)
     n_words = (dim + 63) // 64
-    np.seterr(over="ignore")  # uint64 wraparound is the construction
+    mask = (1 << 64) - 1
     for h in occ:
         bits = []
         for w in range(n_words):
-            hw = int(_splitmix64(np.uint64(h) ^ (_PROJ_SEED + np.uint64(w) * _GOLDEN)))
+            mix = np.uint64((_PROJ_SEED + w * _GOLDEN) & mask)
+            hw = int(_splitmix64(np.uint64(h) ^ mix))
             bits.extend((hw >> j) & 1 for j in range(64))
         row = np.array(bits[:dim], dtype=np.float64) * 2 - 1
         v += row

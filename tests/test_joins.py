@@ -292,3 +292,21 @@ def test_hash_join_contracts(ray_session):
     # disjoint keys -> empty inner result
     rhs2 = rhs.assign(k=rhs["k"] + 1000)
     assert hash_join_ds(_ds(lhs), _ds(rhs2), "k").count() == 0
+
+
+def test_hash_join_left_snowflake_ids_exact(ray_session):
+    # regression: values > 2^53 must survive a left join whose bucket
+    # also holds unmatched rows (pandas float64 would round them)
+    from textextract_ray.pipelines.relational import hash_join_ds
+
+    big = 4611686018427400249  # > 2^53, not float64-representable
+    lhs = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+    rhs = pd.DataFrame({"k": [1], "rv": np.array([big], dtype=np.int64)})
+    rows = sorted(
+        hash_join_ds(_ds(lhs), _ds(rhs), "k", how="left", num_buckets=1).take_all(),
+        key=lambda r: r["k"],
+    )
+    # read through Arrow rows: a pandas pull would re-render the
+    # nullable int64 as float64 at the DISPLAY layer
+    assert rows[0]["rv"] == big
+    assert rows[1]["rv"] is None

@@ -200,3 +200,31 @@ def test_robots_filter_layout_invariance_and_dup_guard(ray_session):
     dup = pd.concat([robots, robots.iloc[[0]]], ignore_index=True)
     with pytest.raises(Exception, match="duplicate robots row"):
         robots_filter_ds(rd.from_pandas(pages), rd.from_pandas(dup)).to_pandas()
+
+
+def test_null_urls_and_null_robots_hosts(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.textops import robots_filter_ds
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://b.com/x", None, "https://a.com/private/z"],
+            "doc_id": np.arange(3, dtype=np.int64),
+        }
+    )
+    robots = pd.DataFrame(
+        {
+            "host": ["a.com", None],  # a null-host row applies to nothing
+            "robots_txt": ["User-agent: *\nDisallow: /private\n", "junk"],
+        }
+    )
+    got = (
+        robots_filter_ds(rd.from_pandas(pages), rd.from_pandas(robots),
+                         num_buckets=1)  # force every row into ONE bucket
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the null-url page is allowed (no authority -> nothing disallows it)
+    assert got["doc_id"].tolist() == [0, 1]

@@ -82,8 +82,10 @@ def test_full_probe_matches_brute_force(index_dir):
 def test_partial_probe_prunes_and_recalls(index_dir):
     d, docs, labels = index_dir
     q = _queries(["statute verdict appeal clause"])
-    hits = vector_search(d, q, k=10, nprobe=2).to_pandas()
-    opened, total = vector_search.last_pruning
+    st: dict = {}
+    hits = vector_search(d, q, k=10, nprobe=2, stats=st).to_pandas()
+    opened, total = st["cells_read"], st["cells_total"]
+    assert (opened, total) == vector_search.last_pruning
     assert opened <= 2 < total == 8
     assert len(hits) == 10
     # a same-topic query must land in same-topic cells
@@ -102,7 +104,7 @@ def test_index_layout_determinism(ray_session, tmp_path):
         import pyarrow.parquet as pq_
 
         rows = []
-        for f in glob.glob(f"{idx}/vectors/**/*.parquet", recursive=True):
+        for f in glob.glob(f"{idx}/vectors*/**/*.parquet", recursive=True):
             t = pq_.read_table(f, columns=["vec_id", "cluster"])
             rows.extend(zip(t["vec_id"].to_pylist(), t["cluster"].to_pylist()))
         return sorted(rows)
@@ -149,3 +151,22 @@ def test_hybrid_rrf(index_dir, tmp_path):
         assert r["rrf"] == pytest.approx(want)
     # descending rrf, deterministic ties
     assert (np.diff(out["rrf"].to_numpy()) <= 1e-12).all()
+
+
+def test_rebuild_same_dir_no_stale_cells(ray_session, tmp_path):
+    # pointer-commit: rebuilding into the SAME index_dir with a smaller
+    # corpus and fewer clusters must leave no stale _part files behind
+    docs, _ = _corpus()
+    d = str(tmp_path / "rebuild")
+    build_vector_index(_emb_ds(docs), d, n_clusters=8, seed=13)
+    small = docs[:30]
+    meta = build_vector_index(_emb_ds(small, blocks=2), d, n_clusters=3, seed=13)
+    assert meta["n_clusters"] == 3
+    q = _queries(["recipe dough yeast"])
+    hits = vector_search(d, q, k=30, nprobe=3).to_pandas()
+    # every hit id is from the SMALL corpus, no duplicates from stale dirs
+    assert hits["vec_id"].is_unique
+    assert hits["vec_id"].max() < len(small)
+    import glob as _g
+
+    assert len(_g.glob(d + "/vectors-*")) == 1  # superseded dir removed

@@ -59,9 +59,13 @@ from ..functions.text import batch_shingle_hashes
 
 # Domain-separation constant for projection words (arbitrary odd
 # 64-bit; changing it changes every embedding — version it like the
-# extractor version if embeddings are persisted across runs).
-_PROJ_SEED = np.uint64(0xE3B0C44298FC1C14)
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+# extractor version if embeddings are persisted across runs). Kept as
+# Python ints: the per-word mix computes in arbitrary-precision int
+# masked to 64 bits, because numpy SCALAR uint64 ops warn on wraparound
+# (array ops wrap silently) — dim > 64 would log on every batch.
+_PROJ_SEED = 0xE3B0C44298FC1C14
+_GOLDEN = 0x9E3779B97F4A7C15
+_M64 = (1 << 64) - 1
 
 # Occurrence-slice bound: slice × dim float32 ≤ ~128 MB at dim=256.
 _OCC_CHUNK = 1 << 17
@@ -92,7 +96,8 @@ def _sign_matrix(h: np.ndarray, dim: int) -> np.ndarray:
     n_words = (dim + 63) // 64
     cols = []
     for w in range(n_words):
-        hw = _splitmix64(h ^ (_PROJ_SEED + np.uint64(w) * _GOLDEN))
+        mix = np.uint64((_PROJ_SEED + w * _GOLDEN) & _M64)
+        hw = _splitmix64(h ^ mix)
         bits = np.unpackbits(
             hw.astype("<u8").view(np.uint8).reshape(-1, 8),
             axis=1, bitorder="little",

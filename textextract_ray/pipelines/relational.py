@@ -1786,7 +1786,6 @@ def hash_join_ds(
     rout = {rmap[c]: rtypes[c] for c in rcols}
     all_cols = {**lout, **rout}
     out_names = [*keys, *lout, *rout]
-    out_types = {**{k: ltypes[k] for k in keys}, **all_cols}
 
     def tag(side: int, cmap: dict):
         def _f(batch: pa.Table) -> pa.Table:
@@ -1820,15 +1819,27 @@ def hash_join_ds(
 
     def join_bucket(tbl: pa.Table) -> pa.Table:
         smask = pc.equal(tbl["_side"], 0)
-        lt = tbl.filter(smask).select([*keys, *lout]).to_pandas()
-        rt = tbl.filter(pc.invert(smask)).select([*keys, *rout]).to_pandas()
+        lt_t = tbl.filter(smask)
+        rt_t = tbl.filter(pc.invert(smask))
+        # merge POSITIONS, take VALUES from Arrow: only the key columns
+        # and row indices round-trip through pandas, so non-key values
+        # never touch float64 (a NaN-padded int64 > 2^53 would silently
+        # round under a pandas value merge)
+        lt = lt_t.select(keys).to_pandas()
+        lt["_li"] = np.arange(len(lt), dtype=np.int64)
+        rt = rt_t.select(keys).to_pandas()
+        rt["_ri"] = np.arange(len(rt), dtype=np.int64)
         j = lt.merge(rt, on=keys, how=how)
-        return pa.table(
-            {
-                c: pa.array(j[c], type=out_types[c], from_pandas=True)
-                for c in out_names
-            }
-        )
+        li = pa.array(j["_li"].to_numpy(np.int64), pa.int64())
+        ri = pa.array(j["_ri"], type=pa.int64(), from_pandas=True)  # null=miss
+        out = {}
+        for k in keys:
+            out[k] = pc.take(lt_t[k].combine_chunks(), li)
+        for c in lout:
+            out[c] = pc.take(lt_t[c].combine_chunks(), li)
+        for c in rout:
+            out[c] = pc.take(rt_t[c].combine_chunks(), ri)
+        return pa.table({c: out[c] for c in out_names})
 
     joined = tagged.groupby("_bucket").map_groups(
         join_bucket, batch_format="pyarrow"

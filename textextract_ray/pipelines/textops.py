@@ -3988,6 +3988,9 @@ def robots_filter_ds(
         return pa.table(data)
 
     def tag_robots(batch: pa.Table) -> pa.Table:
+        # a null-host robots row can apply to nothing — drop it rather
+        # than poison its bucket
+        batch = batch.filter(pc.is_valid(batch[host_col]))
         n = len(batch)
         host = batch[host_col]
         if isinstance(host, pa.ChunkedArray):
@@ -4026,7 +4029,13 @@ def robots_filter_ds(
         n = pg.num_rows
         allowed = np.ones(n, dtype=bool)
         if n and compiled:
-            hosts = np.asarray(pg["_host"].to_pylist(), dtype=object)
+            # null hosts (null/unparseable urls) sort as "" — matching
+            # no robots host, they stay allowed (nothing can disallow a
+            # url with no authority)
+            hosts = np.asarray(
+                [h if h is not None else "" for h in pg["_host"].to_pylist()],
+                dtype=object,
+            )
             order = np.argsort(hosts, kind="stable")
             sorted_hosts = hosts[order]
             bounds = np.flatnonzero(

@@ -91,9 +91,20 @@ def build_vector_index(
             }
         )
 
+    # pointer-commit protocol (mirrors the meta/centroids tmp+rename
+    # below, extended to the corpus-scale artifact): vectors write into
+    # a UNIQUE directory, the meta.json rename atomically repoints the
+    # index at it, and only then are superseded vector dirs removed —
+    # a rebuild into an existing index_dir can never leave stale
+    # _part files for vector_search to silently read, and a crash
+    # mid-build leaves the previous index fully intact.
+    import secrets
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
+    vec_dir_name = f"{_VECTORS}-{secrets.token_hex(8)}"
     emb_ds.map_batches(tag, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, _VECTORS), partition_cols=["_part"]
+        os.path.join(index_dir, vec_dir_name), partition_cols=["_part"]
     )
 
     d = cents.shape[1]
@@ -113,11 +124,16 @@ def build_vector_index(
         "n_clusters": int(len(cents)),
         "id_col": id_col,
         "vec_col": vec_col,
+        "vectors_dir": vec_dir_name,
     }
     tmp = os.path.join(index_dir, _META + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
     os.replace(tmp, os.path.join(index_dir, _META))
+    # committed — drop superseded vector dirs (best-effort cleanup)
+    for name in os.listdir(index_dir):
+        if name.startswith(_VECTORS) and name != vec_dir_name:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return meta
 
 
@@ -133,12 +149,17 @@ def _load_meta(index_dir: str):
 
 
 def vector_search(index_dir: str, queries: dict, *, k: int = 10,
-                  nprobe: int = 4):
+                  nprobe: int = 4, stats: dict | None = None):
     """Approximate top-k over a ``build_vector_index`` layout.
     ``queries`` = {"query_id": int64 array, "mat": float [nq, d]}.
     Returns a Dataset of (query_id, vec_id, score) — exactly ≤k rows
     per query, ties broken by smaller id (same contract as
-    brute_force_topk / ivf_topk, so consumers are interchangeable)."""
+    brute_force_topk / ivf_topk, so consumers are interchangeable).
+
+    Pass a dict as ``stats`` to receive this call's pruning numbers
+    ({"cells_read", "cells_total"}) — per-call and race-free; the
+    ``vector_search.last_pruning`` attribute remains as a last-call-
+    wins debugging aid only."""
     import ray
     import ray.data as rd
 
@@ -156,10 +177,14 @@ def vector_search(index_dir: str, queries: dict, *, k: int = 10,
     probed_sets = [row.tolist() for row in probe]
     union = sorted({c for row in probed_sets for c in row})
     vector_search.last_pruning = (len(union), meta["n_clusters"])
+    if stats is not None:
+        stats["cells_read"] = len(union)
+        stats["cells_total"] = meta["n_clusters"]
 
+    vec_dir = meta.get("vectors_dir", _VECTORS)
     paths = []
     for c in union:
-        d = os.path.join(index_dir, _VECTORS, f"_part={c}")
+        d = os.path.join(index_dir, vec_dir, f"_part={c}")
         if os.path.isdir(d):
             paths.extend(
                 os.path.join(d, f)

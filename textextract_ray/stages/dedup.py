@@ -1248,12 +1248,7 @@ def incremental_simhash_near_dups(
     def survivors(batch: pa.Table) -> pa.Table:
         dropped = _ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(dropped):
-            keep = np.ones(len(ids), bool)
-        else:
-            pos = np.searchsorted(dropped, ids)
-            pos[pos == len(dropped)] = 0
-            keep = dropped[pos] != ids
+        keep = ~_sorted_member_mask(dropped, ids)
         return pa.table(
             {
                 id_col: pa.array(ids[keep], pa.int64()),
@@ -1265,18 +1260,26 @@ def incremental_simhash_near_dups(
     return assignments, new_index
 
 
-def append_simhash_index(index_rows, index_dir: str) -> int:
-    """Append an increment's surviving (id, simhash) rows to the
-    persisted index: one content-hash-named parquet shard per block
-    (atomic tmp+rename, rewrite-idempotent — the write_jsonl naming
-    contract). Returns rows appended."""
+def _sorted_member_mask(members: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in the SORTED int64 ``members``
+    array — the broadcast-probe kernel both incremental indexes use."""
+    if not len(members):
+        return np.zeros(len(ids), bool)
+    pos = np.searchsorted(members, ids)
+    pos[pos == len(members)] = 0
+    return members[pos] == ids
+
+
+def _append_sketch_index(index_rows, index_dir: str) -> int:
+    """Shared incremental-index appender: one content-hash-named
+    parquet shard per block (atomic tmp+rename, rewrite-idempotent —
+    the write_jsonl naming contract). Returns rows appended."""
     import hashlib
     import os as _os
 
     import pyarrow.parquet as pq
 
     _os.makedirs(index_dir, exist_ok=True)
-    total = 0
 
     def write_block(batch: pa.Table) -> pa.Table:
         import io
@@ -1297,8 +1300,13 @@ def append_simhash_index(index_rows, index_dir: str) -> int:
     out = index_rows.map_batches(
         write_block, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    total = int(out["rows"].sum()) if len(out) else 0
-    return total
+    return int(out["rows"].sum()) if len(out) else 0
+
+
+def append_simhash_index(index_rows, index_dir: str) -> int:
+    """Append an increment's surviving (id, simhash) rows to the
+    persisted index (see `_append_sketch_index`)."""
+    return _append_sketch_index(index_rows, index_dir)
 
 
 def incremental_minhash_near_dups(
@@ -1415,6 +1423,11 @@ def incremental_minhash_near_dups(
     exploded = union_sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > 1024:
+            print(
+                f"incremental minhash bucket capped: {len(group)} candidates "
+                "in one LSH bucket, pairing first 1024 by (rank, id)"
+            )
         g = (
             group.sort_values(["_rank", "id"])
             .drop_duplicates("id")
@@ -1443,9 +1456,7 @@ def incremental_minhash_near_dups(
     def fetch(batch: pa.Table) -> pa.Table:
         members = ray.get(cref)
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(members, ids)
-        pos[pos == len(members)] = 0
-        return batch.filter(pa.array(members[pos] == ids))
+        return batch.filter(pa.array(_sorted_member_mask(members, ids)))
 
     sig_df = union_sigs.map_batches(fetch, batch_format="pyarrow").to_pandas()
     sig_mat = np.array(sig_df["sig"].tolist(), dtype=np.uint64)
@@ -1473,12 +1484,7 @@ def incremental_minhash_near_dups(
     def survivors(batch: pa.Table) -> pa.Table:
         dropped = ray.get(dref)
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(dropped):
-            keep = np.ones(len(ids), bool)
-        else:
-            pos = np.searchsorted(dropped, ids)
-            pos[pos == len(dropped)] = 0
-            keep = dropped[pos] != ids
+        keep = ~_sorted_member_mask(dropped, ids)
         return pa.table(
             {
                 "id": pa.array(ids[keep], pa.int64()),
@@ -1492,32 +1498,5 @@ def incremental_minhash_near_dups(
 
 def append_minhash_index(index_rows, index_dir: str) -> int:
     """Append an increment's surviving (id, sig) rows to the persisted
-    MinHash index — same content-hash-named atomic-shard contract as
-    ``append_simhash_index``. Returns rows appended."""
-    import hashlib
-    import os as _os
-
-    import pyarrow.parquet as pq
-
-    _os.makedirs(index_dir, exist_ok=True)
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        import io
-
-        buf = io.BytesIO()
-        pq.write_table(batch, buf)
-        data = buf.getvalue()
-        name = f"index-{hashlib.sha1(data).hexdigest()[:16]}.parquet"
-        final = _os.path.join(index_dir, name)
-        tmp = final + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-            f.flush()
-            _os.fsync(f.fileno())
-        _os.replace(tmp, final)
-        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
-
-    out = index_rows.map_batches(
-        write_block, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    return int(out["rows"].sum()) if len(out) else 0
+    MinHash index (see `_append_sketch_index`)."""
+    return _append_sketch_index(index_rows, index_dir)
