@@ -1151,6 +1151,65 @@ def approx_distinct(sf_dir: str):
     return pd.DataFrame(rows).sort_values("table_col").reset_index(drop=True)
 
 
+def approx_distinct_per_group_ds(ds, *, group_col: str, value_col: str,
+                                 p: int = 12):
+    """Per-GROUP approximate distinct counts (distinct users per day,
+    distinct urls per host, …) via mergeable HyperLogLog partials —
+    the grouped form of ``approx_distinct``, with the merge
+    DISTRIBUTED so group cardinality is unbounded: each batch emits
+    one 2^p-byte register blob per group it contains (registers
+    max-merge, so partials are associative and layout-independent),
+    the only shuffle is the keys-only groupby of those blobs, and each
+    group's reduce is one vectorized ``np.maximum`` fold. Returns a
+    Dataset of (group_col, approx_distinct) — ~1.04/√2^p relative
+    error (1.6% at p=12). An exact per-group distinct would co-locate
+    every (group, value) pair — O(corpus) through the shuffle; this
+    ships O(batches × groups-per-batch × 2^p) bytes.
+
+    Drop ``p`` for very high group cardinality (p=8 → 256 B/partial);
+    the error bound moves, the shape does not."""
+    from ..functions.sketch import hll_add, hll_count, hll_create
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_pandas(),
+            }
+        )
+        groups, blobs = [], []
+        for g, sub in df.groupby("g", sort=True, dropna=False):
+            groups.append(g)
+            blobs.append(
+                hll_add(hll_create(p), sub["v"].tolist(), p).tobytes()
+            )
+        return pa.table(
+            {
+                group_col: pa.array(groups, type=batch[group_col].type),
+                "_regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in group["_regs"].to_pylist()]
+        )
+        return pa.table(
+            {
+                group_col: group[group_col].slice(0, 1),
+                "approx_distinct": pa.array(
+                    [int(round(hll_count(regs, p)))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def approx_quantiles(sf_dir: str, *, qs=(0.25, 0.5, 0.75, 0.95)):
     """Approximate per-group quantiles of events.value via mergeable
     DDSketch-style log-binned sketches (functions/sketch
@@ -2566,6 +2625,82 @@ def sample_bottomk_ds(ds, *, k: int, seed: int = 0, id_col: str = "doc_id",
         out.rename(columns={"_key": "sample_key"})
         .sort_values(["sample_key", id_col])
         .reset_index(drop=True)
+    )
+
+
+def sample_weighted_bottomk_ds(ds, *, k: int, weight_col: str, seed: int = 0,
+                               id_col: str = "doc_id", group_col=None):
+    """Weighted sample of EXACTLY k rows without replacement,
+    deterministic (Efraimidis & Spirakis 2006, IPL — the exponential
+    race): each row draws ``u = (hash64(id, seed)+1) / 2^64`` and
+    races with key ``-ln(u) / w`` (an Exp(w) arrival time); the k
+    SMALLEST keys win, which selects each row with the E-S
+    weighted-without-replacement distribution. No RNG state: u is the
+    repo-owned hash of the id, so the sample is layout-invariant,
+    retry-stable, and a new seed is an independent draw — the weighted
+    complement of ``sample_bottomk_ds`` (w ≡ 1 reduces to it up to key
+    transform). The importance-sampling front-end for data mixing:
+    w = quality score, domain weight, or DSIR importance.
+
+    Weight contract: w > 0 races; w = 0 or null NEVER samples (the
+    correct limit); negative weights raise (no meaning in E-S).
+
+    Scale shape: identical to ``sample_bottomk_ds`` — per-batch
+    bottom-k nomination (the global winners are necessarily inside the
+    union of local winners), O(blocks·k) (or ·groups·k with
+    ``group_col``) candidate rows to the driver merge, corpus never
+    moves. Returns (id[, group], weight, sample_key) sorted by key."""
+    import pyarrow.compute as pc
+
+    from ..functions.scalar import hash_utf8
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = [group_col] if group_col else []
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        w = pc.fill_null(batch[weight_col].cast(pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        if (w < 0).any():
+            bad = batch[id_col].to_pylist()[int(np.flatnonzero(w < 0)[0])]
+            raise ValueError(
+                f"sample_weighted_bottomk: negative weight for id {bad!r}"
+            )
+        h = hash_utf8(
+            pc.fill_null(batch[id_col].cast(pa.string()), "None"), seed=seed
+        ).astype(np.uint64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0  # (0, 1]
+        with np.errstate(divide="ignore"):
+            key = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+        df = pd.DataFrame(
+            {id_col: batch[id_col].to_pandas(), "_w": w, "_key": key}
+        )
+        for g in gcols:
+            df[g] = batch[g].to_pandas()
+        df = df[np.isfinite(df["_key"])]
+        df = df.sort_values(["_key", id_col], kind="mergesort")
+        top = (
+            df.groupby(gcols, sort=False, dropna=False).head(k)
+            if gcols
+            else df.head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cand = ds.map_batches(
+        nominate, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(cand) == 0:
+        cols = [id_col, *gcols, "weight", "sample_key"]
+        return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+    out = cand.sort_values(["_key", id_col], kind="mergesort")
+    out = (
+        out.groupby(gcols, sort=False, dropna=False).head(k) if gcols else out.head(k)
+    )
+    return (
+        out.rename(columns={"_key": "sample_key", "_w": "weight"})
+        .sort_values(["sample_key", id_col])
+        .reset_index(drop=True)[[id_col, *gcols, "weight", "sample_key"]]
     )
 
 
