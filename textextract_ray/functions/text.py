@@ -663,3 +663,134 @@ def top_ngram_fractions(texts: list, ns=(2, 3, 4)) -> pa.Table:
     return pa.table(
         {f"top_{n}gram_frac": pa.array(out[n], pa.float64()) for n in ns}
     )
+
+
+# --- script detection / readability / Luhn audit ------------------------------
+
+_SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic", "Greek", "Hangul",
+            "Hiragana", "Katakana", "Devanagari", "Hebrew")
+
+
+def script_fractions(col) -> pa.Table:
+    """Per-document Unicode-script composition: fraction of LETTER
+    characters in each major script (RE2 ``\\p{Script}`` classes — one
+    vectorized count pass per script) plus ``main_script`` (argmax;
+    "none" for letterless docs). The multilingual routing signal that
+    survives when trigram language ID cannot separate same-script
+    languages — and the cheap CJK/Arabic/Cyrillic detector before any
+    per-language stage dispatch."""
+    text = pc.fill_null(col, "")
+    total = pc.count_substring_regex(text, r"\p{L}").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    denom = np.maximum(total, 1.0)
+    cols = {}
+    counts = []
+    for s in _SCRIPTS:
+        c = pc.count_substring_regex(text, rf"\p{{{s}}}").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        counts.append(c)
+        cols[f"frac_{s.lower()}"] = pa.array(c / denom, pa.float64())
+    mat = np.stack(counts)  # [script, doc]
+    best = np.argmax(mat, axis=0)
+    main = np.where(
+        mat[best, np.arange(mat.shape[1])] > 0,
+        np.array([s.lower() for s in _SCRIPTS], dtype=object)[best],
+        "none",
+    )
+    cols["main_script"] = pa.array(main.tolist(), pa.string())
+    cols["n_letters"] = pa.array(total.astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def readability_features(col) -> pa.Table:
+    """Flesch reading ease (Flesch 1948; Kincaid et al. 1975 for the
+    grade form) from three vectorized counts: words (whitespace
+    tokens), sentences (``[.!?]+`` runs, min 1), syllables (vowel
+    GROUPS ``(?i)[aeiouy]+`` — the standard cheap approximation).
+    ``flesch = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``; also returns the two ratios. Heuristic
+    by construction (as every corpus-scale readability signal is) and
+    a pure function of the text — layout/retry-stable."""
+    text = pc.fill_null(col, "")
+    words = token_count(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    sents = np.maximum(
+        pc.count_substring_regex(text, r"[.!?]+")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64),
+        1.0,
+    )
+    syll = pc.count_substring_regex(text, r"(?i)[aeiouy]+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    wps = words / sents
+    spw = syll / np.maximum(words, 1.0)
+    flesch = np.where(
+        words > 0, 206.835 - 1.015 * wps - 84.6 * spw, 0.0
+    )
+    return pa.table(
+        {
+            "words_per_sentence": pa.array(np.where(words > 0, wps, 0.0)),
+            "syllables_per_word": pa.array(spw, pa.float64()),
+            "flesch_reading_ease": pa.array(flesch, pa.float64()),
+        }
+    )
+
+
+_CC_CAND_RE = r"\b(?:\d[ -]?){12,18}\d\b"  # 13-19 digits, sep-tolerant
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn mod-10 checksum (ISO/IEC 7812) over a digit string."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def cc_audit(col) -> pa.Table:
+    """Credit-card PII audit with checksum precision: candidates are
+    13-19 digit runs (space/dash tolerant), and each candidate is
+    verified with the Luhn checksum — cutting the false-positive rate
+    of a bare digit-run pattern by ~10× (a random digit run passes
+    Luhn 1-in-10). Returns per-doc ``n_cc_candidates`` and
+    ``n_cc_luhn_valid``.
+
+    Scale shape — the deferred-verification pattern: ONE vectorized
+    RE2 prefilter finds the (rare) docs with any candidate; Python
+    ``finditer`` + Luhn run only on those hits, so the per-match work
+    touches a vanishing corpus fraction. Complements ``scrub_pii``
+    (which redacts broadly, recall-oriented); this measures precisely,
+    precision-oriented — run it as an attribute tagger and filter or
+    route on the counts."""
+    import re
+
+    text = pc.fill_null(col, "")
+    n = len(text)
+    cand_counts = pc.count_substring_regex(text, _CC_CAND_RE).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    valid = np.zeros(n, dtype=np.int64)
+    hits = np.flatnonzero(cand_counts > 0)
+    if len(hits):
+        rx = re.compile(_CC_CAND_RE)
+        texts = text.take(pa.array(hits, pa.int64())).to_pylist()
+        for row, t in zip(hits, texts):
+            v = 0
+            for m in rx.finditer(t):
+                digits = re.sub(r"[ -]", "", m.group())
+                if 13 <= len(digits) <= 19 and luhn_valid(digits):
+                    v += 1
+            valid[row] = v
+    return pa.table(
+        {
+            "n_cc_candidates": pa.array(cand_counts, pa.int64()),
+            "n_cc_luhn_valid": pa.array(valid, pa.int64()),
+        }
+    )
