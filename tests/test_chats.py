@@ -89,3 +89,68 @@ def test_assemble_null_content_and_roles(ray_session):
     assert row["text"][spans[1]["start"]:spans[1]["end"]] == ""  # null -> ""
     assert [sp["trainable"] for sp in spans] == [True, False, True]
     assert row["n_trainable_chars"] == len("be brief") + len("ok")
+
+
+def test_chat_token_examples_end_to_end(ray_session):
+    from textextract_ray.functions.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        merge_ranks,
+        train_bpe,
+    )
+    from textextract_ray.pipelines.chats import chat_token_examples_ds
+
+    df = _turns()
+    merges = train_bpe(
+        {w: 5 for row in df["content"] for w in row.split()}, n_merges=50
+    )
+    chats = assemble_chat_ds(_ds(df, 3))
+    out = (
+        chat_token_examples_ds(chats, merges)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    ranks, vocab = merge_ranks(merges), bpe_vocab(merges)
+    chat_rows = chats.to_pandas().set_index("conv_id")
+    import re
+
+    for _, row in out.iterrows():
+        text = chat_rows.loc[row["conv_id"], "text"]
+        spans = chat_rows.loc[row["conv_id"], "spans"]
+        words = [m.group().lower() for m in re.finditer(r"[a-zA-Z]+", text)]
+        want_ids = [i for ids in bpe_encode_ids(words, ranks, vocab) for i in ids]
+        assert list(row["token_ids"]) == want_ids  # ids match a direct encode
+        assert row["n_tokens"] == len(want_ids)
+        assert len(row["loss_mask"]) == len(want_ids)
+        # trainable tokens exist iff there are assistant turns, and the
+        # frame words (im_start / roles) are never trainable
+        has_assistant = any(sp["trainable"] for sp in spans)
+        assert (row["n_trainable_tokens"] > 0) == has_assistant
+        assert row["n_trainable_tokens"] < row["n_tokens"]
+
+
+def test_chat_token_mask_precision(ray_session):
+    from textextract_ray.functions.bpe import train_bpe
+    from textextract_ray.pipelines.chats import chat_token_examples_ds
+
+    df = pd.DataFrame(
+        {
+            "conv_id": [0, 0],
+            "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "content": ["aaaa bbbb", "cccc dddd cccc"],
+        }
+    )
+    merges = train_bpe({"aaaa": 5, "bbbb": 5, "cccc": 5, "dddd": 5}, n_merges=20)
+    chats = assemble_chat_ds(_ds(df))
+    row = chat_token_examples_ds(chats, merges).to_pandas().iloc[0]
+    ids = np.array(row["token_ids"])
+    mask = np.array(row["loss_mask"])
+    # exactly the assistant words' tokens are trainable: with 20 merges
+    # each 4-char word encodes to ONE token, so 3 trainable tokens
+    assert mask.sum() == 3
+    # trainable ids are the cccc/dddd merge outputs, all distinct from
+    # the user-turn ids
+    assert set(ids[mask]) .isdisjoint({i for i, m in zip(ids, mask) if not m} - set(ids[mask]))

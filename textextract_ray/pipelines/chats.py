@@ -147,3 +147,74 @@ def assemble_chat_ds(
         .groupby("_bucket")
         .map_groups(apply, batch_format="pandas")
     )
+
+
+def chat_token_examples_ds(
+    chats,
+    merges,
+    *,
+    conv_id_col: str = "conv_id",
+    text_col: str = "text",
+    spans_col: str = "spans",
+):
+    """Model-ready SFT examples: rendered chats → BPE token ids + a
+    token-level loss mask. Composes the corpus-trained tokenizer
+    (functions/bpe, word regime ``[a-z]+`` — frame markup and
+    punctuation carry no ids, exactly the regime the engine's other
+    BPE surfaces use) with the span table ``assemble_chat_ds`` emits:
+    a word's tokens are trainable iff the word lies ENTIRELY inside a
+    trainable span (a straddling word — impossible under the ChatML
+    frame, which brackets content with non-letters — would be masked
+    off, the safe direction).
+
+    Scale shape: merge ranks + vocab broadcast ONCE via ``ray.put``;
+    one streaming pass, per-batch word-level memo cache (web text
+    repeats words heavily), ZERO shuffle. Returns (conv_id, token_ids
+    list<int32>, loss_mask list<bool>, n_tokens, n_trainable_tokens).
+    """
+    import re
+
+    import ray
+
+    from ..functions.bpe import bpe_encode_ids, bpe_vocab, merge_ranks
+
+    rref = ray.put((merge_ranks(merges), bpe_vocab(merges)))
+    word_re = re.compile(r"[a-zA-Z]+")
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks, vocab = ray.get(rref)
+        texts = batch[text_col].to_pylist()
+        span_lists = batch[spans_col].to_pylist()
+        out_ids, out_mask, n_tok, n_train = [], [], [], []
+        for text, spans in zip(texts, span_lists):
+            train_spans = sorted(
+                (sp["start"], sp["end"]) for sp in spans if sp["trainable"]
+            )
+            starts = np.array([s for s, _ in train_spans], dtype=np.int64)
+            ends = np.array([e for _, e in train_spans], dtype=np.int64)
+            words, wpos = [], []
+            for m in word_re.finditer(text):
+                words.append(m.group().lower())
+                wpos.append((m.start(), m.end()))
+            ids_per_word = bpe_encode_ids(words, ranks, vocab)
+            ids, mask = [], []
+            for (ws, we), wids in zip(wpos, ids_per_word):
+                j = int(np.searchsorted(starts, ws, side="right")) - 1
+                trainable = bool(j >= 0 and we <= ends[j])
+                ids.extend(wids)
+                mask.extend([trainable] * len(wids))
+            out_ids.append(ids)
+            out_mask.append(mask)
+            n_tok.append(len(ids))
+            n_train.append(int(sum(mask)))
+        return pa.table(
+            {
+                conv_id_col: batch[conv_id_col],
+                "token_ids": pa.array(out_ids, pa.list_(pa.int32())),
+                "loss_mask": pa.array(out_mask, pa.list_(pa.bool_())),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_trainable_tokens": pa.array(n_train, pa.int64()),
+            }
+        )
+
+    return chats.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
