@@ -429,3 +429,39 @@ def _robots_filter_factory(robots_path: str, url_col: str = "url",
 
     ds_op.is_dataset_op = True
     return ds_op
+
+
+@register("text_signal_tags")
+def _text_signal_tags_factory(text_col: str = "text", scripts: bool = True,
+                              readability: bool = True, pii_audit: bool = True):
+    """Append the script/readability/Luhn signal columns to the docs
+    themselves (the in-line form; use pipelines.attributes for the
+    sidecar-store form)."""
+    from ..pipelines.attributes import (
+        pii_audit_taggers,
+        readability_taggers,
+        script_taggers,
+    )
+
+    taggers = {}
+    if scripts:
+        taggers.update(script_taggers(text_col))
+    if readability:
+        taggers.update(readability_taggers(text_col))
+    if pii_audit:
+        taggers.update(pii_audit_taggers(text_col))
+
+    def ds_op(ds):
+        import pyarrow as pa
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            out = batch
+            for name, fn in taggers.items():
+                out = out.append_column(name, fn(batch))
+            return out
+
+        return ds.map_batches(kernel, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    ds_op.is_dataset_op = True
+    return ds_op
