@@ -4060,6 +4060,80 @@ def filter_noindex_ds(
     return pages.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_HEAD_META_FIELDS = {
+    # field -> (primary pattern, alternate attribute-order pattern)
+    "title": (r"(?is)<title[^>]*>(?P<v>.*?)</title>", None),
+    "canonical_url": (
+        r'(?is)<link[^>]+rel\s*=\s*["\x27]?canonical["\x27 ][^>]*href\s*=\s*["\x27](?P<v>[^"\x27>]+)',
+        r'(?is)<link[^>]+href\s*=\s*["\x27](?P<v>[^"\x27>]+)["\x27][^>]*rel\s*=\s*["\x27]?canonical',
+    ),
+    "og_title": (
+        r'(?is)<meta[^>]+property\s*=\s*["\x27]og:title["\x27][^>]*content\s*=\s*["\x27](?P<v>[^"\x27]*)',
+        r'(?is)<meta[^>]+content\s*=\s*["\x27](?P<v>[^"\x27]*)["\x27][^>]*property\s*=\s*["\x27]og:title["\x27]',
+    ),
+    "og_description": (
+        r'(?is)<meta[^>]+property\s*=\s*["\x27]og:description["\x27][^>]*content\s*=\s*["\x27](?P<v>[^"\x27]*)',
+        r'(?is)<meta[^>]+content\s*=\s*["\x27](?P<v>[^"\x27]*)["\x27][^>]*property\s*=\s*["\x27]og:description["\x27]',
+    ),
+    "meta_description": (
+        r'(?is)<meta[^>]+name\s*=\s*["\x27]description["\x27][^>]*content\s*=\s*["\x27](?P<v>[^"\x27]*)',
+        r'(?is)<meta[^>]+content\s*=\s*["\x27](?P<v>[^"\x27]*)["\x27][^>]*name\s*=\s*["\x27]description["\x27]',
+    ),
+    "html_lang": (r'(?is)<html[^>]+lang\s*=\s*["\x27]?(?P<v>[a-zA-Z-]+)', None),
+}
+
+_ENTITY_MAP = (
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+)
+
+
+def extract_head_meta_ds(pages, *, html_col: str = "html",
+                         scan_bytes: int = 16384):
+    """Head-metadata extraction — the page-level structured fields a
+    web corpus catalogs next to the main content: <title>, canonical
+    link, og:title / og:description, meta description, and the <html
+    lang> attribute. The canonical url in particular feeds the URL
+    dedup path (`canonicalize_url` strips params; the publisher's own
+    rel=canonical beats any heuristic).
+
+    One vectorized RE2 ``extract_regex`` pass per field over the
+    first ``scan_bytes`` of the RAW payload (binary kernels — no
+    document decode; the head metadata lives in <head> by contract,
+    the same bound the noindex filter uses); both attribute orders
+    are matched and coalesced. Only the EXTRACTED values (titles — a
+    few dozen bytes) decode to text, utf-8 with replacement, then a
+    minimal entity unescape. Absent fields are null. Appends the six
+    columns; ZERO shuffle."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        payload = batch[html_col]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        head = pc.binary_slice(pc.fill_null(payload, b""), 0, scan_bytes)
+        out = batch
+        for field, (pat, alt) in _HEAD_META_FIELDS.items():
+            v = pc.struct_field(pc.extract_regex(head, pattern=pat), "v")
+            if alt is not None:
+                v2 = pc.struct_field(pc.extract_regex(head, pattern=alt), "v")
+                v = pc.coalesce(v, v2)
+            vals = []
+            for raw in v.to_pylist():
+                if raw is None:
+                    vals.append(None)
+                    continue
+                s = raw.decode("utf-8", "replace").strip()
+                for ent, ch in _ENTITY_MAP:
+                    if "&" not in s:
+                        break
+                    s = s.replace(ent, ch)
+                vals.append(" ".join(s.split()) if field == "title" else s)
+            out = out.append_column(field, pa.array(vals, pa.string()))
+        return out
+
+    return pages.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def robots_filter_ds(
     pages,
     robots,
