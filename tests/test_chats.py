@@ -154,3 +154,20 @@ def test_chat_token_mask_precision(ray_session):
     # trainable ids are the cccc/dddd merge outputs, all distinct from
     # the user-turn ids
     assert set(ids[mask]) .isdisjoint({i for i, m in zip(ids, mask) if not m} - set(ids[mask]))
+
+
+def test_chat_spans_survive_parquet(ray_session, tmp_path):
+    # nested list<struct> spans must round-trip through the parquet
+    # sink/read path a real pipeline uses between assembly and
+    # tokenization
+    import ray.data as rd
+
+    df = _turns()
+    chats = assemble_chat_ds(_ds(df, 3))
+    d = str(tmp_path / "chats")
+    chats.write_parquet(d)
+    back = rd.read_parquet(d).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    orig = chats.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert back["text"].tolist() == orig["text"].tolist()
+    for a, b in zip(back["spans"], orig["spans"]):
+        assert [dict(x) for x in a] == [dict(x) for x in b]
