@@ -143,6 +143,52 @@ def test_clustered_string_keys_and_nulls(ray_session, tmp_path):
     assert read_clustered(out).count() == len(df)
 
 
+def test_bloom_index_prunes_point_lookups(ray_session, tmp_path):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.storage import (
+        read_bloom_indexed,
+        write_bloom_index,
+    )
+
+    df = _frame(8000)
+    layout = str(tmp_path / "plain")
+    # un-clustered layout: doc_ids scattered across 32 shards
+    rd.from_arrow(
+        pa.Table.from_pandas(
+            df.sample(frac=1.0, random_state=7), preserve_index=False
+        )
+    ).repartition(32).write_parquet(layout)
+
+    man = write_bloom_index(layout, "doc_id", fpr=0.001)
+    assert len(man) == len(glob.glob(os.path.join(layout, "*.parquet")))
+    assert man["n_keys"].sum() == len(df)
+    # sidecars exist next to every shard
+    assert len(glob.glob(os.path.join(layout, "*.parquet.doc_id.bloom"))) == len(man)
+
+    keys = [17, 4242, 7999]
+    got = read_bloom_indexed(layout, keys).to_pandas().sort_values("doc_id")
+    want = df[df["doc_id"].isin(keys)].sort_values("doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    read_n, total_n = read_bloom_indexed.last_pruning
+    # 3 keys in 32 shards at fpr 1e-3: expect a handful of shards opened
+    assert 1 <= read_n <= 6 and total_n == 32
+
+    # absent keys: every shard pruned, empty exact result
+    assert read_bloom_indexed(layout, [123456789]).count() == 0
+    assert read_bloom_indexed.last_pruning[0] <= 1  # at most an FP shard
+
+    # string key column: second index coexists with the first
+    man2 = write_bloom_index(layout, "host", fpr=0.01)
+    assert (man2["n_keys"] > 0).all()
+    got2 = read_bloom_indexed(layout, ["h13.com"], key_col="host").to_pandas()
+    assert len(got2) == len(df[df["host"] == "h13.com"])
+    # ambiguous: two indexes present and no key_col given
+    with pytest.raises(ValueError, match="indexes"):
+        read_bloom_indexed(layout, [1])
+
+
 def test_clustered_layout_invariance(ray_session, tmp_path):
     """Boundaries come from the layout-invariant hash sample: the same
     rows in a different block layout produce the same manifest."""

@@ -266,6 +266,134 @@ def read_clustered(out_dir: str, *, lo=None, hi=None):
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bloom_meta_name(key_col: str) -> str:
+    return f"_bloom_index.{key_col}.json"
+
+
+@ray.remote(num_cpus=1)
+def _shard_bloom(path: str, rel: str, key_col: str, fpr: float) -> dict:
+    """Build one shard's Bloom sidecar: read ONLY the key column, size
+    the filter for that shard's own non-null key count, write the bits
+    next to the data file (tmp+rename). Returns manifest row metadata —
+    never the filter bits — so the driver holds O(shards) small dicts."""
+    from ..functions.sketch import bloom_add, bloom_create, bloom_params
+
+    t = pq.read_table(path, columns=[key_col])
+    col = t[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    n_bits, k = bloom_params(max(len(col), 1), fpr)
+    bloom = bloom_create(n_bits)
+    if len(col):
+        bloom_add(bloom, col, k)
+    side = f"{path}.{key_col}.bloom"
+    tmp = side + ".tmp"
+    bloom.tofile(tmp)
+    os.replace(tmp, side)
+    return {"shard": rel, "k": k, "n_bits": n_bits, "n_keys": len(col)}
+
+
+@ray.remote(num_cpus=1)
+def _probe_blooms(data_dir: str, rows: list, key_col: str, keys_ref) -> list:
+    """Probe a chunk of shard blooms against the broadcast key set;
+    return the shard names that MAY contain any key. Runs as a task so
+    a huge layout's probe is parallel and the driver never loads a
+    filter."""
+    from ..functions.sketch import bloom_contains
+
+    keys = keys_ref
+    hits = []
+    for r in rows:
+        bloom = np.fromfile(
+            os.path.join(data_dir, f"{r['shard']}.{key_col}.bloom"),
+            dtype=np.uint64,
+        )
+        if bool(bloom_contains(bloom, keys, r["k"]).any()):
+            hits.append(r["shard"])
+    return hits
+
+
+def write_bloom_index(data_dir: str, key_col: str, *, fpr: float = 0.001) -> pd.DataFrame:
+    """Build a point-lookup index over an EXISTING parquet layout
+    without rewriting or clustering it: one Bloom filter per shard over
+    ``key_col`` (sized per shard at ``fpr``), stored as a binary
+    sidecar ``<file>.parquet.bloom`` next to each shard plus a tiny
+    JSON manifest. ``read_bloom_indexed`` then opens only shards whose
+    filter admits one of the requested keys.
+
+    Complements ``write_clustered``: clustering prunes RANGE reads but
+    requires choosing the layout at write time; the Bloom sidecar
+    retrofits key-point pruning onto any layout (e.g. the extract
+    pipeline's per-partition commits) at ~1.8 bytes/key for fpr=1e-3,
+    and the filters never merge, so skew is irrelevant. The reference's
+    analogous move is the release-JSON cache that avoids re-fetching
+    the full listing (reference backend/routes/update_routes.py:103-133);
+    here the "cache" is a per-shard membership summary."""
+    files = _list_parquet(data_dir)
+    if not files:
+        raise ValueError(f"write_bloom_index: no parquet files under {data_dir}")
+    futs = [
+        _shard_bloom.remote(p, os.path.relpath(p, data_dir), key_col, fpr)
+        for p, _sz in files
+    ]
+    rows = ray.get(futs)
+    manifest = {"key_col": key_col, "fpr": fpr, "shards": rows}
+    tmp = os.path.join(data_dir, _bloom_meta_name(key_col) + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(data_dir, _bloom_meta_name(key_col)))
+    return pd.DataFrame(rows)
+
+
+def read_bloom_indexed(data_dir: str, keys: list, *, key_col: str = None, probe_chunk: int = 256):
+    """Point lookup over a Bloom-indexed layout: probe every shard's
+    sidecar filter against ``keys`` (fanned out ``probe_chunk`` shards
+    per task, key set broadcast once via ``ray.put``), open ONLY the
+    shards that may match, and apply the exact ``is_in`` residual —
+    false positives cost one extra shard read, never a wrong row.
+    ``read_bloom_indexed.last_pruning`` records (shards_read, total)."""
+    import ray.data as rd
+
+    if key_col is None:  # exactly one index present -> use it
+        metas = sorted(
+            f for f in os.listdir(data_dir)
+            if f.startswith("_bloom_index.") and f.endswith(".json")
+        )
+        if len(metas) != 1:
+            raise ValueError(
+                f"read_bloom_indexed: {len(metas)} indexes under {data_dir}; "
+                "pass key_col= to pick one"
+            )
+        meta_path = os.path.join(data_dir, metas[0])
+    else:
+        meta_path = os.path.join(data_dir, _bloom_meta_name(key_col))
+    with open(meta_path) as fh:
+        m = json.load(fh)
+    key_col = m["key_col"]
+    ks = sorted(set(k for k in keys if k is not None))
+    shards = m["shards"]
+    if not ks or not shards:
+        read_bloom_indexed.last_pruning = (0, len(shards))
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.string())}))
+    keys_ref = ray.put(pa.array(ks))
+    futs = [
+        _probe_blooms.remote(data_dir, shards[i : i + probe_chunk], key_col, keys_ref)
+        for i in range(0, len(shards), probe_chunk)
+    ]
+    hit = sorted(set().union(*ray.get(futs)))
+    read_bloom_indexed.last_pruning = (len(hit), len(shards))
+    if not hit:
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.string())}))
+    ds = rd.read_parquet([os.path.join(data_dir, s) for s in hit])
+    vset = pa.array(ks)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key_col], value_set=vset))
+
+    return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_clustered_keys(out_dir: str, keys: list):
     """Point-lookup variant of ``read_clustered``: open only the range
     directories whose interval can contain one of ``keys``, then apply
