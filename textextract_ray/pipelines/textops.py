@@ -4682,6 +4682,316 @@ def bigram_perplexity_ds(
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- Kneser-Ney trigram LM perplexity ------------------------------------------
+
+def kn_trigram_perplexity_ds(
+    docs,
+    *,
+    vocab_size: int = 4096,
+    trigram_budget: int = 262144,
+    context_budget: int = 131072,
+    bigram_budget: int = 131072,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-trained interpolated KNESER-NEY TRIGRAM perplexity — the
+    next fidelity step above ``bigram_perplexity_ds`` toward the
+    KenLM 5-gram CCNet uses (Kneser & Ney, ICASSP 1995; Chen & Goodman,
+    CSL 1999 — public literature). Model spec (fixed discount per
+    order, absolute discounting, continuation counts at lower orders):
+
+        p3(w|u,v) = (max(c(uvw)-D3, 0) + D3·N1+(uv·)·p2(w|v)) / c(uv·)
+        p2(w|v)   = (max(T(vw)-D2, 0) + D2·R(v)·p1(w)) / T(v)
+        p1(w)     = (U(w)+1) / (B+A)          [add-one continuation]
+
+    with T(vw)=|{u: c(uvw)>0}| (trigram-type continuation),
+    T(v)=Σ_w T(vw), R(v)=|{w: T(vw)>0}|, U(w)=|{v: c(vw)>0}| from raw
+    bigram types, B=Σ U, A=vocab+1; D_k = n1/(n1+2·n2) from each
+    order's count-of-counts (Ney estimate). A doc's first token scores
+    p1, its second p2, the rest p3; a context or n-gram outside the
+    kept budget backs off one order — the standard budgeted-LM
+    behavior, and with budgets ≥ the table sizes the model is exact
+    (the brute-force-parity pytest pins that case).
+
+    Distributed shape: text is read ONCE per pass and never shuffles;
+    the all-to-alls carry (int64 key, count) pairs only — trigram keys
+    pack as ``(u·A+v)·A+w`` (A ≤ 2²¹ keeps keys < 2⁶³). Every derived
+    table (context marginals, continuation counts, count-of-counts)
+    reaggregates the TRIGRAM TABLE, not the corpus. Driver/broadcast
+    state is budget-bounded: three top-K tables via the shared exact
+    nomination kernel plus four A-sized arrays. Deterministic and
+    layout-invariant (exact counts, (count desc, key asc) cuts).
+    Returns (id_col, n_tokens, n_oov, perplexity)."""
+    import ray
+
+    # --- pass 1: unigram vocab (same derivation as the bigram LM) -----------
+    def unigram_partials(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_lower_token_lists(batch[text_col]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"tok": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(unigram_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = counts.sum("n") or 0
+    if total == 0:
+        def degenerate(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(np.zeros(n, np.int64)),
+                "n_oov": pa.array(np.zeros(n, np.int64)),
+                "perplexity": pa.array(np.ones(n, np.float64)),
+            })
+
+        return docs.map_batches(
+            degenerate, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    vocab = _exact_top(counts, "tok", "n", vocab_size)
+    vocab_toks = pa.array(vocab["tok"].tolist(), pa.string())
+    V = len(vocab_toks)
+    unk_id = V
+    A = np.int64(V + 1)
+    if int(A) > (1 << 21):
+        raise ValueError("vocab_size too large for packed trigram keys")
+    A2 = A * A
+    vref = ray.put(vocab_toks)
+
+    def _ids(batch: pa.Table):
+        lists = _lower_token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        idx = (
+            pc.fill_null(pc.index_in(flat, value_set=ray.get(vref)), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = np.where(idx >= 0, idx, unk_id)
+        return ids, idx, parent
+
+    # --- pass 2: trigram + raw-bigram count tables ---------------------------
+    def tri_partials(batch: pa.Table) -> pa.Table:
+        ids, _, parent = _ids(batch)
+        if len(ids) < 3:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        same = (parent[2:] == parent[1:-1]) & (parent[1:-1] == parent[:-2])
+        keys = ids[:-2][same] * A2 + ids[1:-1][same] * A + ids[2:][same]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    def big_partials(batch: pa.Table) -> pa.Table:
+        ids, _, parent = _ids(batch)
+        if len(ids) < 2:
+            return pa.table({"key": pa.array([], pa.int64())})
+        same = parent[1:] == parent[:-1]
+        keys = np.unique(ids[:-1][same] * A + ids[1:][same])
+        return pa.table({"key": pa.array(keys, pa.int64())})
+
+    tri = (
+        docs.map_batches(tri_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    # continuation-unigram from RAW bigram TYPES: U(w), B
+    bigu_df = (
+        docs.map_batches(big_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("key")
+        .count()  # dedup across batches
+        .map_batches(
+            lambda b: pa.table(
+                {"w": pa.array(
+                    b["key"].to_numpy(zero_copy_only=False) % int(A), pa.int64()
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("w")
+        .count()
+        .to_pandas()  # <= A rows
+    )
+    U = np.zeros(int(A), np.float64)
+    if "w" in bigu_df.columns and len(bigu_df):
+        U[bigu_df["w"].to_numpy(np.int64)] = bigu_df["count()"].to_numpy(np.float64)
+    B = float(U.sum())
+    p1 = (U + 1.0) / (B + float(A))
+
+    # --- derived trigram tables ----------------------------------------------
+    def ctx_partials(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ctx = k // int(A)
+        u, inv = np.unique(ctx, return_inverse=True)
+        return pa.table({
+            "ctx": pa.array(u, pa.int64()),
+            "c": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
+            "t": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    ctx3 = (
+        tri.map_batches(ctx_partials, batch_format="pyarrow")
+        .groupby("ctx")
+        .aggregate(Sum("c", alias_name="c"), Sum("t", alias_name="t"))
+        .materialize()
+    )
+
+    def cont_partials(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        vw, cnt = np.unique(k % int(A2), return_counts=True)
+        return pa.table({"vw": pa.array(vw, pa.int64()),
+                         "t": pa.array(cnt, pa.int64())})
+
+    cont2 = (
+        tri.map_batches(cont_partials, batch_format="pyarrow")
+        .groupby("vw")
+        .aggregate(Sum("t", alias_name="t"))
+        .materialize()
+    )
+
+    def v_partials(batch: pa.Table) -> pa.Table:
+        vw = batch["vw"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        v, inv = np.unique(vw // int(A), return_inverse=True)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "tv": pa.array(np.bincount(inv, weights=t).astype(np.int64)),
+            "rv": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    v_df = (
+        cont2.map_batches(v_partials, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("tv", alias_name="tv"), Sum("rv", alias_name="rv"))
+        .to_pandas()  # <= A rows
+    )
+    T_v = np.zeros(int(A), np.float64)
+    R_v = np.zeros(int(A), np.float64)
+    if "v" in v_df.columns and len(v_df):
+        vv = v_df["v"].to_numpy(np.int64)
+        T_v[vv] = v_df["tv"].to_numpy(np.float64)
+        R_v[vv] = v_df["rv"].to_numpy(np.float64)
+
+    def _n1_n2(counts_ds, col: str) -> tuple:
+        def partial(batch: pa.Table) -> pa.Table:
+            n = batch[col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n1": pa.array([int((n == 1).sum())], pa.int64()),
+                "n2": pa.array([int((n == 2).sum())], pa.int64()),
+            })
+
+        df = counts_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if not len(df):
+            return 0, 0
+        return int(df["n1"].sum()), int(df["n2"].sum())
+
+    n1_3, n2_3 = _n1_n2(tri, "n")
+    n1_2, n2_2 = _n1_n2(cont2, "t")
+    D3 = n1_3 / (n1_3 + 2.0 * n2_3) if (n1_3 + 2 * n2_3) else 0.5
+    D2 = n1_2 / (n1_2 + 2.0 * n2_2) if (n1_2 + 2 * n2_2) else 0.5
+
+    tri_top = _exact_top(tri, "key", "n", trigram_budget)
+    tri_top = tri_top.sort_values("key") if len(tri_top) else tri_top
+    ctx_top = _exact_top(ctx3, "ctx", "c", context_budget)
+    ctx_top = ctx_top.sort_values("ctx") if len(ctx_top) else ctx_top
+    cont_top = _exact_top(cont2, "vw", "t", bigram_budget)
+    cont_top = cont_top.sort_values("vw") if len(cont_top) else cont_top
+
+    state = (
+        tri_top["key"].to_numpy(np.int64) if len(tri_top) else np.empty(0, np.int64),
+        tri_top["n"].to_numpy(np.float64) if len(tri_top) else np.empty(0, np.float64),
+        ctx_top["ctx"].to_numpy(np.int64) if len(ctx_top) else np.empty(0, np.int64),
+        ctx_top["c"].to_numpy(np.float64) if len(ctx_top) else np.empty(0, np.float64),
+        ctx_top["t"].to_numpy(np.float64) if len(ctx_top) else np.empty(0, np.float64),
+        cont_top["vw"].to_numpy(np.int64) if len(cont_top) else np.empty(0, np.int64),
+        cont_top["t"].to_numpy(np.float64) if len(cont_top) else np.empty(0, np.float64),
+        T_v, R_v, p1, D3, D2,
+    )
+    sref = ray.put(state)
+
+    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray, keys: np.ndarray):
+        if not len(sorted_keys):
+            return np.zeros(len(keys), np.float64), np.zeros(len(keys), bool)
+        pos = np.minimum(np.searchsorted(sorted_keys, keys), len(sorted_keys) - 1)
+        hit = sorted_keys[pos] == keys
+        return np.where(hit, vals[pos], 0.0), hit
+
+    # --- pass 3: scoring ------------------------------------------------------
+    def score(batch: pa.Table) -> pa.Table:
+        (tk, tn, ck, cc, ct, vwk, vwt, tv, rv, p1_, d3, d2) = ray.get(sref)
+        ids, idx, parent = _ids(batch)
+        n_rows = batch.num_rows
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        n_oov = np.bincount(
+            parent, weights=(idx < 0).astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        logp = np.log(p1_[ids])  # default: first tokens
+        m = len(ids)
+        if m >= 2:
+            prev1 = np.zeros(m, bool)
+            prev1[1:] = parent[1:] == parent[:-1]
+            pos1 = np.flatnonzero(prev1)          # has w_{i-1}
+            w = ids[pos1]
+            v = ids[pos1 - 1]
+            t_vw, _ = _lookup(vwk, vwt, v * int(A) + w)
+            tv_v = tv[v]
+            p2 = np.where(
+                tv_v > 0,
+                (np.maximum(t_vw - d2, 0.0) + d2 * rv[v] * p1_[w])
+                / np.maximum(tv_v, 1.0),
+                p1_[w],
+            )
+            logp[pos1] = np.log(p2)
+            if m >= 3:
+                prev2 = np.zeros(m, bool)
+                prev2[2:] = prev1[2:] & (parent[2:] == parent[:-2])
+                sel = prev2[pos1]                  # trigram-path subset of pos1
+                if sel.any():
+                    p3pos = pos1[sel]
+                    u = ids[p3pos - 2]
+                    v3 = ids[p3pos - 1]
+                    w3 = ids[p3pos]
+                    ctx = u * int(A) + v3
+                    c_uv, ctx_hit = _lookup(ck, cc, ctx)
+                    t_uv, _ = _lookup(ck, ct, ctx)
+                    c3, _ = _lookup(tk, tn, ctx * int(A) + w3)
+                    p2b = p2[sel]
+                    p3 = np.where(
+                        ctx_hit & (c_uv > 0),
+                        (np.maximum(c3 - d3, 0.0) + d3 * t_uv * p2b)
+                        / np.maximum(c_uv, 1.0),
+                        p2b,
+                    )
+                    logp[p3pos] = np.log(p3)
+        lp_sum = np.bincount(parent, weights=logp, minlength=n_rows)
+        ppl = np.where(n_tok > 0, np.exp(-lp_sum / np.maximum(n_tok, 1)), 1.0)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "perplexity": pa.array(ppl, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- curriculum mixing schedule ----------------------------------------------
 
 def curriculum_mix_ds(
