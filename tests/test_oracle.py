@@ -260,3 +260,58 @@ def test_frozen_behavior_digest():
         h.hexdigest()
         == "c6ed2c7d29653013328a2e3e19fe019cc81e8f13bf77d67149e950aae00fdfc8"
     )
+
+
+def test_full_list_item_fast_token_semantics():
+    """The '<li...><a...>text</a></li>' single-token fast path must be
+    transition-identical to the five generic iterations it replaces:
+    same blocks, same link accounting, same pre/whitespace handling.
+    Each case pairs a fast-path form with a structurally equivalent
+    slow-path form (whitespace inside the close tags forces the
+    generic alternatives) and asserts identical extraction."""
+    shell = "<html><head><title>t</title></head><body>{}</body></html>"
+    pairs = [
+        # plain item; slow twin uses '</a ></li >' to miss the fast token
+        ('<li><a href="/x">alpha beta</a></li>',
+         '<li><a href="/x">alpha beta</a ></li >'),
+        # whitespace gap between <li> and <a>
+        ('<li>  <a href="/x">gamma delta</a></li>',
+         '<li>  <a href="/x">gamma delta</a ></li >'),
+        # entities + internal whitespace runs collapse identically
+        ('<li><a>AT&amp;T   still  one&nbsp;run</a></li>',
+         '<li><a>AT&amp;T   still  one&nbsp;run</a ></li >'),
+        # attribute soup incl. quoted '>' and unquoted values
+        ('<li class="x>y" data-a=\'1\'><a href=/p rel=no>word up</a></li>',
+         '<li class="x>y" data-a=\'1\'><a href=/p rel=no>word up</a ></li >'),
+        # whitespace-only text drops in both paths
+        ('<li><a href="/x">   </a></li>', '<li><a href="/x">   </a ></li >'),
+        # empty text
+        ('<li><a href="/x"></a></li>', '<li><a href="/x"></a ></li >'),
+    ]
+    for fast, slow in pairs:
+        a = extract_document(shell.format("<article><p>" + "content words " * 6 + "</p>" + fast * 3 + "</article>").encode())
+        b = extract_document(shell.format("<article><p>" + "content words " * 6 + "</p>" + slow * 3 + "</article>").encode())
+        assert a.text == b.text, (fast, a.text, b.text)
+        assert a.spans == b.spans, fast
+    # inside <pre>, the gap and text survive verbatim in both forms
+    pre_fast = "<pre><li> <a>x  y</a></li></pre>"
+    pre_slow = "<pre><li> <a>x  y</a ></li ></pre>"
+    a = extract_document(shell.format(pre_fast).encode())
+    b = extract_document(shell.format(pre_slow).encode())
+    assert a.text == b.text and a.spans == b.spans
+    # markup inside the item text falls back to the generic path
+    nested = shell.format(
+        "<article>" + '<li><a href="/x">has <b>bold</b> inside</a></li>' * 2 + "</article>"
+    )
+    r = extract_document(nested.encode())
+    assert r.status in ("ok", "empty")  # short all-link items filter out
+
+
+def test_full_list_item_link_density_accounting():
+    """link_chars from the fast token must still convict link farms:
+    a page of only short <li><a> items extracts empty either way."""
+    farm = "".join(f'<li><a href="/p{i}">w{i}</a></li>' for i in range(200))
+    page = f"<html><body><ul>{farm}</ul></body></html>".encode()
+    r = extract_document(page)
+    assert r.status == "empty"  # every block convicted by link density
+    assert r.text == ""

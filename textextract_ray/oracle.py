@@ -105,17 +105,29 @@ for _t in _BLOCK_TAGS | _SKIP_CONTENT_TAGS | _VOID_TAGS | _INLINE_TAGS | _CHROME
     )
 del _t, _spec
 
-# Alternation order is a hot-path choice: the two tag alternatives
-# come first because ~99% of '<' positions are tags; the compound
-# link-farm boundary '</a></li><li><a ...>' (the single most common
-# 4-tag run in list-heavy pages) matches as ONE token whose handler
-# replicates the four generic transitions exactly. The non-tag
-# alternatives are mutually exclusive with the tag ones ('!' / '?'
-# can't start a tag name), so the reorder cannot change what matches.
+# Alternation order is a hot-path choice: the link-farm alternatives
+# come first, then the generic tag pair (~99% of '<' positions are
+# tags). Two multi-tag tokens exist, each handled by straight-line
+# code replicating the generic transitions byte-identically:
+#   * the full list item '<li ...>(ws)<a ...>text</a></li>' (the
+#     nav/link-farm unit — five generic iterations become one; the
+#     inner text is [^<]* so no token can hide inside it, and the
+#     close pair must be literally adjacent so the trailing-space
+#     add_text of the generic path can never be skipped);
+#   * the item boundary '</a></li><li><a ...>' (items whose text
+#     contains markup still hit this between-item token).
+# The non-tag alternatives are mutually exclusive with the tag ones
+# ('!' / '?' can't start a tag name), so the order cannot change what
+# matches. Handlers dispatch on m.lastindex: 4 = full item, 6 =
+# boundary, 10 = generic tag, None = comment/doctype/PI/stray '<'.
 _TOKEN_RE = re.compile(
-    r"</a></li><li><a(?![a-zA-Z0-9:-])"  # compound boundary…
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"  # …attrs + self-close
-    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"
+    r"<li(?![a-zA-Z0-9:-])((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # 1 li attrs
+    r"(\s*)"                                                   # 2 ws gap
+    r"<a(?![a-zA-Z0-9:-])((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"   # 3 a attrs
+    r"([^<]*)</a></li>"                                        # 4 item text
+    r"|</a></li><li><a(?![a-zA-Z0-9:-])"  # compound boundary…
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"  # …attrs + self-close (5, 6)
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"  # 7-10
     r"|<!--.*?(?:-->|$)"         # comments (unclosed -> to EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                 # doctype
@@ -308,6 +320,9 @@ def _parse_blocks(doc: str) -> list:
     n = len(doc)
     tag_info = _TAG_INFO
     generic = _GENERIC_INFO
+    _unescape = _htmllib.unescape
+    _ws_sub = _WS_RUN_RE.sub
+    _nonid_search = _WS_NONIDENTITY_RE.search
     for m in _TOKEN_RE.finditer(doc):
         start, end = m.span()
         if start < pos:
@@ -315,7 +330,40 @@ def _parse_blocks(doc: str) -> list:
         if start > pos:
             add_text(doc[pos:start])
         pos = end
-        g1, tag, g4, comp = m.group(3, 4, 6, 2)
+        last = m.lastindex
+        if last == 4:
+            # full list item '<li ...>(ws)<a ...>text</a></li>': one
+            # token, state transitions byte-identical to the five
+            # generic iterations it replaces (open li -> open a ->
+            # add_text -> close a -> close li). The li/a pushes and
+            # pops cancel exactly (nothing can intervene: the text is
+            # [^<]*), so only the flush and the block the text creates
+            # remain. Kind is always "li" (fixed kind of li, inherited
+            # by a); link_depth>0 holds inside, so non-pre text counts
+            # link chars; the captured inter-tag whitespace gap only
+            # materializes in pre mode (non-pre: cur is None after the
+            # flush, so word-separating whitespace is dropped).
+            flush()
+            gap, text = m.group(2, 4)
+            if pre_depth > 0:
+                if gap or text:
+                    blk = _Block("li", True, chrome_depth > 0)
+                    if gap:
+                        blk.parts.append(gap)
+                    if text:
+                        blk.parts.append(_unescape(text))
+                    blocks.append(blk)
+            elif text and not text.isspace():
+                unescaped = _unescape(text)
+                if _nonid_search(unescaped) is not None:
+                    unescaped = _ws_sub(" ", unescaped)
+                if unescaped:
+                    blk = _Block("li", False, chrome_depth > 0)
+                    blk.parts.append(unescaped)
+                    blk.link_chars = len(unescaped.strip())
+                    blocks.append(blk)
+            continue
+        g1, tag, g4, comp = m.group(7, 8, 10, 5)
         if comp is not None:
             # compound '</a></li><li><a ...>' boundary: one token, but
             # state transitions byte-identical to the four generic
