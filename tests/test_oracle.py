@@ -315,3 +315,33 @@ def test_full_list_item_link_density_accounting():
     r = extract_document(page)
     assert r.status == "empty"  # every block convicted by link density
     assert r.text == ""
+
+
+def test_li_run_token_equivalence():
+    """A RUN of consecutive <li><a>…</a></li> items (with and without
+    whitespace separators) must extract identically to the generic
+    tokenization (forced via whitespace inside the close tags), in
+    both normal and <pre> contexts, including a malformed tail item."""
+    shell = "<html><head><title>t</title></head><body><article><p>{}</p>{}</article></body></html>"
+    filler = "content words " * 6
+    items_f = "".join(f'<li><a href="/p{i}">word {i} here</a></li>' for i in range(30))
+    items_s = "".join(f'<li><a href="/p{i}">word {i} here</a ></li >' for i in range(30))
+    a = extract_document(shell.format(filler, items_f).encode())
+    b = extract_document(shell.format(filler, items_s).encode())
+    assert a.text == b.text and a.spans == b.spans
+    # whitespace separators between items
+    items_fw = "\n  ".join(f'<li><a href="/p{i}">word {i} here</a></li>' for i in range(10))
+    items_sw = "\n  ".join(f'<li><a href="/p{i}">word {i} here</a ></li >' for i in range(10))
+    a = extract_document(shell.format(filler, items_fw).encode())
+    b = extract_document(shell.format(filler, items_sw).encode())
+    assert a.text == b.text and a.spans == b.spans
+    # pre context: gaps and separators materialize verbatim both ways
+    pre_f = "<pre>" + "<li> <a>alpha beta gamma delta epsilon zeta eta theta</a></li>\n" * 3 + "</pre>"
+    pre_s = "<pre>" + "<li> <a>alpha beta gamma delta epsilon zeta eta theta</a ></li >\n" * 3 + "</pre>"
+    a = extract_document(shell.format(filler, pre_f).encode())
+    b = extract_document(shell.format(filler, pre_s).encode())
+    assert a.text == b.text and a.spans == b.spans
+    # malformed tail item ends the run without corrupting recovery
+    broken = items_f + "<li><a>broken</b>"
+    r = extract_document(shell.format(filler, broken).encode())
+    assert r.status == "ok" and "content words" in r.text

@@ -109,30 +109,46 @@ del _t, _spec
 # come first, then the generic tag pair (~99% of '<' positions are
 # tags). Two multi-tag tokens exist, each handled by straight-line
 # code replicating the generic transitions byte-identically:
-#   * the full list item '<li ...>(ws)<a ...>text</a></li>' (the
-#     nav/link-farm unit — five generic iterations become one; the
-#     inner text is [^<]* so no token can hide inside it, and the
-#     close pair must be literally adjacent so the trailing-space
-#     add_text of the generic path can never be skipped);
+#   * a RUN of full list items
+#     '<li ...>(ws)<a ...>text</a></li> [ws <li...>...</li>]*'
+#     (the nav/link-farm unit — 5·K generic iterations become one
+#     token; each item's text is [^<]* so no token can hide inside
+#     it, each close pair must be literally adjacent so the
+#     trailing-space add_text of the generic path can never be
+#     skipped, and inter-item gaps are pure whitespace);
 #   * the item boundary '</a></li><li><a ...>' (items whose text
 #     contains markup still hit this between-item token).
 # The non-tag alternatives are mutually exclusive with the tag ones
 # ('!' / '?' can't start a tag name), so the order cannot change what
-# matches. Handlers dispatch on m.lastindex: 4 = full item, 6 =
-# boundary, 10 = generic tag, None = comment/doctype/PI/stray '<'.
+# matches. Handlers dispatch on m.lastindex: 1 = item run, 3 =
+# boundary, 7 = generic tag, None = comment/doctype/PI/stray '<'.
+_LI_ITEM = (
+    r"<li(?![a-zA-Z0-9:-])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+    r"\s*"
+    r"<a(?![a-zA-Z0-9:-])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+    r"[^<]*</a></li>"
+)
 _TOKEN_RE = re.compile(
-    r"<li(?![a-zA-Z0-9:-])((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # 1 li attrs
-    r"(\s*)"                                                   # 2 ws gap
-    r"<a(?![a-zA-Z0-9:-])((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"   # 3 a attrs
-    r"([^<]*)</a></li>"                                        # 4 item text
+    r"(" + _LI_ITEM + r"(?:\s*" + _LI_ITEM + r")*)"  # 1: item run
     r"|</a></li><li><a(?![a-zA-Z0-9:-])"  # compound boundary…
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"  # …attrs + self-close (5, 6)
-    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"  # 7-10
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"  # …attrs + self-close (2, 3)
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"  # 4-7
     r"|<!--.*?(?:-->|$)"         # comments (unclosed -> to EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                 # doctype
     r"|<\?[^>]*>"                # processing instruction
     r"|<",                       # stray '<' treated as text
+    re.DOTALL,
+)
+# pre-mode fallback scanner over one matched item run: items (with the
+# gap and text captured) and the pure-whitespace separators between
+# them — nothing else can occur inside a run by construction
+_LI_RUN_SCAN_RE = re.compile(
+    r"<li(?![a-zA-Z0-9:-])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+    r"(\s*)"                                                  # 1 gap
+    r"<a(?![a-zA-Z0-9:-])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+    r"([^<]*)</a></li>"                                       # 2 text
+    r"|\s+",
     re.DOTALL,
 )
 
@@ -331,39 +347,53 @@ def _parse_blocks(doc: str) -> list:
             add_text(doc[pos:start])
         pos = end
         last = m.lastindex
-        if last == 4:
-            # full list item '<li ...>(ws)<a ...>text</a></li>': one
-            # token, state transitions byte-identical to the five
-            # generic iterations it replaces (open li -> open a ->
-            # add_text -> close a -> close li). The li/a pushes and
-            # pops cancel exactly (nothing can intervene: the text is
-            # [^<]*), so only the flush and the block the text creates
-            # remain. Kind is always "li" (fixed kind of li, inherited
-            # by a); link_depth>0 holds inside, so non-pre text counts
-            # link chars; the captured inter-tag whitespace gap only
-            # materializes in pre mode (non-pre: cur is None after the
-            # flush, so word-separating whitespace is dropped).
-            flush()
-            gap, text = m.group(2, 4)
+        if last == 1:
+            # run of full list items '<li ...>(ws)<a ...>text</a></li>'
+            # separated by pure whitespace: ONE token, state transitions
+            # byte-identical to the 5·K generic iterations it replaces
+            # (per item: open li -> open a -> add_text -> close a ->
+            # close li; per separator: one whitespace add_text). The
+            # li/a pushes and pops cancel exactly (nothing can
+            # intervene: each item's text is [^<]*), so only the entry
+            # flush and the blocks the text creates remain.
+            #
+            # Non-pre (the hot case): NO block is ever materialized.
+            # Each item's entire text sits inside its <a>, so
+            # link_chars == len(canonical) and link density is exactly
+            # 1.0 > MAX_LINK_DENSITY — the classifier is guaranteed to
+            # drop it (a heading-survival scan skips unkept non-heading
+            # blocks, so absence cannot flip a heading); the whitespace
+            # separators hit add_text's isspace branch with cur None
+            # (flushed at the first <li>) and vanish. Output-identical,
+            # and an entire link farm costs O(1) Python per run.
+            if cur is not None:  # inline flush: the hot no-op case skips a call
+                if cur.parts:
+                    blocks.append(cur)
+                cur = None
             if pre_depth > 0:
-                if gap or text:
-                    blk = _Block("li", True, chrome_depth > 0)
-                    if gap:
-                        blk.parts.append(gap)
-                    if text:
-                        blk.parts.append(_unescape(text))
-                    blocks.append(blk)
-            elif text and not text.isspace():
-                unescaped = _unescape(text)
-                if _nonid_search(unescaped) is not None:
-                    unescaped = _ws_sub(" ", unescaped)
-                if unescaped:
-                    blk = _Block("li", False, chrome_depth > 0)
-                    blk.parts.append(unescaped)
-                    blk.link_chars = len(unescaped.strip())
-                    blocks.append(blk)
+                # Pre mode: every gap/text materializes verbatim. Kind
+                # inside an item is "li" (fixed kind of li, inherited
+                # by a, link_chars never counted in pre); a separator
+                # opens a block of the PARENT kind which the next
+                # <li>'s flush appends — replicated per generic path.
+                chrome_now = chrome_depth > 0
+                parent_kind = kind_stack[-1] if kind_stack else "text"
+                for im in _LI_RUN_SCAN_RE.finditer(m.group(1)):
+                    if im.lastindex is None:  # inter-item whitespace
+                        blk = _Block(parent_kind, True, chrome_now)
+                        blk.parts.append(im.group(0))
+                        blocks.append(blk)
+                    else:
+                        gap, text = im.group(1, 2)
+                        if gap or text:
+                            blk = _Block("li", True, chrome_now)
+                            if gap:
+                                blk.parts.append(gap)
+                            if text:
+                                blk.parts.append(_unescape(text))
+                            blocks.append(blk)
             continue
-        g1, tag, g4, comp = m.group(7, 8, 10, 5)
+        g1, tag, g4, comp = m.group(4, 5, 7, 2)
         if comp is not None:
             # compound '</a></li><li><a ...>' boundary: one token, but
             # state transitions byte-identical to the four generic
