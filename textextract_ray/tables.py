@@ -1,10 +1,16 @@
 """HTML table extraction (WebTables-class structured data mining).
 
-Walks the SAME streaming tokenizer the main-content extractor uses
-(``oracle._TOKEN_RE`` — one regex pass, no DOM build) with a small
-table-context stack, so arbitrary crawl bytes parse with the exact
-recovery semantics the extractor already pins (unclosed tags, implicit
-</td>/</tr> closes, nested tables, script/style skipping). Each
+Walks the same STYLE of streaming tokenizer the main-content extractor
+uses (one regex pass, no DOM build) with a small table-context stack,
+so arbitrary crawl bytes parse with the exact recovery semantics the
+extractor pins (unclosed tags, implicit </td>/</tr> closes, nested
+tables, script/style skipping). The token regex here is this module's
+OWN pinned copy of the extractor's pre-link-farm tokenizer: the
+extractor's current regex coalesces whole ``<li><a>…</a></li>`` runs
+into one token because the classifier provably drops them, but a table
+CELL containing such a list must keep its text — so tables keep the
+two-alternative tokenizer (boundary compound + generic tag) whose
+behavior the golden tests froze. Each
 <table> — including tables nested inside cells, which get their own
 entry — yields rows of whitespace-collapsed, entity-unescaped cell
 strings; <th> anywhere in a row marks it a header row.
@@ -19,7 +25,23 @@ from __future__ import annotations
 
 import html as _htmllib
 
-from .oracle import _TOKEN_RE, _WS_RUN_RE, _decode
+import re as _re
+
+from .oracle import _WS_RUN_RE, _decode
+
+# pinned pre-link-farm tokenizer (see module docstring): group 2 =
+# compound attrs, 3 = close slash, 4 = tag, 6 = self-close slash
+_TOKEN_RE = _re.compile(
+    r"</a></li><li><a(?![a-zA-Z0-9:-])"
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"
+    r"|<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|<",
+    _re.DOTALL,
+)
 
 _SKIP_TAGS = frozenset({"script", "style", "template", "noscript", "svg"})
 _CELL_BREAK_TAGS = frozenset({"br", "p", "div", "li"})
