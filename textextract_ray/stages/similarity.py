@@ -28,58 +28,51 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-class BatchTopK:
-    """Actor-pool stage: local cosine top-k of each batch against the
-    broadcast query matrix. Queries are fetched once per actor."""
+TOPK_MERGE_BUDGET_ROWS = 5_000_000
 
-    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
-        import ray
 
-        q = ray.get(queries_ref)  # {"query_id": int64[nq], "mat": float32[nq, d]}
-        self.qids = q["query_id"]
-        self.qmat = _unit(q["mat"].astype(np.float64))
-        self.vec_col = vec_col
-        self.id_col = id_col
-        self.k = k
+def _merge_topk(partial, k: int):
+    """Final top-k per query over the partial nominations.
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _unit(_as_matrix(batch[self.vec_col]))
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = self.qmat @ vecs.T  # [nq, nb]
-        k = min(self.k, sims.shape[1])
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            # lexsort (score desc, id asc): argpartition would discard
-            # score-TIED candidates at the local k-boundary arbitrarily,
-            # making the global result depend on block layout
-            order = np.lexsort((ids, -sims[qi]))[:k]
-            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-            out_id.append(ids[order])
-            out_s.append(sims[qi, order].astype(np.float64))
-        return pa.table(
+    Partial rows are O(blocks · nq · k) by construction — vanishing
+    next to the corpus — so the merge FOLDS ON THE DRIVER while the
+    stream fits ``TOPK_MERGE_BUDGET_ROWS`` (one vectorized lexsort +
+    segment cut; no all-to-all — a Ray groupby over the tiny partial
+    blocks costs ~2s of fixed shuffle overhead regardless of data
+    size). Past the budget (huge block counts × many queries) the
+    key-partitioned groupby arm engages. Both arms apply the same
+    (score desc, vec_id asc) order; results are identical."""
+    import ray.data as rd
+
+    tables, rows = [], 0
+    for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tables.append(b)
+        rows += b.num_rows
+        if rows > TOPK_MERGE_BUDGET_ROWS:
+            break
+    if rows <= TOPK_MERGE_BUDGET_ROWS:
+        empty = pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
             }
         )
-
-
-def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10):
-    """Exact cosine top-k: per-batch partial top-k, then a small
-    per-query merge. ``queries`` = {"query_id": int64 array,
-    "mat": float32 [nq, d]}. Returns (query_id, vec_id, score) rows,
-    exactly k per query, ties broken by smaller vec_id (deterministic).
-    """
-    import ray
-
-    qref = ray.put(queries)
-    partial = ds.map_batches(
-        BatchTopK,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        fn_constructor_kwargs=dict(queries_ref=qref, vec_col=vec_col, id_col=id_col, k=k),
-    )
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return rd.from_arrow(empty)
+        t = pa.concat_tables(live).combine_chunks()
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sc, qid))  # qid asc, score desc, id asc
+        qs = qid[order]
+        starts = np.concatenate(([0], np.nonzero(qs[1:] != qs[:-1])[0] + 1))
+        rank = np.arange(len(qs)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(qs)])))
+        )
+        keep = order[rank < k]
+        return rd.from_arrow(t.take(keep))
 
     def merge(group: pa.Table) -> pa.Table:
         # pyarrow in/out: a pandas merge emitting PandasBlockSchema
@@ -91,6 +84,55 @@ def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id",
         return group.take(order[: min(k, len(group))])
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def brute_force_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10):
+    """Exact cosine top-k: per-batch partial top-k, then a small
+    per-query merge (budgeted driver fold — see ``_merge_topk``).
+    ``queries`` = {"query_id": int64 array, "mat": float32 [nq, d]}.
+    Returns (query_id, vec_id, score) rows, exactly k per query, ties
+    broken by smaller vec_id (deterministic).
+
+    The partial stage runs as STATELESS TASKS, not an actor pool: the
+    query matrix is unit-normalized ONCE before ``ray.put``, so each
+    task's ``ray.get`` is a zero-copy plasma read and there is no
+    per-actor spin-up cost (~1s per pool on an idle cluster) and no
+    per-batch renormalization."""
+    import ray
+
+    qref = ray.put(
+        {
+            "query_id": np.asarray(queries["query_id"], dtype=np.int64),
+            "unit_mat": _unit(np.asarray(queries["mat"], dtype=np.float64)),
+        }
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        qids, qmat = q["query_id"], q["unit_mat"]
+        vecs = _unit(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = qmat @ vecs.T  # [nq, nb]
+        k_eff = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            # lexsort (score desc, id asc): argpartition would discard
+            # score-TIED candidates at the local k-boundary arbitrarily,
+            # making the global result depend on block layout
+            order = np.lexsort((ids, -sims[qi]))[:k_eff]
+            out_q.append(np.full(k_eff, qids[qi], dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(sims[qi, order].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_topk(partial, k)
 
 
 # --- IVF (scale path) --------------------------------------------------------
@@ -191,66 +233,57 @@ def ivf_topk(ds, queries: dict, *, vec_col="embedding", id_col="vec_id", k=10,
         cents = refined.astype(np.float32)
     qmat = _unit(queries["mat"].astype(np.float32))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # [nq, nprobe]
-    probed_sets = [set(row.tolist()) for row in probe]
-    state = {"cents": cents, "queries": queries, "probed": probed_sets, "k": k}
-    sref = ray.put(state)
+    probed_arrs = [np.sort(row) for row in probe]
+    # stateless-task broadcast (see brute_force_topk): everything the
+    # per-batch kernel needs is precomputed once and read zero-copy
+    sref = ray.put(
+        {
+            "cents": cents,
+            "qids": np.asarray(queries["query_id"], dtype=np.int64),
+            "unit_qmat": qmat,
+            "probed": probed_arrs,
+        }
+    )
 
-    class ProbedTopK:
-        def __init__(self):
-            s = ray.get(sref)
-            self.cents = s["cents"]
-            self.qids = s["queries"]["query_id"]
-            self.qmat = _unit(s["queries"]["mat"].astype(np.float32))
-            self.probed = s["probed"]
-            self.k = s["k"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _unit(_as_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            assign = (vecs @ self.cents.T).argmax(axis=1)
-            out_q, out_id, out_s = [], [], []
-            sims = self.qmat @ vecs.T
-            for qi in range(len(self.qids)):
-                mask = np.isin(assign, list(self.probed[qi]))
-                if not mask.any():
-                    continue
-                s = sims[qi][mask]
-                sel_ids = ids[mask]
-                k = min(self.k, len(s))
-                # tie-stable like BatchTopK: score desc, then id asc, so
-                # block layout can't change which tied candidate survives
-                idx = np.lexsort((sel_ids, -s))[:k]
-                out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-                out_id.append(sel_ids[idx])
-                out_s.append(s[idx].astype(np.float64))
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
+    def probed_topk(batch: pa.Table) -> pa.Table:
+        s_ = ray.get(sref)
+        cents_, qids, uqmat, probed = s_["cents"], s_["qids"], s_["unit_qmat"], s_["probed"]
+        vecs = _unit(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign = (vecs @ cents_.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        sims = uqmat @ vecs.T
+        for qi in range(len(qids)):
+            mask = np.isin(assign, probed[qi])
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            sel_ids = ids[mask]
+            k_eff = min(k, len(s))
+            # tie-stable like brute_force_topk: score desc, then id asc,
+            # so block layout can't change which tied candidate survives
+            idx = np.lexsort((sel_ids, -s))[:k_eff]
+            out_q.append(np.full(k_eff, qids[qi], dtype=np.int64))
+            out_id.append(sel_ids[idx])
+            out_s.append(s[idx].astype(np.float64))
+        if not out_q:
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
                 }
             )
-
-    partial = ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=(1, 8))
-
-    def merge(group: pa.Table) -> pa.Table:
-        # pyarrow in/out: a pandas merge emitting PandasBlockSchema
-        # blocks next to empty pyarrow blocks triggers Ray's
-        # mixed-schema RefBundle warning and a needless conversion
-        order = pc.sort_indices(
-            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
         )
-        return group.take(order[: min(k, len(group))])
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    partial = ds.map_batches(probed_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_topk(partial, k)
 
 
 def embedding_pca(ds, *, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"):
