@@ -645,3 +645,28 @@ def test_surt_host_key_oracle_and_locality():
         "https://www.Example.com/a/b?x=1",
         "https://z.example.com/deep",
     ]
+
+
+def test_minhash_signatures_batch_parity():
+    """Batched reduceat signatures must equal the per-doc kernel
+    exactly (same uint64 ops), including empty docs and chunk-budget
+    boundaries mid-batch."""
+    import numpy as np
+
+    from textextract_ray.functions.text import (
+        minhash_params,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    a, b = minhash_params(64)
+    docs = [
+        rng.integers(0, 2**63, size=int(n)).astype(np.uint64)
+        for n in rng.integers(0, 300, size=80)
+    ]
+    docs[3] = np.array([], dtype=np.uint64)
+    docs[40] = np.array([], dtype=np.uint64)
+    batch = minhash_signatures_batch(docs, a, b, shingle_budget=500)
+    for i, h in enumerate(docs):
+        assert (batch[i] == minhash_signature(h, a, b)).all(), i

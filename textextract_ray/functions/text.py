@@ -399,6 +399,38 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(
+    hash_list: list, a: np.ndarray, b: np.ndarray, *, shingle_budget: int = 262_144
+) -> np.ndarray:
+    """MinHash signatures for a whole batch of docs at once: [D, P]
+    uint64, row d == ``minhash_signature(hash_list[d], a, b)`` exactly
+    (same uint64 elementwise ops, same wraparound, so downstream band
+    keys are byte-identical). One (a·h+b) mod p matrix over the
+    CONCATENATED shingles and one ``np.minimum.reduceat`` per chunk
+    replace the per-doc Python round-trips; ``shingle_budget`` bounds
+    the [P, N] transient (~128 MB at the defaults). Empty docs get the
+    all-MAX signature, matching the per-doc function."""
+    P = len(a)
+    D = len(hash_list)
+    out = np.full((D, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.array([len(h) for h in hash_list], dtype=np.int64)
+    live = np.nonzero(lens > 0)[0]
+    i = 0
+    while i < len(live):
+        j = i
+        tot = 0
+        while j < len(live) and (tot == 0 or tot + lens[live[j]] <= shingle_budget):
+            tot += lens[live[j]]
+            j += 1
+        idx = live[i:j]
+        flat = np.concatenate([hash_list[d] for d in idx]).astype(np.uint64) % _MERSENNE
+        vals = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE  # [P, tot]
+        starts = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
+        out[idx] = np.minimum.reduceat(vals, starts, axis=1).T
+        i = j
+    return out
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
     """Split a signature into bands; one stable hex key per band.
     Docs sharing any (band_id, key) are near-dup candidates

@@ -82,31 +82,73 @@ def exact_dedup(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
 
 
 
-def _bucketed_group_apply(ds, group_cols, fn, *, num_buckets: int = 64):
+GROUP_APPLY_FOLD_BUDGET_ROWS = 5_000_000
+
+
+def _bucketed_group_apply(
+    ds,
+    group_cols,
+    fn,
+    *,
+    num_buckets: int = 64,
+    fold_budget_rows: int = GROUP_APPLY_FOLD_BUDGET_ROWS,
+):
     """Apply ``fn`` per (group_cols) group WITHOUT paying per-group Ray
-    dispatch: groups are first coarsened into ``num_buckets`` hash
-    buckets (one shuffle, O(buckets) dispatch), then a vectorized
-    pandas groupby inside each bucket applies ``fn`` to real groups.
-    LSH keys are mostly singletons — per-key map_groups costs ~2 ms of
-    dispatch per key, which at millions of keys dwarfs the actual work;
-    this keeps the same shuffle volume with O(num_buckets) dispatch."""
+    dispatch. Two arms, identical results:
+
+    * under ``fold_budget_rows`` (these inputs are keys-only LSH/band
+      rows by design — ~28 B each, so the budget is ~150 MB) the rows
+      FOLD ON THE DRIVER and one pandas groupby applies ``fn`` to the
+      real groups — no all-to-all at all. A Ray groupby costs seconds
+      of fixed overhead per hundred input blocks regardless of row
+      count (SCALE.md round-4 audit), which dwarfs the group work at
+      bench scale.
+    * past the budget — the corpus-scale regime — groups coarsen into
+      ``num_buckets`` hash buckets (one shuffle, O(buckets) dispatch),
+      then a vectorized pandas groupby inside each bucket applies
+      ``fn``. LSH keys are mostly singletons — per-key map_groups
+      costs ~2 ms of dispatch per key, which at millions of keys
+      dwarfs the actual work; bucketing keeps the same shuffle volume
+      with O(num_buckets) dispatch. (The fallback re-executes ``ds``'s
+      lineage once more — only paid in the regime where the hashing
+      pass is a vanishing fraction of the group work.)"""
+    import ray.data as rd
+
     from ..functions.scalar import stable_bucket
 
     cols = list(group_cols)
+
+    def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # LSH group keys are overwhelmingly singletons; drop them with
+        # ONE vectorized duplicated() pass so the per-group Python loop
+        # only ever sees real (>=2-member) groups — iterating a million
+        # singleton groups costs more than all the group work combined
+        if len(df):
+            df = df[df.duplicated(cols, keep=False)]
+        outs = []
+        for _, g in df.groupby(cols, sort=True):
+            outs.append(fn(g))
+        if not outs:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    tables, rows = [], 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tables.append(b)
+        rows += b.num_rows
+        if rows > fold_budget_rows:
+            break
+    if rows <= fold_budget_rows:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return rd.from_pandas(apply_bucket(pd.DataFrame(columns=cols)))
+        df = pa.concat_tables(live).combine_chunks().to_pandas()
+        return rd.from_pandas(apply_bucket(df))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = list(zip(*(batch[c].to_pylist() for c in cols)))
         b = stable_bucket(keys, num_buckets)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
-
-    def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in df.groupby(cols, sort=True):
-            if len(g) >= 2:
-                outs.append(fn(g))
-        if not outs:
-            return pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -166,23 +208,22 @@ class MinHashBandKeys:
         self.a, self.b = minhash_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.text import batch_shingle_hashes
+        from ..functions.text import batch_shingle_hashes, minhash_signatures_batch
 
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         all_hashes = batch_shingle_hashes(texts, self.k)
+        # empty/whitespace-only docs all share the degenerate all-MAX
+        # signature and would flood every band bucket; they are not
+        # meaningful near-dups — exact dedup owns the empty-document
+        # case
+        live = [i for i, h in enumerate(all_hashes) if len(h)]
+        sigs = minhash_signatures_batch([all_hashes[i] for i in live], self.a, self.b)
         out_ids, out_band, out_key = [], [], []
-        for i, hashes in zip(ids, all_hashes):
-            if len(hashes) == 0:
-                # empty/whitespace-only docs all share the degenerate
-                # all-MAX signature and would flood every band bucket;
-                # they are not meaningful near-dups — exact dedup owns
-                # the empty-document case
-                continue
-            sig = minhash_signature(hashes, self.a, self.b)
-            keys = lsh_band_keys(sig, self.bands)
+        for row, i in enumerate(live):
+            keys = lsh_band_keys(sigs[row], self.bands)
             for bi, key in enumerate(keys):
-                out_ids.append(i)
+                out_ids.append(ids[i])
                 out_band.append(bi)
                 out_key.append(key)
         return pa.table(
@@ -217,10 +258,11 @@ def candidate_signatures(ds, text_col: str, id_col: str, cand_ref,
         vs = cand if cand.type == col.type else cand.cast(col.type)
         sub = batch.filter(pc.fill_null(pc.is_in(col, value_set=vs), False))
         ids = sub[id_col].to_pylist()
-        sigs = [
-            minhash_signature(h, a, b).tolist()
-            for h in batch_shingle_hashes(sub[text_col].to_pylist(), k_shingle)
-        ]
+        from ..functions.text import minhash_signatures_batch
+
+        sigs = minhash_signatures_batch(
+            batch_shingle_hashes(sub[text_col].to_pylist(), k_shingle), a, b
+        ).tolist()
         return pa.table(
             {
                 "id": pa.array(ids, type=col.type),
@@ -258,14 +300,16 @@ def minhash_duplicate_assignments(
     import ray
     import ray.data as rd
 
+    # a constructed INSTANCE runs as stateless tasks (no actor-pool
+    # spin-up); the permutation params it carries are 2×num_perm
+    # uint64s — trivial to serialize per task
     band_rows = ds.map_batches(
-        MinHashBandKeys,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        fn_constructor_kwargs=dict(
+        MinHashBandKeys(
             text_col=text_col, id_col=id_col, num_perm=num_perm,
             bands=bands, k_shingle=k_shingle,
         ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
