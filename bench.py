@@ -45,17 +45,16 @@ def bench_extract(files: list) -> dict:
 
     import pyarrow.parquet as pq
 
-    from textextract_ray.pipelines.extract_pipeline import extract_dataset
-    from textextract_ray.sources import read_pages
+    from textextract_ray.pipelines.extract_pipeline import extract_files
 
     out_dir = "/tmp/textextract_bench/out"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
-    ds = read_pages(files)
-    extracted = extract_dataset(
-        ds, batch_size=64, giant_threshold=None
-    )
+    # fused read+extract: parquet decode inside the extract task —
+    # html never round-trips the object store (extract_pipeline
+    # docstring has the measured plasma/decode numbers)
+    extracted = extract_files(files, batch_size=64)
     extracted.write_parquet(out_dir)
     dt = time.perf_counter() - t0
 
@@ -232,7 +231,20 @@ def scaling() -> None:
     # reaches ~80%) — a real 4-node vs 16-node cluster has per-node
     # memory, so the lower pair is the honest stand-in.
     lo, hi = int(os.environ.get("BENCH_SCALE_LO", "4")), int(os.environ.get("BENCH_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    # min-of-N per leg, legs strictly alternating: this box's wall clock
+    # swings 20-30% between runs minutes apart (variance log,
+    # BASELINE.md — a single 16-cpu leg measured 28.1s and 37.5s within
+    # ten minutes of each other). Min-of-N with alternation is the same
+    # control protocol the cross-round comparisons use; both legs get
+    # identical treatment so the ratio stays honest.
+    repeats = max(1, int(os.environ.get("BENCH_SCALING_REPEATS", "3")))
+    r_lo = r_hi = None
+    for _ in range(repeats):
+        a, b = run(lo), run(hi)
+        if r_lo is None or a["queries"]["extract"] < r_lo["queries"]["extract"]:
+            r_lo = a
+        if r_hi is None or b["queries"]["extract"] < r_hi["queries"]["extract"]:
+            r_hi = b
     t_lo = r_lo["queries"]["extract"]
     t_hi = r_hi["queries"]["extract"]
     eff = (t_lo / t_hi) / (hi / lo)

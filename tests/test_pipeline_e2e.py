@@ -314,3 +314,39 @@ def test_dedup_by_url_canonicalize_mode(ray_session):
             assert len(got) == 2
             assert win in set(got["url"]), (budget, got["url"].tolist())
             assert "_ckey" not in got.columns
+
+
+def test_fused_matches_dataset_path(ray_session, fixture_pages):
+    """extract_files (parquet decode inside the extract task) must be
+    byte-identical to extract_dataset(read_pages(...)) — same stages,
+    different data motion. Timing column excluded (wall-clock)."""
+    import pandas as pd
+
+    from textextract_ray.pipelines.extract_pipeline import (
+        extract_dataset,
+        extract_files,
+    )
+    from textextract_ray.sources import read_pages
+
+    drop = ["processing_time_ms"]
+    a = (
+        extract_files(fixture_pages, batch_size=32)
+        .to_pandas()
+        .drop(columns=drop)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_dataset(read_pages(fixture_pages), giant_threshold=None)
+        .to_pandas()
+        .drop(columns=drop)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # directory form resolves to the same shard list
+    import os
+
+    d = os.path.dirname(fixture_pages[0])
+    c = extract_files(d, dedup=False)
+    assert c.count() == 200

@@ -66,6 +66,90 @@ def extract_dataset(
     return extracted
 
 
+def extract_files(
+    paths,
+    *,
+    batch_size: int = 64,
+    dedup: bool = True,
+    canonicalize_urls: bool = False,
+    validate_schema: bool = True,
+    max_output_bytes: int | None = None,
+):
+    """Fused read+extract: ONE task per parquet shard decodes the shard
+    worker-side and extracts in the same process — the html payload
+    never enters the object store.
+
+    Why this exists next to ``extract_dataset``: the Dataset path
+    materializes every page block (url + html + metadata — the corpus'
+    dominant bytes) into the object store between the read operator and
+    the extract operator, and Ray 2.49's planner does not fuse
+    ``ReadParquet`` with a downstream ``map_batches`` (measured: two
+    ``TaskPoolMapOperator``s in every plan). At the bench corpus that
+    round-trip is 6.5 GB of plasma memcpy plus parquet-decode running
+    as its own CPU-contending operator — ~20% of extract wall at 16
+    CPUs, and the first thing a 100 TB run would pay per node. Here the
+    decode happens inside the extract task (exactly one shard per
+    task, the same one-task-per-shard contract as ``read_arrow_shards``
+    / ``read_pages_http`` / ``read_warc``), so only the ~10×-smaller
+    extracted rows are ever stored. Output is byte-identical to
+    ``extract_dataset(read_pages(paths))`` — same validate → annotate →
+    ``ExtractBatch`` stages per ``batch_size`` slice (pinned by
+    ``test_pipeline_e2e.test_fused_matches_dataset_path``).
+
+    Trade documented: this is the ``giant_threshold=None`` single-pool
+    shape; callers routing pathological giants to a dedicated pool use
+    ``extract_dataset``. Shard size is the parallelism unit — at 100 TB
+    keep shards at the usual 100-500 MB and the fan-out matches the
+    cluster exactly as the Dataset path would.
+    """
+    import os
+
+    import ray.data as rd
+
+    from ..oracle import DEFAULT_MAX_OUTPUT_BYTES
+    from ..schemas import PAGES_SCHEMA, validate_table
+    from ..stages.extract import ExtractBatch, apply_transient_retry_policy
+
+    if isinstance(paths, (str, bytes)):
+        p = str(paths)
+        paths = (
+            sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+    shard_list = [str(p) for p in paths]
+    if not shard_list:
+        raise ValueError("extract_files: no parquet shards")
+    apply_transient_retry_policy()
+    out_bytes = (
+        DEFAULT_MAX_OUTPUT_BYTES if max_output_bytes is None else max_output_bytes
+    )
+
+    def fused(batch: pa.Table):
+        import pyarrow.parquet as pq
+
+        extractor = ExtractBatch(max_output_bytes=out_bytes)
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            if validate_schema:
+                t = validate_table(t, PAGES_SCHEMA, where="extract_files input")
+            t = annotate_batch(t)
+            # slice-by-slice so extracted rows stream downstream (Ray
+            # coalesces yielded tables into target-size output blocks)
+            for off in range(0, t.num_rows, batch_size):
+                yield extractor(t.slice(off, batch_size))
+
+    extracted = rd.from_items(
+        [{"path": p} for p in shard_list],
+        override_num_blocks=len(shard_list),
+    ).map_batches(fused, batch_format="pyarrow")
+    if dedup:
+        extracted = dedup_by_url(extracted, canonicalize=canonicalize_urls)
+    return extracted
+
+
 DEDUP_DRIVER_BUDGET_ROWS = 200_000
 DEDUP_DRIVER_BUDGET_BYTES = 1 << 30  # payload cap for the driver pull
 # key-scan second-level combine: fold (8-byte hash, count) partials on
