@@ -232,3 +232,34 @@ def test_transient_commit_error_retries(ray_session, fixture_pages, tmp_path, mo
             fixture_pages, out2, shards_per_partition=4, giant_threshold=1 << 17
         )
     assert calls["n"] == 1
+
+
+def test_run_job_fused_single_pool_parity(ray_session, tmp_path):
+    """run_job(giant_threshold=None) routes through the fused
+    read+extract and must produce the same committed output as the
+    dual-pool default (modulo the wall-clock timing column)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import run_job
+
+    files = generate_pages(str(tmp_path / "pages"), 120, 4, giant_bytes=1 << 17)
+
+    def read_all(out):
+        import glob
+
+        parts = sorted(glob.glob(str(out) + "/part-*/*.parquet"))
+        df = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+        return (
+            df.drop(columns=["processing_time_ms"])
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    run_job(files, str(tmp_path / "out_fused"), shards_per_partition=2,
+            giant_threshold=None)
+    run_job(files, str(tmp_path / "out_pool"), shards_per_partition=2)
+    pd.testing.assert_frame_equal(
+        read_all(tmp_path / "out_fused"), read_all(tmp_path / "out_pool")
+    )

@@ -752,14 +752,20 @@ def run_job(
             join_pending()  # earlier commits land; THIS partition does not
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         checkpoint.clean_uncommitted(out_dir, pid)
-        ds = read_pages(shards)
-        extracted = extract_dataset(
-            ds,
-            batch_size=batch_size,
-            concurrency=concurrency,
-            giant_threshold=giant_threshold,
-            dedup=True,
-        )
+        if giant_threshold is None and concurrency is None:
+            # single-pool shape: take the fused read+extract (parquet
+            # decode inside the extract task — html never enters the
+            # object store; byte-parity pinned in test_pipeline_e2e)
+            extracted = extract_files(shards, batch_size=batch_size, dedup=True)
+        else:
+            ds = read_pages(shards)
+            extracted = extract_dataset(
+                ds,
+                batch_size=batch_size,
+                concurrency=concurrency,
+                giant_threshold=giant_threshold,
+                dedup=True,
+            )
         pdir = checkpoint.partition_dir(out_dir, pid)
         extracted.write_parquet(pdir)
         # commit barrier off the critical path: next partition's read +
