@@ -106,3 +106,32 @@ def test_read_warc_matches_parquet(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert ea.equals(eb)
+
+
+def test_extract_files_fused_warc(ray_session, tmp_path):
+    """extract_files accepts .warc.gz shards (archive streamed inside
+    the extract task — same zero-plasma motion as parquet) and yields
+    extracted rows identical to the parquet fused path; formats mix in
+    one shard list."""
+    from textextract_ray.datagen import generate_pages, generate_warc
+    from textextract_ray.pipelines.extract_pipeline import extract_files
+
+    cols = ["url", "extracted_text", "status", "spans"]
+
+    def norm(ds):
+        df = ds.to_pandas()[cols].sort_values("url").reset_index(drop=True)
+        df["spans"] = df["spans"].map(
+            lambda s: tuple(tuple(sorted(d.items())) for d in s)
+        )
+        return df
+
+    pq_files = generate_pages(str(tmp_path / "pq"), 120, 3, giant_bytes=1 << 16)
+    warc_files = generate_warc(str(tmp_path / "warc"), 120, 3, giant_bytes=1 << 16)
+
+    a = norm(extract_files(pq_files, dedup=False))
+    b = norm(extract_files(warc_files, dedup=False))
+    assert a.equals(b)
+
+    mixed = norm(extract_files([pq_files[0], *warc_files[1:]], dedup=False))
+    assert len(mixed) == 120
+    assert mixed.equals(a)

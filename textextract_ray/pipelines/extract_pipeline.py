@@ -101,6 +101,11 @@ def extract_files(
     ``extract_dataset``. Shard size is the parallelism unit — at 100 TB
     keep shards at the usual 100-500 MB and the fan-out matches the
     cluster exactly as the Dataset path would.
+
+    Shards may be ``.parquet`` OR ``.warc.gz`` (Common Crawl native —
+    each archive streams record-at-a-time through the own WARC framing
+    into the pages schema worker-side, same zero-plasma motion); a
+    directory expands to both, and formats may mix in one list.
     """
     import os
 
@@ -114,14 +119,16 @@ def extract_files(
         p = str(paths)
         paths = (
             sorted(
-                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith((".parquet", ".warc.gz"))
             )
             if os.path.isdir(p)
             else [p]
         )
     shard_list = [str(p) for p in paths]
     if not shard_list:
-        raise ValueError("extract_files: no parquet shards")
+        raise ValueError("extract_files: no parquet/warc shards")
     apply_transient_retry_policy()
     out_bytes = (
         DEFAULT_MAX_OUTPUT_BYTES if max_output_bytes is None else max_output_bytes
@@ -130,9 +137,14 @@ def extract_files(
     def fused(batch: pa.Table):
         import pyarrow.parquet as pq
 
+        from ..sources import warc_pages_table
+
         extractor = ExtractBatch(max_output_bytes=out_bytes)
         for path in batch["path"].to_pylist():
-            t = pq.read_table(path)
+            if path.endswith(".warc.gz"):
+                t = warc_pages_table(path)
+            else:
+                t = pq.read_table(path)
             if validate_schema:
                 t = validate_table(t, PAGES_SCHEMA, where="extract_files input")
             t = annotate_batch(t)

@@ -205,6 +205,45 @@ def read_pages(paths, columns=None) -> rd.Dataset:
     return rd.read_parquet(paths, **kwargs)
 
 
+def warc_pages_table(path: str, *, keep_text_placeholder: bool = True):
+    """One ``.warc.gz`` archive -> ONE pages-schema Arrow table
+    (worker-side building block shared by ``read_warc`` and the fused
+    ``extract_files`` path): stream the archive record-at-a-time,
+    keep 200-status ``response`` records, split the HTTP payload."""
+    import datetime
+
+    import pyarrow as pa
+
+    from ..schemas import PAGES_SCHEMA
+    from ..warc import iter_warc_gz, parse_http_response
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for headers, payload in iter_warc_gz(path):
+        if headers.get("WARC-Type") != "response":
+            continue
+        code, _http, body = parse_http_response(payload)
+        if code != 200:
+            continue
+        urls.append(headers.get("WARC-Target-URI", ""))
+        ts = datetime.datetime.strptime(
+            headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+        ).replace(tzinfo=datetime.timezone.utc)
+        tss.append(int(ts.timestamp() * 1_000_000))
+        htmls.append(body)
+        texts.append("" if keep_text_placeholder else None)
+        langs.append(headers.get("WARC-Identified-Content-Language", ""))
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us", tz="UTC")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
 def read_warc(paths, *, keep_text_placeholder: bool = True) -> rd.Dataset:
     """Common Crawl-native source: ``.warc.gz`` shards -> the pages
     schema (url, warc_ts, html, text, lang). One shard per block; each
@@ -213,11 +252,7 @@ def read_warc(paths, *, keep_text_placeholder: bool = True) -> rd.Dataset:
     records, splits the HTTP payload, and emits Arrow rows — bounded
     memory per record, parse work fully distributed. Non-response
     records are skipped by type, exactly as a crawl consumer would."""
-    import datetime
-
     import pyarrow as pa
-
-    from ..schemas import PAGES_SCHEMA
 
     if isinstance(paths, (str, bytes)):
         paths = [paths]
@@ -237,35 +272,9 @@ def read_warc(paths, *, keep_text_placeholder: bool = True) -> rd.Dataset:
         raise ValueError("read_warc: no .warc.gz shards found")
 
     def parse(batch: pa.Table):
-        from ..warc import iter_warc_gz, parse_http_response
-
         for path in batch["path"].to_pylist():
-            urls, tss, htmls, texts, langs = [], [], [], [], []
-            for headers, payload in iter_warc_gz(path):
-                if headers.get("WARC-Type") != "response":
-                    continue
-                code, _http, body = parse_http_response(payload)
-                if code != 200:
-                    continue
-                urls.append(headers.get("WARC-Target-URI", ""))
-                ts = datetime.datetime.strptime(
-                    headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
-                ).replace(tzinfo=datetime.timezone.utc)
-                tss.append(int(ts.timestamp() * 1_000_000))
-                htmls.append(body)
-                texts.append("" if keep_text_placeholder else None)
-                langs.append(
-                    headers.get("WARC-Identified-Content-Language", "")
-                )
-            yield pa.Table.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us", tz="UTC")),
-                    pa.array(htmls, pa.binary()),
-                    pa.array(texts, pa.string()),
-                    pa.array(langs, pa.string()),
-                ],
-                schema=PAGES_SCHEMA,
+            yield warc_pages_table(
+                path, keep_text_placeholder=keep_text_placeholder
             )
 
     return rd.from_items(
