@@ -108,3 +108,42 @@ def test_poison_document_is_a_status_row_not_a_retry(ray_session):
     )
     assert len(out) == 1
     assert out["status"].iloc[0] != "ok"
+
+
+def test_task_mode_transient_retry(ray_session, tmp_path, monkeypatch):
+    """The default stateless-task extract path must retry transient
+    OSErrors too: plain tasks don't consume actor_task_retry_on_errors
+    (Ray 2.49 reads it only in the actor-pool operator), so the stage
+    passes retry_exceptions in its remote args. Flakiness keyed on a
+    marker FILE because a retried task re-deserializes its callable —
+    instance state does not survive the attempt boundary."""
+    import os
+
+    from textextract_ray.stages import extract as ex
+
+    marker = str(tmp_path / "failed_once")
+
+    class FlakyTaskExtract(ex.ExtractBatch):
+        def __call__(self, batch):
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("x")
+                raise OSError("simulated transient I/O failure")
+            return super().__call__(batch)
+
+    monkeypatch.setattr(ex, "ExtractBatch", FlakyTaskExtract)
+    out = ex.extract_pages(_pages_ds(), batch_size=16).to_pandas()
+    assert len(out) == 32
+    assert os.path.exists(marker)  # the injected failure actually fired
+
+
+def test_extract_files_rejects_uri_shards(ray_session):
+    """extract_files takes local paths only — URI shards must raise
+    with guidance (run_job routes them to the Dataset path instead of
+    crashing inside a worker on a scheme pyarrow can't open)."""
+    import pytest as _pytest
+
+    from textextract_ray.pipelines.extract_pipeline import extract_files
+
+    with _pytest.raises(ValueError, match="read_pages"):
+        extract_files(["http://mirror.example/shard-0.parquet"])

@@ -1,7 +1,7 @@
 """CLI entry point — the ``ray job submit`` surface.
 
     python -m textextract_ray extract --input '/data/pages' --out /tmp/out \
-        [--shards-per-partition 4|0=auto] [--giant-threshold 4194304] [--resume]
+        [--shards-per-partition 4|0=auto] [--giant-threshold 0=fused-single-pool] [--resume]
     python -m textextract_ray report --out /tmp/out
     python -m textextract_ray query --name q1_pricing_summary --sf-dir /root/testdata/sf0.01
 
@@ -116,9 +116,10 @@ def main(argv=None) -> int:
     pe.add_argument(
         "--giant-threshold",
         type=int,
-        default=4 * 1024 * 1024,
-        help="route docs larger than this many bytes to the small-batch "
-        "giant pool; 0 disables routing (single pool)",
+        default=0,
+        help="route docs larger than this many bytes to the dedicated "
+        "small-batch giant pool (opt-in); 0 (default) = the fused "
+        "single-pool shape, matching run_job's library default",
     )
     pe.add_argument("--resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)

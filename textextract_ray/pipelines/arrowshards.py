@@ -45,15 +45,24 @@ def write_arrow_shards(ds, out_dir: str) -> "rd.Dataset":
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table):
+        import uuid
+
         sink = pa.BufferOutputStream()
         with pa.ipc.new_file(sink, batch.schema) as w:
             w.write_table(batch)
-        raw = sink.getvalue().to_pybytes()
-        name = f"part-{hashlib.sha1(raw).hexdigest()[:16]}.arrow"
+        # pa.Buffer speaks the buffer protocol: hash and write without
+        # duplicating the whole shard payload in Python bytes
+        raw = sink.getvalue()
+        view = memoryview(raw)
+        name = f"part-{hashlib.sha1(view).hexdigest()[:16]}.arrow"
         final = os.path.join(out_dir, name)
-        tmp = final + ".tmp"
+        # tmp name must be UNIQUE per attempt, not content-derived: two
+        # parallel tasks writing byte-identical blocks (the exact case
+        # content-hash naming collapses) would otherwise truncate each
+        # other's tmp mid-fsync and race os.replace
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
-            f.write(raw)
+            f.write(view)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)
@@ -61,7 +70,7 @@ def write_arrow_shards(ds, out_dir: str) -> "rd.Dataset":
             {
                 "path": pa.array([final], pa.string()),
                 "rows": pa.array([batch.num_rows], pa.int64()),
-                "bytes": pa.array([len(raw)], pa.int64()),
+                "bytes": pa.array([raw.size], pa.int64()),
             }
         )
 
@@ -73,16 +82,9 @@ def write_arrow_shards(ds, out_dir: str) -> "rd.Dataset":
 def read_arrow_shards(paths) -> "rd.Dataset":
     """``.arrow`` IPC file shards -> Dataset, one shard per read task.
     ``paths`` may be a directory, one file, or an explicit list."""
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
-    shard_list = []
-    for p in map(str, paths):
-        if os.path.isdir(p):
-            shard_list.extend(
-                sorted(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".arrow"))
-            )
-        else:
-            shard_list.append(p)
+    from ..sources import expand_shards
+
+    shard_list = expand_shards(paths, (".arrow",))
     if not shard_list:
         raise ValueError("read_arrow_shards: no .arrow shards found")
 

@@ -105,58 +105,83 @@ def extract_files(
     Shards may be ``.parquet`` OR ``.warc.gz`` (Common Crawl native —
     each archive streams record-at-a-time through the own WARC framing
     into the pages schema worker-side, same zero-plasma motion); a
-    directory expands to both, and formats may mix in one list.
+    directory expands to both, and formats may mix in one list. Both
+    formats decode INCREMENTALLY inside the task (parquet via
+    ``ParquetFile.iter_batches``, WARC via chunked record accumulation),
+    so worker heap is bounded by one decode chunk — not one shard —
+    regardless of shard size. Plain local paths only: URI shards
+    (http/s3/fsspec schemes) take ``extract_dataset(read_pages(...))``,
+    which owns the per-scheme dispatch; ``run_job`` routes them there
+    automatically.
     """
-    import os
-
     import ray.data as rd
 
     from ..oracle import DEFAULT_MAX_OUTPUT_BYTES
     from ..schemas import PAGES_SCHEMA, validate_table
-    from ..stages.extract import ExtractBatch, apply_transient_retry_policy
+    from ..sources import expand_shards
+    from ..stages.extract import (
+        TRANSIENT_EXCEPTIONS,
+        ExtractBatch,
+        apply_transient_retry_policy,
+    )
 
-    if isinstance(paths, (str, bytes)):
-        p = str(paths)
-        paths = (
-            sorted(
-                os.path.join(p, f)
-                for f in os.listdir(p)
-                if f.endswith((".parquet", ".warc.gz"))
-            )
-            if os.path.isdir(p)
-            else [p]
-        )
-    shard_list = [str(p) for p in paths]
+    shard_list = expand_shards(paths, (".parquet", ".warc.gz"))
     if not shard_list:
         raise ValueError("extract_files: no parquet/warc shards")
+    uris = [p for p in shard_list if "://" in p]
+    if uris:
+        raise ValueError(
+            "extract_files takes plain local paths; for URI shards "
+            f"({uris[0]!r}, ...) use extract_dataset(read_pages(paths)) — "
+            "read_pages owns the http/fsspec scheme dispatch"
+        )
     apply_transient_retry_policy()
     out_bytes = (
         DEFAULT_MAX_OUTPUT_BYTES if max_output_bytes is None else max_output_bytes
     )
+    decode_rows = max(batch_size, 4096)
 
     def fused(batch: pa.Table):
         import pyarrow.parquet as pq
 
-        from ..sources import warc_pages_table
+        from ..sources import warc_pages_chunks
 
         extractor = ExtractBatch(max_output_bytes=out_bytes)
-        for path in batch["path"].to_pylist():
+
+        def chunks(path):
             if path.endswith(".warc.gz"):
-                t = warc_pages_table(path)
+                yield from warc_pages_chunks(path, rows_per_chunk=decode_rows)
             else:
-                t = pq.read_table(path)
-            if validate_schema:
-                t = validate_table(t, PAGES_SCHEMA, where="extract_files input")
-            t = annotate_batch(t)
-            # slice-by-slice so extracted rows stream downstream (Ray
-            # coalesces yielded tables into target-size output blocks)
-            for off in range(0, t.num_rows, batch_size):
-                yield extractor(t.slice(off, batch_size))
+                for rb in pq.ParquetFile(path).iter_batches(
+                    batch_size=decode_rows
+                ):
+                    yield pa.Table.from_batches([rb])
+
+        for path in batch["path"].to_pylist():
+            for t in chunks(path):
+                if validate_schema:
+                    t = validate_table(
+                        t, PAGES_SCHEMA, where="extract_files input"
+                    )
+                t = annotate_batch(t)
+                # slice-by-slice so extracted rows stream downstream
+                # (Ray coalesces yields into target-size output blocks)
+                for off in range(0, t.num_rows, batch_size):
+                    yield extractor(t.slice(off, batch_size))
 
     extracted = rd.from_items(
         [{"path": p} for p in shard_list],
         override_num_blocks=len(shard_list),
-    ).map_batches(fused, batch_format="pyarrow")
+    ).map_batches(
+        fused,
+        batch_format="pyarrow",
+        # plain tasks don't consume DataContext.actor_task_retry_on_errors
+        # (Ray 2.49 reads it only in the actor-pool operator), so the
+        # transient-retry contract rides the task's own remote args —
+        # the shard READ I/O lives inside this task now, exactly where
+        # a dropped NFS/object-store connection would surface
+        retry_exceptions=list(TRANSIENT_EXCEPTIONS),
+    )
     if dedup:
         extracted = dedup_by_url(extracted, canonicalize=canonicalize_urls)
     return extracted
@@ -774,10 +799,16 @@ def run_job(
             join_pending()  # earlier commits land; THIS partition does not
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         checkpoint.clean_uncommitted(out_dir, pid)
-        if giant_threshold is None and concurrency is None:
-            # single-pool shape: take the fused read+extract (parquet
-            # decode inside the extract task — html never enters the
-            # object store; byte-parity pinned in test_pipeline_e2e)
+        if (
+            giant_threshold is None
+            and concurrency is None
+            and not any("://" in str(s) for s in shards)
+        ):
+            # single-pool local shape: take the fused read+extract
+            # (decode inside the extract task — html never enters the
+            # object store; byte-parity pinned in test_pipeline_e2e).
+            # URI shards keep the Dataset path: read_pages owns the
+            # http/fsspec scheme dispatch extract_files refuses.
             extracted = extract_files(shards, batch_size=batch_size, dedup=True)
         else:
             ds = read_pages(shards)

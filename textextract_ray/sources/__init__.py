@@ -205,11 +205,37 @@ def read_pages(paths, columns=None) -> rd.Dataset:
     return rd.read_parquet(paths, **kwargs)
 
 
-def warc_pages_table(path: str, *, keep_text_placeholder: bool = True):
-    """One ``.warc.gz`` archive -> ONE pages-schema Arrow table
-    (worker-side building block shared by ``read_warc`` and the fused
-    ``extract_files`` path): stream the archive record-at-a-time,
-    keep 200-status ``response`` records, split the HTTP payload."""
+def expand_shards(paths, suffixes: tuple) -> list:
+    """Shared str-or-list → sorted shard-path list: a directory expands
+    to its suffix-matching files, files pass through. One copy of the
+    idiom (``extract_files``, ``read_warc``, ``read_jsonl``,
+    ``read_arrow_shards``) so the sorting/error contracts don't drift."""
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    shard_list = []
+    for p in map(str, paths):
+        if os.path.isdir(p):
+            shard_list.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(tuple(suffixes))
+                )
+            )
+        else:
+            shard_list.append(p)
+    return shard_list
+
+
+def warc_pages_chunks(
+    path: str, *, keep_text_placeholder: bool = True, rows_per_chunk: int = 4096
+):
+    """One ``.warc.gz`` archive -> pages-schema Arrow tables of at most
+    ``rows_per_chunk`` rows each (worker-side building block shared by
+    ``read_warc`` and the fused ``extract_files`` path): stream the
+    archive record-at-a-time, keep 200-status ``response`` records,
+    split the HTTP payload, flush a table per chunk so memory stays
+    bounded regardless of archive size."""
     import datetime
 
     import pyarrow as pa
@@ -218,6 +244,20 @@ def warc_pages_table(path: str, *, keep_text_placeholder: bool = True):
     from ..warc import iter_warc_gz, parse_http_response
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
+
+    def flush():
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us", tz="UTC")),
+                pa.array(htmls, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+    emitted = False
     for headers, payload in iter_warc_gz(path):
         if headers.get("WARC-Type") != "response":
             continue
@@ -232,15 +272,21 @@ def warc_pages_table(path: str, *, keep_text_placeholder: bool = True):
         htmls.append(body)
         texts.append("" if keep_text_placeholder else None)
         langs.append(headers.get("WARC-Identified-Content-Language", ""))
-    return pa.Table.from_arrays(
-        [
-            pa.array(urls, pa.string()),
-            pa.array(tss, pa.timestamp("us", tz="UTC")),
-            pa.array(htmls, pa.binary()),
-            pa.array(texts, pa.string()),
-            pa.array(langs, pa.string()),
-        ],
-        schema=PAGES_SCHEMA,
+        if len(urls) >= rows_per_chunk:
+            yield flush()
+            emitted = True
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+    if urls or not emitted:
+        yield flush()
+
+
+def warc_pages_table(path: str, *, keep_text_placeholder: bool = True):
+    """One ``.warc.gz`` archive -> ONE pages-schema Arrow table (the
+    whole-archive convenience over ``warc_pages_chunks``)."""
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        warc_pages_chunks(path, keep_text_placeholder=keep_text_placeholder)
     )
 
 
@@ -254,20 +300,7 @@ def read_warc(paths, *, keep_text_placeholder: bool = True) -> rd.Dataset:
     records are skipped by type, exactly as a crawl consumer would."""
     import pyarrow as pa
 
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
-    shard_list = []
-    for p in map(str, paths):
-        if os.path.isdir(p):
-            shard_list.extend(
-                sorted(
-                    os.path.join(p, f)
-                    for f in os.listdir(p)
-                    if f.endswith(".warc.gz")
-                )
-            )
-        else:
-            shard_list.append(p)
+    shard_list = expand_shards(paths, (".warc.gz",))
     if not shard_list:
         raise ValueError("read_warc: no .warc.gz shards found")
 
@@ -292,20 +325,7 @@ def read_jsonl(paths, *, schema=None) -> rd.Dataset:
     always do this at corpus scale, per-shard inference can drift."""
     from pyarrow import json as pajson
 
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
-    shard_list = []
-    for p in map(str, paths):
-        if os.path.isdir(p):
-            shard_list.extend(
-                sorted(
-                    os.path.join(p, f)
-                    for f in os.listdir(p)
-                    if f.endswith((".jsonl", ".jsonl.gz"))
-                )
-            )
-        else:
-            shard_list.append(p)
+    shard_list = expand_shards(paths, (".jsonl", ".jsonl.gz"))
     if not shard_list:
         raise ValueError("read_jsonl: no .jsonl[.gz] shards found")
 
@@ -368,7 +388,12 @@ def write_jsonl(ds, out_dir: str, *, compression: str = "gzip") -> "rd.Dataset":
             ".gz" if gz else ""
         )
         final = os.path.join(out_dir, name)
-        tmp = final + ".tmp"
+        # unique tmp per attempt: two parallel tasks writing
+        # byte-identical blocks (which content-hash naming collapses)
+        # must not truncate each other's tmp mid-fsync
+        import uuid as _uuid
+
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
         data = (
             _gzip.compress(raw, compresslevel=6, mtime=0) if gz else raw
         )  # mtime=0: byte-deterministic archives

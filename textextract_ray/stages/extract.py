@@ -185,6 +185,10 @@ def extract_pages(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 num_cpus=num_cpus,
+                # plain tasks don't consume actor_task_retry_on_errors
+                # (Ray 2.49 reads it only in the actor-pool operator) —
+                # the transient contract rides the remote args instead
+                retry_exceptions=list(TRANSIENT_EXCEPTIONS),
             )
         return pages_ds.map_batches(
             ExtractBatch,
