@@ -250,16 +250,49 @@ def scaling() -> None:
     # control protocol the cross-round comparisons use; both legs get
     # identical treatment so the ratio stays honest.
     repeats = max(1, int(os.environ.get("BENCH_SCALING_REPEATS", "3")))
+
+    # Same-moment hardware-ceiling control (tools/mp_control.py inline):
+    # the same parser over the same corpus with plain multiprocessing —
+    # no Ray, no object store, no dedup/write. On this shared box the
+    # hi-CPU leg's wall clock swings with memory-bus phase (observed
+    # fused-path series: 0.865 / 0.736 / 0.785 / 0.692, lo leg stable
+    # within ±5%), so the raw ratio conflates engine data motion with
+    # box phase. Running the control INSIDE the same measurement window
+    # pins the ceiling at that moment; normalized_efficiency (ray/mp)
+    # is the engine-attributable number. A real 4- vs 16-node cluster
+    # has per-node memory buses — its ceiling is the mp control's ~1.0,
+    # not this box's phase-of-the-hour.
+    def run_mp(nproc: int, corpus_dir: str) -> float:
+        import subprocess as sp
+
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "mp_control.py")
+        out = sp.run(
+            [sys.executable, tool, corpus_dir, str(nproc)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return float(out.strip().rsplit("= ", 1)[1].split()[0])  # docs/s
+
+    rows = os.environ.get("BENCH_SCALING_ROWS", "144000")
+    corpus_dir = f"/tmp/textextract_bench/pages_{rows}_128_{GIANT_BYTES}"
+    mp_lo = mp_hi = 0.0
     r_lo = r_hi = None
-    for _ in range(repeats):
+    for i in range(repeats):
         a, b = run(lo), run(hi)
         if r_lo is None or a["queries"]["extract"] < r_lo["queries"]["extract"]:
             r_lo = a
         if r_hi is None or b["queries"]["extract"] < r_hi["queries"]["extract"]:
             r_hi = b
+        # mp legs ride the SAME alternating window (first repeat only by
+        # default — the ceiling moves with the box phase, not the code)
+        if i < int(os.environ.get("BENCH_SCALING_MP_REPEATS", "1")):
+            mp_lo = max(mp_lo, run_mp(lo, corpus_dir))
+            mp_hi = max(mp_hi, run_mp(hi, corpus_dir))
     t_lo = r_lo["queries"]["extract"]
     t_hi = r_hi["queries"]["extract"]
     eff = (t_lo / t_hi) / (hi / lo)
+    mp_eff = (mp_hi / mp_lo) / (hi / lo) if mp_lo else 0.0
     print(
         json.dumps(
             {
@@ -273,6 +306,11 @@ def scaling() -> None:
                 "mb_per_s_lo": r_lo["extract"]["mb_per_s"],
                 "mb_per_s_hi": r_hi["extract"]["mb_per_s"],
                 "scaling_efficiency": round(eff, 3),
+                # same-window hardware ceiling (no Ray) + engine-attributable ratio
+                "mp_docs_per_s_lo": round(mp_lo, 1),
+                "mp_docs_per_s_hi": round(mp_hi, 1),
+                "mp_scaling_efficiency": round(mp_eff, 3),
+                "normalized_efficiency": round(eff / mp_eff, 3) if mp_eff else None,
             }
         )
     )
