@@ -1597,6 +1597,206 @@ def pack_bins_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
     )
 
 
+def histogram_pack_plan(hist: dict, capacity: int):
+    """Driver-side histogram packer (Krell et al. 2021, "Efficient
+    Sequence Packing without Cross-contamination", arXiv:2107.02027 —
+    the SPFHP insight: the packing problem over a corpus collapses to a
+    problem over the LENGTH HISTOGRAM, ≤``capacity`` classes, so the
+    solve is corpus-size-independent driver arithmetic, exactly like
+    the BPE merge loop over the word histogram).
+
+    Deterministic shortest-remaining-first over length classes,
+    longest length first: each length class places its docs into the
+    open pack class with the LEAST remaining space that still fits
+    (ties: oldest class), splitting pack classes when only part of a
+    class receives a doc; lengths with no open fit start fresh packs
+    filled to ``capacity // L`` docs each (what per-doc best-fit would
+    do with only that length left). Classes are (composition, count)
+    pairs — `count` identical pack instances — so the loop runs
+    O(distinct_lengths x classes), never O(docs).
+
+    Returns ``(classes, n_packs)``: ``classes`` is a list of
+    ``(comp: {length: multiplicity}, count)`` in deterministic order;
+    pack ids are assigned contiguously class by class. Every length in
+    ``hist`` must satisfy ``1 <= L <= capacity``.
+    """
+    if any(L < 1 or L > capacity for L in hist):
+        raise ValueError("histogram_pack_plan: lengths must be in [1, capacity]")
+    # [comp dict, remaining, count]; count==0 marks a consumed split
+    classes: list = []
+    for L in sorted(hist, reverse=True):
+        n = int(hist[L])
+        while n > 0:
+            best = None
+            for i, c in enumerate(classes):
+                if c[2] > 0 and c[1] >= L and (best is None or c[1] < classes[best][1]):
+                    best = i
+            if best is not None:
+                comp, rem, cnt = classes[best]
+                take = min(n, cnt)
+                classes[best][2] = cnt - take
+                newc = dict(comp)
+                newc[L] = newc.get(L, 0) + 1
+                classes.append([newc, rem - L, take])
+                n -= take
+            else:
+                k = capacity // L  # >=1 since L <= capacity
+                full, r = divmod(n, k)
+                if full:
+                    classes.append([{L: k}, capacity - k * L, full])
+                if r:
+                    classes.append([{L: r}, capacity - r * L, 1])
+                n = 0
+    final = [(c[0], c[2]) for c in classes if c[2] > 0]
+    # conservation: every histogram slot appears in exactly one class
+    placed: dict = {}
+    for comp, cnt in final:
+        for L, m in comp.items():
+            placed[L] = placed.get(L, 0) + m * cnt
+    if placed != {L: int(n) for L, n in hist.items() if n}:
+        raise AssertionError("histogram_pack_plan lost or duplicated slots")
+    return final, sum(cnt for _, cnt in final)
+
+
+def pack_best_fit(sf_dir: str, *, capacity: int = 512, num_buckets: int = 64):
+    """Gate-style wrapper over ``pack_best_fit_ds`` (pandas, doc_id
+    order) — pytest surface; not in the driver's 50-query gate."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_best_fit_ds(ds, capacity=capacity, num_buckets=num_buckets)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_best_fit_ds(ds, *, capacity: int = 512, num_buckets: int = 64):
+    """Histogram-based best-fit sequence packing: boundary-respecting
+    like ``pack_bins_ds`` (a doc is never split) but near-optimal
+    instead of next-fit — the padding killer for fixed-length training
+    (Krell et al. 2021 report ~2x step-rate on BERT-512 vs naive
+    padding; next-fit leaves the tail of every bin unfilled, best-fit
+    over the histogram packs long docs with the short docs that fit).
+
+    Scale shape (three corpus-independent moving parts, corpus text
+    never shuffles):
+      1. histogram pass — per-batch (bucket, length, n) partials,
+         ≤ num_buckets x (capacity+1) 24-byte rows fold on the driver;
+      2. ``histogram_pack_plan`` solves packing over the ≤capacity-row
+         histogram driver-side and the per-length segment tables
+         (O(plan slots) ints) broadcast via closure;
+      3. assignment pass — the packers' shared contiguous doc_id-range
+         bucket cut; per bucket, each doc's per-length dense rank =
+         driver-computed exclusive bucket offset + vectorized in-bucket
+         cumcount, and rank -> pack_id is a searchsorted into the
+         broadcast segment table. Deterministic and layout-invariant:
+         ranks follow doc_id order, never arrival order.
+
+    Docs longer than ``capacity`` are clipped to a full pack of their
+    own (``truncated=True``); empty docs pack as length-1 padding
+    slots. Output: (doc_id, n_tokens, pack_id, truncated) with dense
+    pack ids — ``bin_id`` sparsity and the dense-rank renumbering pass
+    of ``pack_bins_ds`` are unnecessary here because pack ids come from
+    the driver plan, already dense."""
+    import ray
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "pack_id": pa.array([], pa.int64()),
+            "truncated": pa.array([], pa.bool_()),
+        }
+    )
+    front = _bucketed_token_counts(ds, num_buckets)
+    if front is None:
+        return ray.data.from_arrow(empty)
+    counts, _ = front
+    proj = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pass 1: (bucket, clipped length, n) partials -> driver fold
+    def length_partials(batch: pa.Table) -> pa.Table:
+        b = batch["_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        L = np.clip(
+            batch["n_tokens"].to_numpy(zero_copy_only=False), 1, capacity
+        ).astype(np.int64)
+        key = b * np.int64(capacity + 1) + L
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "_bucket": pa.array(uk // (capacity + 1), pa.int64()),
+                "length": pa.array(uk % (capacity + 1), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    bl: dict = {}  # (bucket, length) -> n
+    for t in proj.map_batches(length_partials, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for b, L, n in zip(
+            t["_bucket"].to_numpy(zero_copy_only=False),
+            t["length"].to_numpy(zero_copy_only=False),
+            t["n"].to_numpy(zero_copy_only=False),
+        ):
+            bl[(int(b), int(L))] = bl.get((int(b), int(L)), 0) + int(n)
+    if not bl:
+        return ray.data.from_arrow(empty)
+    hist: dict = {}
+    for (_, L), n in bl.items():
+        hist[L] = hist.get(L, 0) + n
+
+    classes, _n_packs = histogram_pack_plan(hist, capacity)
+
+    # per-length segment tables: rank r of length L -> (class, instance)
+    bases = np.cumsum([0] + [cnt for _, cnt in classes])
+    seg: dict = {}  # L -> (slot_cum, base, count) arrays in class order
+    for i, (comp, cnt) in enumerate(classes):
+        for L, m in comp.items():
+            seg.setdefault(L, []).append((m * cnt, int(bases[i]), cnt))
+    seg_tables = {
+        L: (
+            np.cumsum([s for s, _, _ in rows]),
+            np.asarray([b for _, b, _ in rows], dtype=np.int64),
+            np.asarray([c for _, _, c in rows], dtype=np.int64),
+        )
+        for L, rows in seg.items()
+    }
+
+    # per-(bucket, length) exclusive rank offsets (bucket order)
+    offsets: dict = {}
+    acc: dict = {}
+    for b, L in sorted(bl):
+        offsets[(b, L)] = acc.get(L, 0)
+        acc[L] = acc.get(L, 0) + bl[(b, L)]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        bucket = int(df["_bucket"].iloc[0])
+        nt = df["n_tokens"].to_numpy(np.int64)
+        L = np.clip(nt, 1, capacity)
+        pack = np.empty(len(df), dtype=np.int64)
+        # vectorized per distinct length (<= capacity groups per bucket)
+        order = np.argsort(L, kind="stable")
+        Ls = L[order]
+        starts = np.flatnonzero(np.r_[True, Ls[1:] != Ls[:-1]])
+        ends = np.r_[starts[1:], len(Ls)]
+        for s, e in zip(starts, ends):
+            lv = int(Ls[s])
+            idx = order[s:e]  # doc_id-ascending within the length class
+            rank = offsets[(bucket, lv)] + np.arange(e - s, dtype=np.int64)
+            slot_cum, base, count = seg_tables[lv]
+            si = np.searchsorted(slot_cum, rank, side="right")
+            seg_start = np.where(si > 0, slot_cum[si - 1], 0)
+            pack[idx] = base[si] + (rank - seg_start) % count[si]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": nt,
+                "pack_id": pack,
+                "truncated": nt > capacity,
+            }
+        )
+
+    return proj.groupby("_bucket").map_groups(assign, batch_format="pandas")
+
+
 def epoch_stream(sf_dir: str, *, seed: int = 0, weights=None):
     """Training-epoch assembly — the composition the mixing and
     shuffle operators exist for: corpus_mix expands each doc to its
