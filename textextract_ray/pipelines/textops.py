@@ -4554,6 +4554,154 @@ def fim_transform_ds(
     return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def span_corrupt_ds(
+    docs,
+    *,
+    rate: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 0x55C,
+    min_tokens: int = 8,
+    max_sentinels: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """T5/UL2 span-corruption example builder (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4; the R-denoiser of Tay et al. 2022,
+    arXiv:2205.05131): ``rate`` of each doc's tokens are dropped in
+    spans of mean length ``mean_span``; every span is replaced by a
+    sentinel ``<extra_id_k>`` in ``inputs`` and the dropped tokens
+    appear after the same sentinel in ``targets``, which ends with the
+    final sentinel ``<extra_id_{n_spans}>`` — interleaving the two
+    reconstructs the token stream exactly (pinned by pytest).
+
+    The FIM complement: FIM rewrites a fraction of docs with one cut,
+    this rewrites EVERY eligible doc with many masked spans. Same
+    determinism contract as the engine's other sampling decisions —
+    span count, lengths and gap placement all derive from
+    ``hash64(doc_id:seed:j)`` (largest-remainder allocation of the
+    free tokens over gap slots), no RNG state, so the transform is
+    retry/layout-stable and a new ``seed`` is an independent epoch.
+
+    Exact-count geometry (not expected-value): n_corrupt =
+    round(rate*n) clipped to [1, n], n_spans = round(n_corrupt /
+    mean_span) clipped to [1, min(max_sentinels-1, n - n_corrupt + 1)]
+    so every interior gap keeps >= 1 token and sentinel ids never
+    exhaust the reserved vocabulary. Docs under ``min_tokens`` bypass
+    (``corrupted=false``, empty targets). Token boundary = whitespace
+    (the transform is token-level; original spacing is not preserved,
+    exactly like every packer/tokenizer in this module).
+
+    Scale shape: ZERO shuffle, one streaming pass; tokenization and
+    hashing are vectorized Arrow kernels, per-doc work is O(spans)
+    numpy arithmetic plus one C-level join per output string."""
+    from ..functions.scalar import hash_utf8
+
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    if mean_span < 1 or max_sentinels < 2:
+        raise ValueError("mean_span must be >= 1 and max_sentinels >= 2")
+    sentinels = np.asarray(
+        [f"<extra_id_{k}>" for k in range(max_sentinels + 1)], dtype=object
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        n_rows = len(text)
+        tok_list = pc.split_pattern_regex(text, pattern=r"\s+")
+        flat = pc.list_flatten(tok_list)
+        parent = pc.list_parent_indices(tok_list).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.asarray(flat.to_pylist(), dtype=object)[nonempty]
+        parent = parent[nonempty]
+        counts = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        eligible = counts >= min_tokens
+        # all gap-slot hashes for the batch in ONE vectorized call:
+        # doc i contributes n_spans_i + 1 u64s keyed "id:seed:j"
+        n_corrupt = np.clip(np.round(rate * counts).astype(np.int64), 1, counts)
+        n_spans = np.clip(
+            np.round(n_corrupt / mean_span).astype(np.int64),
+            1,
+            np.minimum(max_sentinels - 1, counts - n_corrupt + 1),
+        )
+        n_spans = np.where(eligible, n_spans, 0)
+        gap_doc = np.repeat(np.arange(n_rows), np.where(eligible, n_spans + 1, 0))
+        gap_j = (
+            np.arange(len(gap_doc))
+            - np.repeat(
+                np.concatenate([[0], np.cumsum(np.where(eligible, n_spans + 1, 0))])[
+                    :-1
+                ],
+                np.where(eligible, n_spans + 1, 0),
+            )
+        )
+        if len(gap_doc):
+            keys = pa.array(
+                [f"{ids[d]}:{seed}:{j}" for d, j in zip(gap_doc, gap_j)], pa.string()
+            )
+            gap_u = (hash_utf8(keys) >> np.uint64(11)).astype(np.float64) / float(
+                1 << 53
+            )
+        else:
+            gap_u = np.empty(0, dtype=np.float64)
+
+        inputs = text.to_pylist()
+        targets = [""] * n_rows
+        gpos = 0
+        for i in np.flatnonzero(eligible):
+            n, nc, ns = int(counts[i]), int(n_corrupt[i]), int(n_spans[i])
+            u = gap_u[gpos : gpos + ns + 1]
+            gpos += ns + 1
+            # span lengths: nc split into ns near-equal parts
+            base, rem = divmod(nc, ns)
+            span_len = np.full(ns, base, dtype=np.int64)
+            span_len[:rem] += 1
+            # gaps: interior slots pre-seeded with 1 token, leftover
+            # free tokens shared by largest-remainder over hash weights
+            free = n - nc - (ns - 1)
+            w = u / max(u.sum(), 1e-300)
+            shares = free * w
+            alloc = np.floor(shares).astype(np.int64)
+            short = free - int(alloc.sum())
+            if short > 0:
+                frac_order = np.lexsort((np.arange(ns + 1), -(shares - alloc)))
+                alloc[frac_order[:short]] += 1
+            gaps = alloc
+            gaps[1:-1] += 1  # the pre-seeded interior minimum (no-op at ns=1)
+            starts = np.cumsum(np.concatenate([[gaps[0]], span_len[:-1] + gaps[1:-1]]))
+            off = int(offs[i])
+            mask = np.ones(n, dtype=bool)
+            in_parts = []
+            tg_parts = []
+            prev = 0
+            for k in range(ns):
+                s, ln = int(starts[k]), int(span_len[k])
+                mask[s : s + ln] = False
+                in_parts.append(toks[off + prev : off + s])
+                in_parts.append(sentinels[k : k + 1])
+                tg_parts.append(sentinels[k : k + 1])
+                tg_parts.append(toks[off + s : off + s + ln])
+                prev = s + ln
+            in_parts.append(toks[off + prev : off + n])
+            tg_parts.append(sentinels[ns : ns + 1])
+            inputs[i] = " ".join(np.concatenate(in_parts))
+            targets[i] = " ".join(np.concatenate(tg_parts))
+
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "inputs": pa.array(inputs, pa.string()),
+                "targets": pa.array(targets, pa.string()),
+                "n_spans": pa.array(n_spans.astype(np.int32), pa.int32()),
+                "corrupted": pa.array(eligible, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def gopher_filter_ds(docs, *, text_col: str = "text", audit: bool = False):
     """The Gopher document-quality filter (Rae et al. 2021,
     arXiv:2112.11446 table A1): word-count window, mean word length,
