@@ -3138,6 +3138,116 @@ def bpe_encode_corpus(sf_dir: str, merges=None, **kw):
     )
 
 
+def train_unigram_lm(
+    sf_dir: str,
+    *,
+    vocab_size: int = 256,
+    vocab_words: int = 20_000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+):
+    """Train a SentencePiece-style unigram-LM tokenizer ON THE CORPUS
+    (Kudo, ACL 2018 — arXiv:1804.10959): the same ONE distributed
+    (word, count) histogram pass ``train_bpe`` uses, then the EM loop
+    (seed substrings -> forward-backward expected counts -> MLE update
+    -> prune to ``vocab_size``) runs driver-side over that
+    vocabulary-scale table (functions.unigram). The corpus is touched
+    once; training cost is independent of corpus size — the same
+    histogram-collapse rule as BPE and histogram packing. Returns the
+    trained {piece: logprob} model."""
+    from ..functions.unigram import train_unigram as _train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_lower_token_lists(batch["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"tok": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hist = _exact_top(counts, "tok", "n", vocab_words)
+    return _train(
+        dict(zip(hist["tok"], hist["n"])),
+        vocab_size,
+        max_piece_len=max_piece_len,
+        em_iters=em_iters,
+    )
+
+
+def unigram_encode_corpus_ds(
+    docs,
+    logp: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Distributed corpus tokenization with a trained unigram model —
+    the unigram counterpart of ``bpe_encode_corpus_ds``, same output
+    shape (id_col, ids list<int32>, n_tokens) so the packer/epoch
+    chain is tokenizer-agnostic. The (model, id-table) pair broadcasts
+    ONCE via ray.put; per batch, distinct words Viterbi-decode through
+    a memo (web text repeats words heavily) and per-doc id lists
+    assemble with one bincount + one LargeListArray. NO shuffle."""
+    import ray
+
+    from ..functions.unigram import unigram_vocab, viterbi_encode_word
+
+    max_len = max((len(s) for s in logp), default=1)
+    mref = ray.put((dict(logp), unigram_vocab(logp)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        model, vocab = ray.get(mref)
+        next_id = len(vocab)  # coverage-fallback chars get ids past the table
+        memo: dict = {}
+        lists = _lower_token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        word_ids = []
+        for w in flat.to_pylist():
+            ids = memo.get(w)
+            if ids is None:
+                pieces = viterbi_encode_word(w, model, max_piece_len=max_len)
+                ids = []
+                for p in pieces:
+                    pid = vocab.get(p)
+                    if pid is None:  # out-of-vocab single char
+                        pid = next_id + (ord(p) if len(p) == 1 else 0)
+                    ids.append(pid)
+                memo[w] = ids
+            word_ids.append(ids)
+        word_lens = np.array([len(w) for w in word_ids], dtype=np.int64)
+        per_doc = np.bincount(
+            parent, weights=word_lens, minlength=batch.num_rows
+        ).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(per_doc)))
+        values = (
+            np.concatenate(word_ids).astype(np.int32)
+            if word_ids
+            else np.empty(0, np.int32)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "ids": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(values, pa.int32())
+                ),
+                "n_tokens": pa.array(per_doc, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end pretraining-data preparation recipe
 # ---------------------------------------------------------------------------
