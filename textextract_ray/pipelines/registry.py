@@ -400,6 +400,24 @@ def _fim_factory(rate: float = 0.5, seed: int = 0xF1E, min_chars: int = 32,
     return ds_op
 
 
+@register("span_corrupt")
+def _span_corrupt_factory(rate: float = 0.15, mean_span: int = 3,
+                          seed: int = 0x55C, min_tokens: int = 8,
+                          max_sentinels: int = 100,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    from ..pipelines.textops import span_corrupt_ds
+
+    def ds_op(ds):
+        return span_corrupt_ds(
+            ds, rate=rate, mean_span=mean_span, seed=seed,
+            min_tokens=min_tokens, max_sentinels=max_sentinels,
+            id_col=id_col, text_col=text_col,
+        )
+
+    ds_op.is_dataset_op = True
+    return ds_op
+
+
 @register("embed_text")
 def _embed_text_factory(text_col: str = "text", id_col: str = "doc_id",
                         dim: int = 64, keep_cols=()):
