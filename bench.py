@@ -205,6 +205,8 @@ def main() -> None:
 def scaling() -> None:
     import subprocess
 
+    scale_shards = "128"  # one definition: the leg env AND the mp-control corpus name
+
     def run(ncpu: int) -> dict:
         # 6x the default corpus: the scaling measurement needs enough
         # work per CPU that pool ramp-up + the dedup key-scan/write
@@ -222,7 +224,7 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_ONLY="extract",
             BENCH_ROWS=os.environ.get("BENCH_SCALING_ROWS", "144000"),
-            BENCH_SHARDS="128",
+            BENCH_SHARDS=scale_shards,
         )
         try:
             out = subprocess.run(
@@ -263,19 +265,32 @@ def scaling() -> None:
     # has per-node memory buses — its ceiling is the mp control's ~1.0,
     # not this box's phase-of-the-hour.
     def run_mp(nproc: int, corpus_dir: str) -> float:
+        import re as _re
         import subprocess as sp
 
         tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "mp_control.py")
-        out = sp.run(
+        proc = sp.run(
             [sys.executable, tool, corpus_dir, str(nproc)],
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return float(out.strip().rsplit("= ", 1)[1].split()[0])  # docs/s
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr or "")
+            raise RuntimeError(f"mp_control failed (exit {proc.returncode})")
+        # tolerate extra output lines: take the last "= <float>" match
+        hits = _re.findall(r"= ([0-9.]+)", proc.stdout)
+        if not hits:
+            sys.stderr.write(proc.stdout)
+            raise RuntimeError("mp_control printed no throughput line")
+        return float(hits[-1])  # docs/s
 
     rows = os.environ.get("BENCH_SCALING_ROWS", "144000")
-    corpus_dir = f"/tmp/textextract_bench/pages_{rows}_128_{GIANT_BYTES}"
+    # the child legs run with BENCH_ROWS=rows, BENCH_SHARDS=128 (env
+    # above) — rebuild the SAME name ensure_corpus derives so the mp
+    # control reads the leg corpus, not a stale sibling
+    corpus_dir = os.path.join(
+        os.path.dirname(PAGES_DIR), f"pages_{rows}_{scale_shards}_{GIANT_BYTES}"
+    )
     mp_lo = mp_hi = 0.0
     r_lo = r_hi = None
     for i in range(repeats):

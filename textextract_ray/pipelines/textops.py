@@ -1622,30 +1622,43 @@ def histogram_pack_plan(hist: dict, capacity: int):
     """
     if any(L < 1 or L > capacity for L in hist):
         raise ValueError("histogram_pack_plan: lengths must be in [1, capacity]")
-    # [comp dict, remaining, count]; count==0 marks a consumed split
+    # [comp dict, remaining, count]; count==0 marks a consumed split.
+    # `open_idx` holds indices of live classes (count>0, remaining>=1)
+    # in ascending order, so the best-fit scan never re-visits consumed
+    # splits and the oldest-class tie-break is index order as before.
     classes: list = []
+    open_idx: list = []
+
+    def add(comp, rem, cnt):
+        classes.append([comp, rem, cnt])
+        if rem >= 1:  # rem 0 can never fit any length >= 1
+            open_idx.append(len(classes) - 1)
+
     for L in sorted(hist, reverse=True):
         n = int(hist[L])
         while n > 0:
             best = None
-            for i, c in enumerate(classes):
-                if c[2] > 0 and c[1] >= L and (best is None or c[1] < classes[best][1]):
+            for i in open_idx:
+                c = classes[i]
+                if c[1] >= L and (best is None or c[1] < classes[best][1]):
                     best = i
             if best is not None:
                 comp, rem, cnt = classes[best]
                 take = min(n, cnt)
                 classes[best][2] = cnt - take
+                if take == cnt:
+                    open_idx.remove(best)
                 newc = dict(comp)
                 newc[L] = newc.get(L, 0) + 1
-                classes.append([newc, rem - L, take])
+                add(newc, rem - L, take)
                 n -= take
             else:
                 k = capacity // L  # >=1 since L <= capacity
                 full, r = divmod(n, k)
                 if full:
-                    classes.append([{L: k}, capacity - k * L, full])
+                    add({L: k}, capacity - k * L, full)
                 if r:
-                    classes.append([{L: r}, capacity - r * L, 1])
+                    add({L: r}, capacity - r * L, 1)
                 n = 0
     final = [(c[0], c[2]) for c in classes if c[2] > 0]
     # conservation: every histogram slot appears in exactly one class
@@ -3063,6 +3076,43 @@ def bpe_token_stats(sf_dir: str, merges, *, by: str = "lang"):
     return out
 
 
+def _assemble_token_ids(batch: pa.Table, id_col, text_col, encode_words) -> pa.Table:
+    """Shared corpus-tokenization assembly for the BPE and unigram
+    encoders: lower/split via `_lower_token_lists`, flatten with parent
+    indices, drop empty words, run ``encode_words(words) ->
+    list[list[int]]``, then rebuild per-doc id lists with one bincount
+    + one LargeListArray. One definition so the two encoders can never
+    drift (same rule as `_lower_token_lists` for train vs encode)."""
+    lists = _lower_token_lists(batch[text_col])
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    word_ids = encode_words(flat.to_pylist())
+    word_lens = np.array([len(w) for w in word_ids], dtype=np.int64)
+    per_doc = np.bincount(
+        parent, weights=word_lens, minlength=batch.num_rows
+    ).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(per_doc)))
+    values = (
+        np.concatenate(word_ids).astype(np.int32)
+        if word_ids
+        else np.empty(0, np.int32)
+    )
+    # word_ids arrive in (doc, word) order because list_flatten
+    # preserves it, so one concatenate IS the per-doc layout
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "ids": pa.LargeListArray.from_arrays(
+                offsets, pa.array(values, pa.int32())
+            ),
+            "n_tokens": pa.array(per_doc, pa.int64()),
+        }
+    )
+
+
 def bpe_encode_corpus_ds(
     docs,
     merges,
@@ -3092,33 +3142,8 @@ def bpe_encode_corpus_ds(
 
     def encode(batch: pa.Table) -> pa.Table:
         ranks, vocab = ray.get(rref)
-        lists = _lower_token_lists(batch[text_col])
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
-        word_ids = bpe_encode_ids(flat.to_pylist(), ranks, vocab)
-        word_lens = np.array([len(w) for w in word_ids], dtype=np.int64)
-        per_doc = np.bincount(
-            parent, weights=word_lens, minlength=batch.num_rows
-        ).astype(np.int64)
-        offsets = np.concatenate(([0], np.cumsum(per_doc)))
-        values = (
-            np.concatenate(word_ids).astype(np.int32)
-            if word_ids
-            else np.empty(0, np.int32)
-        )
-        # word_ids arrive in (doc, word) order because list_flatten
-        # preserves it, so one concatenate IS the per-doc layout
-        return pa.table(
-            {
-                id_col: batch[id_col].cast(pa.int64()),
-                "ids": pa.LargeListArray.from_arrays(
-                    offsets, pa.array(values, pa.int32())
-                ),
-                "n_tokens": pa.array(per_doc, pa.int64()),
-            }
+        return _assemble_token_ids(
+            batch, id_col, text_col, lambda words: bpe_encode_ids(words, ranks, vocab)
         )
 
     return docs.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
@@ -3206,44 +3231,24 @@ def unigram_encode_corpus_ds(
         model, vocab = ray.get(mref)
         next_id = len(vocab)  # coverage-fallback chars get ids past the table
         memo: dict = {}
-        lists = _lower_token_lists(batch[text_col])
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
-        word_ids = []
-        for w in flat.to_pylist():
-            ids = memo.get(w)
-            if ids is None:
-                pieces = viterbi_encode_word(w, model, max_piece_len=max_len)
-                ids = []
-                for p in pieces:
-                    pid = vocab.get(p)
-                    if pid is None:  # out-of-vocab single char
-                        pid = next_id + (ord(p) if len(p) == 1 else 0)
-                    ids.append(pid)
-                memo[w] = ids
-            word_ids.append(ids)
-        word_lens = np.array([len(w) for w in word_ids], dtype=np.int64)
-        per_doc = np.bincount(
-            parent, weights=word_lens, minlength=batch.num_rows
-        ).astype(np.int64)
-        offsets = np.concatenate(([0], np.cumsum(per_doc)))
-        values = (
-            np.concatenate(word_ids).astype(np.int32)
-            if word_ids
-            else np.empty(0, np.int32)
-        )
-        return pa.table(
-            {
-                id_col: batch[id_col].cast(pa.int64()),
-                "ids": pa.LargeListArray.from_arrays(
-                    offsets, pa.array(values, pa.int32())
-                ),
-                "n_tokens": pa.array(per_doc, pa.int64()),
-            }
-        )
+
+        def encode_words(words):
+            word_ids = []
+            for w in words:
+                ids = memo.get(w)
+                if ids is None:
+                    pieces = viterbi_encode_word(w, model, max_piece_len=max_len)
+                    ids = []
+                    for p in pieces:
+                        pid = vocab.get(p)
+                        if pid is None:  # out-of-vocab single char
+                            pid = next_id + (ord(p) if len(p) == 1 else 0)
+                        ids.append(pid)
+                    memo[w] = ids
+                word_ids.append(ids)
+            return word_ids
+
+        return _assemble_token_ids(batch, id_col, text_col, encode_words)
 
     return docs.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -4782,13 +4787,11 @@ def span_corrupt_ds(
             gaps[1:-1] += 1  # the pre-seeded interior minimum (no-op at ns=1)
             starts = np.cumsum(np.concatenate([[gaps[0]], span_len[:-1] + gaps[1:-1]]))
             off = int(offs[i])
-            mask = np.ones(n, dtype=bool)
             in_parts = []
             tg_parts = []
             prev = 0
             for k in range(ns):
                 s, ln = int(starts[k]), int(span_len[k])
-                mask[s : s + ln] = False
                 in_parts.append(toks[off + prev : off + s])
                 in_parts.append(sentinels[k : k + 1])
                 tg_parts.append(sentinels[k : k + 1])

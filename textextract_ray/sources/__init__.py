@@ -166,9 +166,17 @@ def map_parquet_fused(
         for rg in range(pq.ParquetFile(p).metadata.num_row_groups):
             items.append({"path": p, "rg": rg})
     if len(items) < min_tasks:
+        from ..stages.extract import TRANSIENT_EXCEPTIONS as _TE
+
         kwargs = {"columns": list(columns)} if columns is not None else {}
+        # same transient-retry semantics as the fused branch — failure
+        # behavior must not depend on how many row groups the layout has
         return rd.read_parquet(shard_list, **kwargs).map_batches(
-            fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+            fn,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            retry_exceptions=list(_TE),
         )
 
     cols = list(columns) if columns is not None else None
