@@ -1,0 +1,195 @@
+"""Versioned-table commit log: atomic commits, time travel, optimistic
+concurrency, stats pruning, retention GC, compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from textextract_ray.pipelines.tablelog import (
+    CommitConflict,
+    _commit,
+    _head_version,
+    read_table_at,
+    table_append,
+    table_compact,
+    table_create,
+    table_expire,
+    table_history,
+    table_overwrite,
+)
+
+
+def _df(lo: int, hi: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"k": range(lo, hi), "txt": [f"row-{i}" for i in range(lo, hi)]}
+    )
+
+
+def _ds(lo: int, hi: int):
+    import ray.data as rd
+
+    return rd.from_pandas(_df(lo, hi))
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("k").reset_index(drop=True)
+
+
+def test_append_overwrite_time_travel(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert table_create(t) == 0
+    v1 = table_append(t, _ds(0, 100))
+    v2 = table_append(t, _ds(100, 150))
+    v3 = table_overwrite(t, _ds(500, 520))
+    assert (v1, v2, v3) == (1, 2, 3)
+    # head == v3: only the overwrite rows
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t).to_pandas()), _sorted(_df(500, 520))
+    )
+    # time travel: v2 = both appends, v1 = first append, v0 = empty
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, 2).to_pandas()), _sorted(_df(0, 150))
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, 1).to_pandas()), _sorted(_df(0, 100))
+    )
+    assert read_table_at(t, 0).count() == 0
+
+    h = table_history(t)
+    assert list(h["version"]) == [0, 1, 2, 3]
+    assert list(h["operation"]) == ["create", "append", "append", "overwrite"]
+    assert list(h["n_rows"]) == [0, 100, 150, 20]
+    assert list(h["is_head"]) == [False, False, False, True]
+
+
+def test_create_twice_and_missing_version(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    with pytest.raises(ValueError, match="already a table"):
+        table_create(t)
+    with pytest.raises(ValueError, match="not found"):
+        read_table_at(t, 7)
+    with pytest.raises(ValueError, match="not a table"):
+        read_table_at(str(tmp_path / "nope"))
+
+
+def test_commit_is_exclusive_and_append_retries(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 10))
+    head = _head_version(t)
+    # a "concurrent writer" takes the next version slot (a faithful
+    # appender: parent files carried forward, nothing new)
+    from textextract_ray.pipelines.tablelog import _read_manifest
+
+    parent_files = _read_manifest(t, head)["files"]
+    _commit(
+        t,
+        head + 1,
+        {
+            "version": head + 1,
+            "parent": head,
+            "operation": "append",
+            "files": parent_files,
+        },
+    )
+    # direct double-commit of the same version is refused atomically
+    with pytest.raises(CommitConflict):
+        _commit(
+            t,
+            head + 1,
+            {
+                "version": head + 1,
+                "parent": head,
+                "operation": "append",
+                "files": parent_files,
+            },
+        )
+    # but the public append re-reads the head and lands AFTER the racer
+    v = table_append(t, _ds(10, 20))
+    assert v == head + 2
+    assert read_table_at(t).count() == 20
+
+
+def test_schema_guard(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 5))
+    with pytest.raises(ValueError, match="schema"):
+        table_append(t, rd.from_pandas(pd.DataFrame({"other": [1, 2]})))
+
+
+def test_stats_pruning_exact(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    # three appends with disjoint key ranges -> three file sets whose
+    # manifest stats are disjoint
+    table_append(t, _ds(0, 1000), stats_cols=["k"])
+    table_append(t, _ds(1000, 2000), stats_cols=["k"])
+    table_append(t, _ds(2000, 3000), stats_cols=["k"])
+    got = read_table_at(t, filter_col="k", lo=1200, hi=1300).to_pandas()
+    files_read, files_total = read_table_at.last_pruning
+    assert files_read < files_total  # pruning actually skipped files
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(_df(1200, 1300)))
+    # unbounded side + result exactness
+    got2 = read_table_at(t, filter_col="k", lo=2990).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got2), _sorted(_df(2990, 3000)))
+
+
+def test_expire_keeps_recent_drops_old(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 50))
+    table_overwrite(t, _ds(50, 80))
+    # a crashed writer's orphan stage file
+    orphan_dir = os.path.join(t, "data", "orphan")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "junk.parquet"), "w") as fh:
+        fh.write("x")
+    res = table_expire(t, keep_last=1)
+    assert res["kept_versions"] == [2]
+    assert res["deleted_files"] >= 2  # v1 data + orphan
+    # head still reads exactly; old versions are gone
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t).to_pandas()), _sorted(_df(50, 80))
+    )
+    with pytest.raises(ValueError, match="not found"):
+        read_table_at(t, 1)
+    assert not os.path.exists(orphan_dir)
+
+
+def test_compact_preserves_snapshot_and_history(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    # many small appends -> many small files
+    for i in range(4):
+        table_append(
+            t,
+            rd.from_pandas(_df(i * 10, i * 10 + 10)).repartition(2),
+            stats_cols=["k"],
+        )
+    pre = table_history(t)
+    n_files_pre = int(pre.loc[pre["is_head"], "n_files"].iloc[0])
+    v = table_compact(t, target_mb=256)
+    post = table_history(t)
+    row = post[post["version"] == v].iloc[0]
+    assert row["operation"] == "compact"
+    assert row["n_files"] < n_files_pre
+    assert row["n_rows"] == 40
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t).to_pandas()), _sorted(_df(0, 40))
+    )
+    # compaction carried the stats columns forward -> pruning still works
+    read_table_at(t, filter_col="k", lo=35).to_pandas()
+    assert read_table_at.last_pruning[0] <= read_table_at.last_pruning[1]
+    # pre-compaction snapshot still readable (no expire yet)
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, v - 1).to_pandas()), _sorted(_df(0, 40))
+    )

@@ -394,6 +394,189 @@ def read_bloom_indexed(data_dir: str, keys: list, *, key_col: str = None, probe_
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_ZCLUSTER_META = "_zcluster_manifest.json"
+
+
+def _col_buckets(col: pa.Array, bounds: np.ndarray) -> np.ndarray:
+    """Map values to equal-depth cell ids via the column's sampled
+    boundaries; nulls go to cell 0 (excluded by any bounded read's
+    residual, same semantics as ``write_clustered``)."""
+    vals = col.to_numpy(zero_copy_only=False)
+    valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+    b = np.zeros(len(vals), np.uint64)
+    if len(bounds) and valid.any():
+        b[valid] = np.searchsorted(bounds, vals[valid], side="right").astype(
+            np.uint64
+        )
+    return b
+
+
+def write_clustered_multi(
+    ds,
+    out_dir: str,
+    key_cols: list,
+    *,
+    num_ranges: int = 64,
+    sample_k: int = 65536,
+    bits: int = 8,
+) -> pd.DataFrame:
+    """Z-order (multi-dimension) clustered write: co-file rows so a
+    range predicate on ANY of ``key_cols`` prunes — the layout answer
+    when two access patterns share one table (e.g. events by user OR by
+    time), where single-key clustering serves one and table-scans the
+    other. This is Morton-curve interleaving (the Z-ORDER of
+    Delta/Databricks; Morton 1966): each column maps to an equal-depth
+    cell id in [0, 2^bits) via its own sampled boundaries, the cell
+    ids' bits interleave into one z-value, and contiguous z-intervals
+    become hive ``_zrange=N/`` directories. Because z-locality implies
+    locality in every dimension, each directory covers a tight
+    [min, max] box per column — recorded in the manifest from parquet
+    FOOTER stats (no data read), so the pruned read is exact zone-map
+    arithmetic.
+
+    Shuffle-free like ``write_clustered``: one sample pass per column
+    (budgeted bottom-k-by-hash nominations), one streaming tag pass
+    (searchsorted + O(bits·cols) vectorized bit ops per batch), one
+    partitioned write. Skewed keys only skew file sizes. Returns the
+    per-range per-column bounding boxes."""
+    if not (1 <= len(key_cols) <= 8) or bits * len(key_cols) > 63:
+        raise ValueError(
+            f"write_clustered_multi: need 1-8 key cols with bits*cols <= 63, "
+            f"got {len(key_cols)} cols x {bits} bits"
+        )
+    k = len(key_cols)
+    col_bounds = {}
+    for col in key_cols:
+        sample = _boundary_sample(ds, col, sample_k)
+        n_b = min((1 << bits) - 1, max(len(sample) - 1, 0))
+        idx = (np.arange(1, n_b + 1) * len(sample)) // (n_b + 1)
+        col_bounds[col] = np.unique(sample[idx]) if n_b else sample[:0]
+    zbits = bits * k
+    shift_out = {c: i for i, c in enumerate(key_cols)}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.uint64)
+        for c in key_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            b = _col_buckets(col, col_bounds[c])
+            for bit in range(bits):
+                z |= ((b >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
+                    bit * k + shift_out[c]
+                )
+        r = ((z * np.uint64(num_ranges)) >> np.uint64(zbits)).astype(np.int32)
+        return batch.append_column("_zrange", pa.array(r, pa.int32()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["_zrange"]
+    )
+
+    # per-range per-column [min, max] from footers only (parallel tasks)
+    from .tablelog import _file_meta
+
+    futs, range_of = [], []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("_zrange="):
+            continue
+        d = os.path.join(out_dir, name)
+        files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        if files:
+            futs.append(_file_meta.remote(files, files, list(key_cols)))
+            range_of.append(int(name.split("=", 1)[1]))
+    boxes: dict = {}
+    for rid, rows in zip(range_of, ray.get(futs)):
+        box = {}
+        for c in key_cols:
+            # a box is only sound if EVERY file in the range reported
+            # stats for the column; else the range is unprunable on it
+            per_file = [f["stats"].get(c) for f in rows]
+            if all(s is not None for s in per_file) and per_file:
+                box[c] = [
+                    min(s[0] for s in per_file),
+                    max(s[1] for s in per_file),
+                ]
+        boxes[rid] = box
+    manifest = {
+        "key_cols": list(key_cols),
+        "bits": bits,
+        "num_ranges": num_ranges,
+        "ranges": {str(rid): boxes[rid] for rid in sorted(boxes)},
+    }
+    tmp = os.path.join(out_dir, _ZCLUSTER_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _ZCLUSTER_META))
+    return pd.DataFrame(
+        [
+            {"range": rid, **{f"{c}_bounds": tuple(b) for c, b in box.items()}}
+            for rid, box in sorted(boxes.items())
+        ]
+    )
+
+
+def read_clustered_multi(out_dir: str, **predicates):
+    """Read back a z-clustered layout, opening ONLY the ``_zrange``
+    directories whose per-column bounding box intersects every
+    predicate. Predicates are ``col=(lo, hi)`` with either side None
+    for unbounded (``hi`` exclusive); the exact residual filter keeps
+    the result correct regardless of box looseness. Works on any
+    subset of the clustering columns — the point of the z-layout.
+    ``read_clustered_multi.last_pruning`` records (ranges_read, total)."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, _ZCLUSTER_META)) as fh:
+        m = json.load(fh)
+    unknown = set(predicates) - set(m["key_cols"])
+    if unknown:
+        raise ValueError(f"read_clustered_multi: {sorted(unknown)} not in key_cols")
+    keep = []
+    for rid, box in m["ranges"].items():
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            if c not in box:
+                continue  # no stats for this col in this range: can't prune
+            if lo is not None and box[c][1] < lo:
+                ok = False
+                break
+            if hi is not None and box[c][0] >= hi:
+                ok = False
+                break
+        if ok:
+            keep.append(int(rid))
+    read_clustered_multi.last_pruning = (len(keep), len(m["ranges"]))
+    paths = []
+    for i in sorted(keep):
+        d = os.path.join(out_dir, f"_zrange={i}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return rd.from_arrow(pa.table({c: pa.array([], pa.string()) for c in m["key_cols"]}))
+    ds = rd.read_parquet(paths)
+    if not predicates:
+        return ds
+
+    def residual(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c, (lo, hi) in predicates.items():
+            col = batch[c]
+            part = pc.is_valid(col)
+            if lo is not None:
+                part = pc.and_(part, pc.greater_equal(col, pa.scalar(lo)))
+            if hi is not None:
+                part = pc.and_(part, pc.less(col, pa.scalar(hi)))
+            mask = part if mask is None else pc.and_(mask, part)
+        return batch.filter(mask)
+
+    return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_clustered_keys(out_dir: str, keys: list):
     """Point-lookup variant of ``read_clustered``: open only the range
     directories whose interval can contain one of ``keys``, then apply

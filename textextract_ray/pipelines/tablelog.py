@@ -1,0 +1,408 @@
+"""Versioned table: a snapshot commit log over immutable parquet files.
+
+The missing storage layer for a RECURRING 100-TB pipeline: every round
+of ingest/extract/dedup produces a new corpus state, and downstream
+consumers (training runs, eval sets, dashboards) need (a) an atomic
+notion of "the table as of commit N" that a half-finished writer can
+never corrupt, (b) time travel — rerun last week's tokenize over last
+week's corpus exactly, (c) safe concurrent appends, and (d) file-level
+pruning from manifest statistics. This is the Iceberg/Delta snapshot
+model (Armbrust et al., VLDB 2020, "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores") rebuilt on the engine's own
+primitives — tmp+rename commits (state/checkpoint.py, the reference's
+download-then-rename idiom, reference src/updater.py:548,667-679) and
+the pointer/manifest protocol the vector index already uses
+(pipelines/vecindex.py:94).
+
+Layout under ``table_dir/``::
+
+    data/<token>/part-*.parquet     immutable; never rewritten in place
+    _log/v00000007.json             manifest: the COMPLETE file list of
+                                    version 7 (+ per-file rows/stats)
+
+There is deliberately NO separate HEAD pointer: the head is the
+highest manifest in ``_log/``, and a manifest becomes visible with one
+atomic ``os.link`` (exclusive create — the loser of a race gets
+``CommitConflict``, never a torn table). Manifests are O(files)
+metadata; the data plane is untouched by commits, so a commit costs
+the same at 100 TB as at 1 MB.
+
+Scale shape: reads open exactly the files a manifest (optionally
+stats-pruned) lists — no directory walking of the data plane;
+appends write only their own new files; ``table_expire`` reclaims
+space with driver-side set arithmetic over manifests. The one
+corpus-scale object is the parquet data itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first; retry from the
+    new head (``table_append`` does this automatically)."""
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version:08d}.json"
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG)
+
+
+def _head_version(table_dir: str) -> int:
+    """Highest committed version, or -1 for a non-table dir."""
+    try:
+        names = os.listdir(_log_dir(table_dir))
+    except FileNotFoundError:
+        return -1
+    vs = [
+        int(n[1:9])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+    ]
+    return max(vs) if vs else -1
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    path = os.path.join(_log_dir(table_dir), _manifest_name(version))
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"tablelog: version {version} not found under {table_dir} "
+            "(expired or never committed)"
+        ) from None
+
+
+@ray.remote(num_cpus=1)
+def _file_meta(paths: list, rels: list, stats_cols: list) -> list:
+    """Footer-only metadata for a chunk of freshly written files: row
+    count + per-column [min, max] folded across row groups. Runs as a
+    task so a large commit's footer scan is parallel; the driver holds
+    O(files) small dicts, never data."""
+    out = []
+    for path, rel in zip(paths, rels):
+        md = pq.read_metadata(path)
+        stats: dict = {}
+        names = md.schema.to_arrow_schema().names
+        for col in stats_cols:
+            if col not in names:
+                continue
+            ci = names.index(col)
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if ok and lo is not None:
+                stats[col] = [_plain(lo), _plain(hi)]
+        out.append(
+            {
+                "path": rel,
+                "rows": md.num_rows,
+                "cols": list(names),
+                "stats": stats,
+            }
+        )
+    return out
+
+
+def _plain(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v.item() if hasattr(v, "item") else v
+
+
+def _stage_files(table_dir: str, ds, stats_cols, token: str) -> list:
+    """Write ``ds`` under ``data/<token>/`` and return manifest rows.
+    The stage dir is invisible to readers until a manifest referencing
+    it commits, so a crashed writer leaves garbage, never corruption
+    (``table_expire`` sweeps unreferenced stage dirs)."""
+    stage = os.path.join(table_dir, _DATA, token)
+    ds.write_parquet(stage)
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    paths = [os.path.join(stage, f) for f in files]
+    rels = [f"{_DATA}/{token}/{f}" for f in files]
+    chunk = 64
+    futs = [
+        _file_meta.remote(paths[i : i + chunk], rels[i : i + chunk], list(stats_cols))
+        for i in range(0, len(paths), chunk)
+    ]
+    rows: list = []
+    for part in ray.get(futs):
+        rows.extend(part)
+    return rows
+
+
+def _commit(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomically publish ``manifest`` as ``version``: write a tmp file
+    then ``os.link`` to the final name — exclusive create, so exactly
+    one writer wins a contended version and the loser sees
+    ``CommitConflict`` with the table untouched."""
+    log = _log_dir(table_dir)
+    os.makedirs(log, exist_ok=True)
+    final = os.path.join(log, _manifest_name(version))
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"tablelog: version {version} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _check_schema(new_rows: list, old_files: list) -> None:
+    if not new_rows or not old_files:
+        return
+    new_cols = new_rows[0]["cols"]
+    old_cols = old_files[0].get("cols")
+    if old_cols is not None and list(old_cols) != list(new_cols):
+        raise ValueError(
+            f"tablelog: append schema {new_cols} != table schema {old_cols}"
+        )
+
+
+def table_create(table_dir: str) -> int:
+    """Initialize an empty table (version 0, no files). Idempotent-safe:
+    re-creating an existing table raises instead of clobbering."""
+    if _head_version(table_dir) >= 0:
+        raise ValueError(f"tablelog: {table_dir} is already a table")
+    os.makedirs(os.path.join(table_dir, _DATA), exist_ok=True)
+    _commit(
+        table_dir,
+        0,
+        {"version": 0, "parent": None, "operation": "create", "files": []},
+    )
+    return 0
+
+
+def _write_version(
+    table_dir: str, ds, operation: str, stats_cols, token, retries: int
+) -> int:
+    token = token or uuid.uuid4().hex[:12]
+    rows = _stage_files(table_dir, ds, stats_cols or (), token)
+    for _ in range(max(1, retries)):
+        head = _head_version(table_dir)
+        if head < 0:
+            raise ValueError(f"tablelog: {table_dir} is not a table (table_create first)")
+        parent = _read_manifest(table_dir, head)
+        _check_schema(rows, parent["files"])
+        files = rows if operation == "overwrite" else parent["files"] + rows
+        try:
+            _commit(
+                table_dir,
+                head + 1,
+                {
+                    "version": head + 1,
+                    "parent": head,
+                    "operation": operation,
+                    "files": files,
+                },
+            )
+            return head + 1
+        except CommitConflict:
+            continue  # staged data is version-independent: re-read head, retry
+    raise CommitConflict(
+        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
+    )
+
+
+def table_append(table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5) -> int:
+    """Append ``ds`` as a new version: new files join the parent's file
+    list; nothing is rewritten. Optimistic concurrency — a lost commit
+    race re-reads the head and retries (the staged files don't depend
+    on the parent), so concurrent appenders serialize without locks.
+    ``stats_cols`` adds per-file [min, max] to the manifest for
+    ``read_table_at`` pruning. Returns the committed version."""
+    return _write_version(table_dir, ds, "append", stats_cols, token, retries)
+
+
+def table_overwrite(table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5) -> int:
+    """Replace the table's LOGICAL content with ``ds`` as a new version.
+    Old versions' files stay on disk, so reads at earlier versions
+    still work until ``table_expire`` reclaims them."""
+    return _write_version(table_dir, ds, "overwrite", stats_cols, token, retries)
+
+
+def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=None, hi=None):
+    """Read the table AS OF ``version`` (default: head) as a Dataset.
+    With ``filter_col``/``lo``/``hi``, files whose manifest stats prove
+    no row can match are never opened (``read_table_at.last_pruning``
+    records (files_read, files_total)); the residual filter keeps the
+    result exact whether or not a file carried stats."""
+    import ray.data as rd
+
+    head = _head_version(table_dir)
+    if head < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    v = head if version is None else int(version)
+    m = _read_manifest(table_dir, v)
+    files = m["files"]
+    keep = []
+    for f in files:
+        s = f.get("stats", {}).get(filter_col) if filter_col else None
+        if s is not None:
+            if lo is not None and s[1] < lo:
+                continue
+            if hi is not None and s[0] >= hi:
+                continue
+        keep.append(f)
+    read_table_at.last_pruning = (len(keep), len(files))
+    if not keep:
+        return rd.from_arrow(pa.table({}))
+    ds = rd.read_parquet([os.path.join(table_dir, f["path"]) for f in keep])
+    if filter_col is None or (lo is None and hi is None):
+        return ds
+
+    def residual(batch: pa.Table) -> pa.Table:
+        col = batch[filter_col]
+        mask = pc.is_valid(col)
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(col, pa.scalar(lo)))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less(col, pa.scalar(hi)))
+        return batch.filter(mask)
+
+    return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def table_history(table_dir: str) -> pd.DataFrame:
+    """One row per retained version: version, operation, parent,
+    n_files, n_rows — the audit surface (reference analogue: the
+    release listing the updater walks, backend/routes/update_routes.py)."""
+    head = _head_version(table_dir)
+    rows = []
+    for name in sorted(os.listdir(_log_dir(table_dir))):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        with open(os.path.join(_log_dir(table_dir), name)) as fh:
+            m = json.load(fh)
+        rows.append(
+            {
+                "version": m["version"],
+                "operation": m["operation"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+                "n_rows": int(sum(f["rows"] for f in m["files"])),
+                "is_head": m["version"] == head,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("version").reset_index(drop=True)
+
+
+def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int = 65536) -> int:
+    """Rewrite the HEAD snapshot's small files into ~``target_mb``
+    files and commit the result as a new version (operation
+    ``compact``) — logically a no-op, physically the small-file cure.
+    Reuses the shard compactor's streaming per-group rewrite
+    (`storage._compact_group`): bounded memory, one Ray task per
+    output file. Time travel to pre-compaction versions still works."""
+    from .storage import _compact_group
+
+    head = _head_version(table_dir)
+    m = _read_manifest(table_dir, head)
+    if not m["files"]:
+        raise ValueError("tablelog: nothing to compact (empty table)")
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(table_dir, _DATA, token)
+    os.makedirs(stage, exist_ok=True)
+    sized = [
+        (os.path.join(table_dir, f["path"]), os.path.getsize(os.path.join(table_dir, f["path"])))
+        for f in m["files"]
+    ]
+    target = target_mb * (1 << 20)
+    order = sorted(sized, key=lambda fs: (-fs[1], fs[0]))
+    groups: list = []
+    totals: list = []
+    for path, size in order:
+        for i, s in enumerate(totals):
+            if s + size <= target:
+                groups[i].append(path)
+                totals[i] += size
+                break
+        else:
+            groups.append([path])
+            totals.append(size)
+    futs = [
+        _compact_group.remote(
+            g, os.path.join(stage, f"compact-{i:05d}.parquet"), row_group_rows
+        )
+        for i, g in enumerate(groups)
+    ]
+    ray.get(futs)
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    paths = [os.path.join(stage, f) for f in files]
+    rels = [f"{_DATA}/{token}/{f}" for f in files]
+    stats_cols = sorted({c for f in m["files"] for c in f.get("stats", {})})
+    rows: list = []
+    for part in ray.get(
+        [_file_meta.remote(paths[i : i + 64], rels[i : i + 64], stats_cols) for i in range(0, len(paths), 64)]
+    ):
+        rows.extend(part)
+    _commit(
+        table_dir,
+        head + 1,
+        {"version": head + 1, "parent": head, "operation": "compact", "files": rows},
+    )
+    return head + 1
+
+
+def table_expire(table_dir: str, *, keep_last: int = 2) -> dict:
+    """Retention GC: keep the newest ``keep_last`` versions, delete
+    older manifests, then delete every data file (and crashed-writer
+    stage dir) no retained manifest references. Pure driver-side set
+    arithmetic over O(files) metadata — the data plane is only touched
+    to unlink. Returns {kept_versions, deleted_files}."""
+    head = _head_version(table_dir)
+    if head < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    cutoff = max(0, head - max(1, keep_last) + 1)
+    log = _log_dir(table_dir)
+    kept, reachable = [], set()
+    for name in sorted(os.listdir(log)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        v = int(name[1:9])
+        if v < cutoff:
+            os.unlink(os.path.join(log, name))
+            continue
+        kept.append(v)
+        with open(os.path.join(log, name)) as fh:
+            reachable.update(f["path"] for f in json.load(fh)["files"])
+    deleted = 0
+    data_root = os.path.join(table_dir, _DATA)
+    for root, _dirs, files in os.walk(data_root, topdown=False):
+        for f in files:
+            p = os.path.join(root, f)
+            if os.path.relpath(p, table_dir) not in reachable:
+                os.unlink(p)
+                deleted += 1
+        if root != data_root and not os.listdir(root):
+            os.rmdir(root)
+    return {"kept_versions": kept, "deleted_files": deleted}
