@@ -193,3 +193,75 @@ def test_compact_preserves_snapshot_and_history(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         _sorted(read_table_at(t, v - 1).to_pandas()), _sorted(_df(0, 40))
     )
+
+
+def test_merge_upsert_replaces_and_inserts(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 1000), stats_cols=["k"])
+    table_append(t, _ds(1000, 2000), stats_cols=["k"])
+    # upsert: replace 5 existing keys, insert 3 new ones
+    up = pd.DataFrame(
+        {"k": [10, 11, 12, 1500, 1501, 9000, 9001, 9002],
+         "txt": [f"new-{i}" for i in range(8)]}
+    )
+    from textextract_ray.pipelines.tablelog import table_changes, table_merge
+
+    v = table_merge(t, rd.from_pandas(up), "k", stats_cols=["k"])
+    got = _sorted(read_table_at(t).to_pandas())
+    want = pd.concat(
+        [_df(0, 2000)[~_df(0, 2000)["k"].isin(up["k"])], up]
+    )
+    pd.testing.assert_frame_equal(got, _sorted(want))
+    # history records the merge; pre-merge snapshot intact (time travel)
+    h = table_history(t)
+    assert h[h["version"] == v]["operation"].iloc[0] == "merge"
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, v - 1).to_pandas()), _sorted(_df(0, 2000))
+    )
+    # stats pruning survives the merge rewrite
+    read_table_at(t, filter_col="k", lo=9000).to_pandas()
+    assert read_table_at.last_pruning[0] < read_table_at.last_pruning[1]
+
+
+def test_merge_prunes_untouched_files(ray_session, tmp_path):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import _read_manifest, table_merge
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 1000), stats_cols=["k"])
+    table_append(t, _ds(5000, 6000), stats_cols=["k"])
+    pre = {f["path"] for f in _read_manifest(t, _head_version(t))["files"]}
+    up = pd.DataFrame({"k": [5100], "txt": ["patched"]})
+    v = table_merge(t, rd.from_pandas(up), "k", stats_cols=["k"])
+    post = _read_manifest(t, v)["files"]
+    # the 0-999 file(s) carried forward BY REFERENCE (no rewrite)
+    carried = {f["path"] for f in post} & pre
+    assert carried  # at least the disjoint-range files survived untouched
+    got = read_table_at(t).to_pandas()
+    assert len(got) == 2000 and (got.loc[got.k == 5100, "txt"] == "patched").all()
+
+
+def test_changes_between_versions(ray_session, tmp_path):
+    from textextract_ray.pipelines.tablelog import table_changes
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    v1 = table_append(t, _ds(0, 100))
+    v2 = table_append(t, _ds(100, 130))
+    added, removed = table_changes(t, v1, v2)
+    pd.testing.assert_frame_equal(
+        _sorted(added.to_pandas()), _sorted(_df(100, 130))
+    )
+    assert removed.count() == 0
+    # default to_version = head
+    added2, _ = table_changes(t, 0)
+    assert added2.count() == 130
+    # overwrite shows both sides
+    v3 = table_overwrite(t, _ds(500, 510))
+    added3, removed3 = table_changes(t, v2, v3)
+    assert added3.count() == 10 and removed3.count() == 130

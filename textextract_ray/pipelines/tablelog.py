@@ -373,6 +373,150 @@ def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int =
     return head + 1
 
 
+@ray.remote(num_cpus=1)
+def _rewrite_without_keys(src: str, dst: str, key_col: str, keys_ref) -> None:
+    """Copy-on-write one file: stream its row groups, drop rows whose
+    key is in the broadcast upsert set, write the survivor file
+    (tmp+rename). Bounded memory; the upsert keys arrive ONCE per task
+    via the object store, never per batch."""
+    vset = keys_ref
+    f = pq.ParquetFile(src)
+    tmp = dst + ".tmp"
+    with pq.ParquetWriter(tmp, f.schema_arrow) as w:
+        for batch in f.iter_batches(batch_size=65536):
+            t = pa.Table.from_batches([batch])
+            t = t.filter(
+                pc.invert(pc.is_in(t[key_col], value_set=vset).fill_null(False))
+            )
+            if t.num_rows:
+                w.write_table(t)
+    os.replace(tmp, dst)
+
+
+def table_merge(
+    table_dir: str,
+    ds,
+    key_col: str,
+    *,
+    stats_cols=(),
+    key_budget_rows: int = 5_000_000,
+    token=None,
+    retries: int = 5,
+) -> int:
+    """Copy-on-write MERGE (upsert by ``key_col``): rows of ``ds``
+    REPLACE same-key rows in the head snapshot; new keys insert — the
+    recurring-crawl operation (latest capture of a url supersedes the
+    stored one) as one atomic version. Only files that can contain a
+    matched key are rewritten (manifest [min, max] stats prune the
+    candidate set when present); untouched files carry forward by
+    reference, so merge cost scales with the AFFECTED data, not the
+    table. The upsert key set is a budgeted driver pull (keys only,
+    ``key_budget_rows`` guard) broadcast once via ``ray.put`` to the
+    parallel per-file rewrite tasks. Multiple same-key rows in ``ds``
+    all land (the table-side rows are what gets replaced) — pre-dedup
+    the upsert side if last-writer-wins within the batch is needed.
+    Time travel to pre-merge versions still works until expiry."""
+    head = _head_version(table_dir)
+    if head < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    keys_tbl = ds.select_columns([key_col]).to_pandas()
+    if len(keys_tbl) > key_budget_rows:
+        raise ValueError(
+            f"table_merge: upsert side has {len(keys_tbl)} keys > "
+            f"key_budget_rows={key_budget_rows}; merge in smaller batches"
+        )
+    keys = pa.array(sorted(keys_tbl[key_col].dropna().unique()))
+    klo = keys[0].as_py() if len(keys) else None
+    khi = keys[-1].as_py() if len(keys) else None
+    keys_ref = ray.put(keys)
+
+    token = token or uuid.uuid4().hex[:12]
+    new_rows = _stage_files(table_dir, ds, stats_cols or (), token)
+
+    for _ in range(max(1, retries)):
+        h = _head_version(table_dir)
+        parent = _read_manifest(table_dir, h)
+        _check_schema(new_rows, parent["files"])
+        carried, rewrite = [], []
+        for f in parent["files"]:
+            s = f.get("stats", {}).get(key_col)
+            if len(keys) == 0 or (s is not None and (s[1] < klo or s[0] > khi)):
+                carried.append(f)
+            else:
+                rewrite.append(f)
+        rw_token = uuid.uuid4().hex[:12]
+        stage = os.path.join(table_dir, _DATA, rw_token)
+        os.makedirs(stage, exist_ok=True)
+        dsts, rels = [], []
+        for i, f in enumerate(rewrite):
+            dst = os.path.join(stage, f"rw-{i:05d}.parquet")
+            dsts.append(dst)
+            rels.append(f"{_DATA}/{rw_token}/rw-{i:05d}.parquet")
+        ray.get(
+            [
+                _rewrite_without_keys.remote(
+                    os.path.join(table_dir, f["path"]), dst, key_col, keys_ref
+                )
+                for f, dst in zip(rewrite, dsts)
+            ]
+        )
+        stats_union = sorted(
+            {c for f in rewrite for c in f.get("stats", {})}
+            | set(stats_cols or ())
+        )
+        rw_rows: list = []
+        if dsts:
+            for part in ray.get(
+                [
+                    _file_meta.remote(dsts[i : i + 64], rels[i : i + 64], stats_union)
+                    for i in range(0, len(dsts), 64)
+                ]
+            ):
+                rw_rows.extend(part)
+        rw_rows = [r for r in rw_rows if r["rows"]]  # fully-replaced files drop out
+        try:
+            _commit(
+                table_dir,
+                h + 1,
+                {
+                    "version": h + 1,
+                    "parent": h,
+                    "operation": "merge",
+                    "files": carried + rw_rows + new_rows,
+                },
+            )
+            return h + 1
+        except CommitConflict:
+            continue  # head moved: candidate set may differ — recompute
+    raise CommitConflict(
+        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
+    )
+
+
+def table_changes(table_dir: str, from_version: int, to_version: int = None):
+    """File-level change-data feed between two versions: returns
+    ``(added, removed)`` Datasets — rows in files ``to`` references but
+    ``from`` doesn't, and vice versa. For append-only history this IS
+    the exact row-level delta (the incremental-downstream contract:
+    tokenize only what the last ingest added); a merge/compact/
+    overwrite surfaces each rewritten file's rows on both sides, with
+    unchanged rows of rewritten files appearing in both (document-level
+    consumers reconcile by key). O(files) manifest arithmetic — no data
+    moves until the returned Datasets are consumed."""
+    import ray.data as rd
+
+    to_v = _head_version(table_dir) if to_version is None else int(to_version)
+    f_from = {f["path"] for f in _read_manifest(table_dir, from_version)["files"]}
+    f_to = {f["path"] for f in _read_manifest(table_dir, to_v)["files"]}
+
+    def _read(paths):
+        if not paths:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet([os.path.join(table_dir, p) for p in sorted(paths)])
+
+    return _read(f_to - f_from), _read(f_from - f_to)
+
+
 def table_expire(table_dir: str, *, keep_last: int = 2) -> dict:
     """Retention GC: keep the newest ``keep_last`` versions, delete
     older manifests, then delete every data file (and crashed-writer
