@@ -265,3 +265,41 @@ def test_changes_between_versions(ray_session, tmp_path):
     v3 = table_overwrite(t, _ds(500, 510))
     added3, removed3 = table_changes(t, v2, v3)
     assert added3.count() == 10 and removed3.count() == 130
+
+
+def test_incremental_crawl_composition(ray_session, tmp_path):
+    """The flagship composition the table log exists for: dump-1
+    extraction commits as the corpus table; a recrawl of a subset of
+    urls MERGEs by url — head == latest-capture-per-url, old snapshot
+    still time-travels."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import extract_files
+    from textextract_ray.pipelines.tablelog import table_merge
+
+    files = generate_pages(str(tmp_path / "pages"), 120, 4, giant_bytes=1 << 16)
+    t = str(tmp_path / "corpus")
+    table_create(t)
+    dump1 = extract_files(files).select_columns(["url", "extracted_text", "status"])
+    table_append(t, dump1, stats_cols=["url"])
+    base = dump1.to_pandas()
+
+    # "recrawl": 30 urls come back with changed content
+    recrawl = base.sort_values("url").head(30).copy()
+    recrawl["extracted_text"] = "RECRAWLED::" + recrawl["extracted_text"]
+    v = table_merge(t, rd.from_pandas(recrawl), "url", stats_cols=["url"])
+
+    got = read_table_at(t).to_pandas().sort_values("url").reset_index(drop=True)
+    want = base[~base.url.isin(recrawl.url)]
+    want = (
+        pd.concat([want, recrawl]).sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+    assert got.url.is_unique  # merge kept the url-dedup invariant
+    # the pre-recrawl corpus is still exactly readable
+    old = read_table_at(t, v - 1).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        old, base.sort_values("url").reset_index(drop=True)[old.columns.tolist()]
+    )
