@@ -303,3 +303,53 @@ def test_incremental_crawl_composition(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         old, base.sort_values("url").reset_index(drop=True)[old.columns.tolist()]
     )
+
+
+def test_ingest_dumps_versioned_latest_wins_and_idempotent(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import extract_files
+    from textextract_ray.pipelines.ingest import ingest_dumps_versioned
+
+    dump1 = generate_pages(str(tmp_path / "d1"), 120, 4, giant_bytes=1 << 16)
+    # dump 2: 30 of dump-1's urls recrawled with DIFFERENT content
+    # (html payloads rolled by one row, timestamps bumped)
+    t1 = pq.read_table(dump1[0]).slice(0, 30)
+    cols = {c: t1[c] for c in t1.column_names}
+    html = t1["html"].to_pylist()
+    cols["html"] = pa.array(html[1:] + html[:1], pa.binary())
+    d2_path = str(tmp_path / "d2.parquet")
+    pq.write_table(pa.table(cols, schema=t1.schema), d2_path)
+
+    t = str(tmp_path / "tbl")
+    hist = ingest_dumps_versioned([("d1", dump1), ("d2", [d2_path])], t)
+    assert list(hist["note"].dropna()) == ["dump:d1", "dump:d2"]
+
+    got = read_table_at(t).to_pandas().set_index("url").sort_index()
+    # the fixture corpus deliberately contains duplicate urls, so the
+    # expected key set is dump-1's DEDUPED extraction output
+    want1 = extract_files(dump1).to_pandas().set_index("url")
+    want2 = extract_files([d2_path]).to_pandas().set_index("url")
+    assert got.index.is_unique and len(got) == len(want1)
+    for url in want2.index:
+        assert got.loc[url, "extracted_text"] == want2.loc[url, "extracted_text"]
+    untouched = want1.index.difference(want2.index)
+    assert (
+        got.loc[untouched, "extracted_text"]
+        == want1.loc[untouched, "extracted_text"]
+    ).all()
+
+    # idempotence: a rerun skips both dumps (history unchanged)
+    hist2 = ingest_dumps_versioned([("d1", dump1), ("d2", [d2_path])], t)
+    assert len(hist2) == len(hist)
+    # resume: a new dump processes alone on the rerun
+    d3 = generate_pages(str(tmp_path / "d3"), 10, 1, giant_bytes=1 << 16)
+    hist3 = ingest_dumps_versioned(
+        [("d1", dump1), ("d2", [d2_path]), ("d3", d3)], t
+    )
+    assert len(hist3) == len(hist) + 1
+    want3 = extract_files(d3).to_pandas()
+    new_urls = set(want3.url) - set(want1.index)
+    assert read_table_at(t).count() == len(want1) + len(new_urls)

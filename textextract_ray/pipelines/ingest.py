@@ -104,6 +104,56 @@ def ingest_increment(
     return counters
 
 
+def ingest_dumps_versioned(
+    dumps: list,
+    table_dir: str,
+    *,
+    key_col: str = "url",
+    batch_size: int = 64,
+) -> pd.DataFrame:
+    """Latest-capture-wins incremental ingest over the versioned table
+    (pipelines/tablelog): each ``(name, shard_files)`` dump extracts
+    ONCE (fused path, within-dump url dedup) and commits as one atomic
+    version — the first as an append, every later one as copy-on-write
+    MERGE by ``key_col``, so a recrawled url's newest extraction
+    supersedes the stored row while the pre-dump snapshot stays
+    time-travelable. The complement of ``run_ingest``: that path is
+    first-capture-wins (the seen-url index drops re-seen urls BEFORE
+    extraction — cheapest when content is assumed stable); this path
+    pays re-extraction for freshness and gets atomic versioned history.
+
+    Idempotent per dump: the committing manifest is stamped
+    ``note="dump:<name>"``, and a rerun skips any dump whose note is
+    already in the history — a killed ingest resumes at the first
+    uncommitted dump for the cost of manifest reads. Returns the table
+    history (one row per version, the ingest report)."""
+    from .extract_pipeline import extract_files
+    from .tablelog import (
+        _head_version,
+        table_append,
+        table_create,
+        table_history,
+        table_merge,
+    )
+
+    if _head_version(table_dir) < 0:
+        table_create(table_dir)
+    done = set(table_history(table_dir)["note"].dropna())
+    for name, shard_files in dumps:
+        note = f"dump:{name}"
+        if note in done:
+            continue
+        extracted = extract_files(shard_files, batch_size=batch_size)
+        if _head_version(table_dir) == 0:
+            table_append(table_dir, extracted, stats_cols=[key_col], note=note)
+        else:
+            table_merge(
+                table_dir, extracted, key_col, stats_cols=[key_col], note=note
+            )
+        done.add(note)
+    return table_history(table_dir)
+
+
 def run_ingest(increments: list, out_dir: str, *, num_index_shards: int = 8) -> pd.DataFrame:
     """Drive a sequence of increments (list of shard-file lists) through
     one shared index; resumable per increment."""

@@ -203,7 +203,7 @@ def table_create(table_dir: str) -> int:
 
 
 def _write_version(
-    table_dir: str, ds, operation: str, stats_cols, token, retries: int
+    table_dir: str, ds, operation: str, stats_cols, token, retries: int, note=None
 ) -> int:
     token = token or uuid.uuid4().hex[:12]
     rows = _stage_files(table_dir, ds, stats_cols or (), token)
@@ -222,6 +222,7 @@ def _write_version(
                     "version": head + 1,
                     "parent": head,
                     "operation": operation,
+                    "note": note,
                     "files": files,
                 },
             )
@@ -233,21 +234,28 @@ def _write_version(
     )
 
 
-def table_append(table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5) -> int:
+def table_append(
+    table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5, note=None
+) -> int:
     """Append ``ds`` as a new version: new files join the parent's file
     list; nothing is rewritten. Optimistic concurrency — a lost commit
     race re-reads the head and retries (the staged files don't depend
     on the parent), so concurrent appenders serialize without locks.
     ``stats_cols`` adds per-file [min, max] to the manifest for
-    ``read_table_at`` pruning. Returns the committed version."""
-    return _write_version(table_dir, ds, "append", stats_cols, token, retries)
+    ``read_table_at`` pruning; ``note`` stamps the manifest with a
+    caller label (e.g. a dump id) surfaced by ``table_history`` — the
+    idempotence hook for incremental ingest. Returns the committed
+    version."""
+    return _write_version(table_dir, ds, "append", stats_cols, token, retries, note)
 
 
-def table_overwrite(table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5) -> int:
+def table_overwrite(
+    table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5, note=None
+) -> int:
     """Replace the table's LOGICAL content with ``ds`` as a new version.
     Old versions' files stay on disk, so reads at earlier versions
     still work until ``table_expire`` reclaims them."""
-    return _write_version(table_dir, ds, "overwrite", stats_cols, token, retries)
+    return _write_version(table_dir, ds, "overwrite", stats_cols, token, retries, note)
 
 
 def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=None, hi=None):
@@ -310,6 +318,7 @@ def table_history(table_dir: str) -> pd.DataFrame:
                 "parent": m["parent"],
                 "n_files": len(m["files"]),
                 "n_rows": int(sum(f["rows"] for f in m["files"])),
+                "note": m.get("note"),
                 "is_head": m["version"] == head,
             }
         )
@@ -402,6 +411,7 @@ def table_merge(
     key_budget_rows: int = 5_000_000,
     token=None,
     retries: int = 5,
+    note=None,
 ) -> int:
     """Copy-on-write MERGE (upsert by ``key_col``): rows of ``ds``
     REPLACE same-key rows in the head snapshot; new keys insert — the
@@ -482,6 +492,7 @@ def table_merge(
                     "version": h + 1,
                     "parent": h,
                     "operation": "merge",
+                    "note": note,
                     "files": carried + rw_rows + new_rows,
                 },
             )
