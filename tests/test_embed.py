@@ -12,6 +12,7 @@ recover planted topics and are layout-stable.
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
@@ -186,3 +187,73 @@ def test_cluster_topics_empty_corpus(ray_session):
         # kmeans over an empty corpus cannot produce centroids; the
         # failure must be loud, not a silent empty frame
         cluster_topics(ds, n_clusters=2)
+
+
+def test_semantic_decontaminate_flags_paraphrases(ray_session):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.embed import semantic_decontaminate_against
+
+    bench = [
+        "what is the capital city of france and when was it founded",
+        "solve the integral of x squared between zero and one",
+    ]
+    # corpus: a word-order paraphrase (few shared 5-grams, same bag of
+    # words), a verbatim copy, and unrelated text
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "when was it founded and what is the capital city of france",
+                bench[1],
+                "entirely unrelated document about marine biology and kelp",
+                "",
+            ],
+        }
+    )
+    out = (
+        semantic_decontaminate_against(
+            rd.from_pandas(corpus),
+            rd.from_pandas(pd.DataFrame({"text": bench})),
+            threshold=0.8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bool(out.loc[0, "contaminated"]) and out.loc[0, "bench_idx"] == 0
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "max_cosine"] == 1.0
+    assert not out.loc[2, "contaminated"]
+    assert not out.loc[3, "contaminated"] and out.loc[3, "bench_idx"] == -1
+
+    # layout independence: same verdicts from a different partitioning
+    out2 = (
+        semantic_decontaminate_against(
+            rd.from_pandas(corpus).repartition(4),
+            rd.from_pandas(pd.DataFrame({"text": bench})).repartition(2),
+            threshold=0.8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_semantic_decontaminate_contracts(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from textextract_ray.pipelines.embed import semantic_decontaminate_against
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError, match="empty benchmark"):
+        semantic_decontaminate_against(
+            docs, rd.from_pandas(pd.DataFrame({"text": []}))
+        )
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_decontaminate_against(
+            docs,
+            rd.from_pandas(pd.DataFrame({"text": ["a", "b", "c"]})),
+            max_bench_rows=2,
+        )

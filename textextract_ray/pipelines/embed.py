@@ -180,6 +180,107 @@ def embed_text_ds(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(to_vecs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def semantic_decontaminate_against(
+    ds,
+    bench_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = None,
+    dim: int = 64,
+    ngrams=(1, 2),
+    threshold: float = 0.85,
+    max_bench_rows: int = 2_000_000,
+):
+    """Embedding-space test-set decontamination: flag corpus documents
+    whose embedding is within cosine ``threshold`` of ANY benchmark
+    document — the vector complement of the engine's two lexical
+    decontaminators (`textops.decontaminate`: exact n-gram membership;
+    `stages.dedup.fuzzy_decontaminate_against`: MinHash near-dup). A
+    reworded eval item that keeps its vocabulary but shares few exact
+    grams and disagrees on shingle sets still lands close in bag-of-
+    ngram embedding space (the SemDeDup argument, arXiv:2303.09540,
+    pointed at contamination instead of redundancy).
+
+    Scale shape — ZERO shuffle, one corpus pass: the benchmark side is
+    eval-set-sized by nature, so its embedding matrix (n_bench × dim
+    float32, budget-guarded by ``max_bench_rows``) builds once and
+    broadcasts via ``ray.put``; each corpus batch embeds itself with
+    the SAME deterministic kernel and takes one (batch × bench) matmul
+    for the max cosine. Deterministic and layout-independent (pure
+    function of text + benchmark set); empty docs embed to the zero
+    vector and are never contaminated.
+
+    Returns (id, max_cosine, bench_idx, contaminated): bench_idx is
+    the 0-based row of the nearest benchmark doc in ``bench_ds`` scan
+    order (-1 when the corpus doc is empty), the audit pointer."""
+    import ray
+
+    btc = bench_text_col or text_col
+    mats = []
+    n_bench = 0
+    for blk in bench_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "v": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        embed_batch(
+                            pc.fill_null(b[btc], "").to_pylist(),
+                            dim=dim,
+                            ngrams=ngrams,
+                        ).ravel(),
+                        pa.float32(),
+                    ),
+                    dim,
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        if blk.num_rows == 0:
+            continue
+        n_bench += blk.num_rows
+        if n_bench > max_bench_rows:
+            raise ValueError(
+                f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
+                "semantic decontamination broadcasts the bench matrix — "
+                "cluster it first (kmeans_fit) or use the membership path"
+            )
+        col = blk["v"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mats.append(
+            np.asarray(col.values, dtype=np.float32).reshape(-1, dim)
+        )
+    if not mats:
+        raise ValueError("semantic_decontaminate_against: empty benchmark set")
+    bench = np.vstack(mats)  # rows already L2-normalized by embed_batch
+    bref = ray.put(bench)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        mat = embed_batch(
+            pc.fill_null(batch[text_col], "").to_pylist(), dim=dim, ngrams=ngrams
+        )
+        sims = mat @ b.T  # both sides unit-norm (or zero) -> cosine
+        best = sims.argmax(axis=1).astype(np.int64)
+        mx = sims[np.arange(len(mat)), best].astype(np.float64)
+        empty = ~mat.any(axis=1)
+        best[empty] = -1
+        mx[empty] = 0.0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "max_cosine": pa.array(np.round(mx, 6), pa.float64()),
+                "bench_idx": pa.array(best, pa.int64()),
+                "contaminated": pa.array(mx >= threshold, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def cluster_topics(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    n_clusters: int = 8, dim: int = 64, ngrams=(1, 2),
                    top_k: int = 10, min_count: int = 2, refine_iters: int = 3,
