@@ -151,9 +151,15 @@ def test_expire_keeps_recent_drops_old(ray_session, tmp_path):
     os.makedirs(orphan_dir)
     with open(os.path.join(orphan_dir, "junk.parquet"), "w") as fh:
         fh.write("x")
-    res = table_expire(t, keep_last=1)
-    assert res["kept_versions"] == [2]
-    assert res["deleted_files"] >= 2  # v1 data + orphan
+    # default grace protects a YOUNG unreferenced file (it could be a
+    # live writer's in-flight stage) while expired-version data deletes
+    res0 = table_expire(t, keep_last=1)
+    assert res0["kept_versions"] == [2]
+    assert os.path.exists(os.path.join(orphan_dir, "junk.parquet"))
+    assert res0["deleted_files"] >= 1  # v1 data went regardless of age
+    # grace 0 (no live writers): the orphan is swept too
+    res = table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    assert res["deleted_files"] >= 1  # the orphan
     # head still reads exactly; old versions are gone
     pd.testing.assert_frame_equal(
         _sorted(read_table_at(t).to_pandas()), _sorted(_df(50, 80))
@@ -353,3 +359,16 @@ def test_ingest_dumps_versioned_latest_wins_and_idempotent(ray_session, tmp_path
     want3 = extract_files(d3).to_pandas()
     new_urls = set(want3.url) - set(want1.index)
     assert read_table_at(t).count() == len(want1) + len(new_urls)
+
+
+def test_notes_survive_expiry(ray_session, tmp_path):
+    from textextract_ray.pipelines.tablelog import table_notes
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 10), note="dump:a")
+    table_append(t, _ds(10, 20), note="dump:b")
+    table_append(t, _ds(20, 30), note="dump:c")
+    table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    # dump:a / dump:b manifests are gone, but idempotence must hold
+    assert table_notes(t) == {"dump:a", "dump:b", "dump:c"}

@@ -217,44 +217,25 @@ def semantic_decontaminate_against(
     import ray
 
     btc = bench_text_col or text_col
-    mats = []
-    n_bench = 0
-    for blk in bench_ds.map_batches(
-        lambda b: pa.table(
-            {
-                "v": pa.FixedSizeListArray.from_arrays(
-                    pa.array(
-                        embed_batch(
-                            pc.fill_null(b[btc], "").to_pylist(),
-                            dim=dim,
-                            ngrams=ngrams,
-                        ).ravel(),
-                        pa.float32(),
-                    ),
-                    dim,
-                )
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        if blk.num_rows == 0:
-            continue
-        n_bench += blk.num_rows
-        if n_bench > max_bench_rows:
-            raise ValueError(
-                f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
-                "semantic decontamination broadcasts the bench matrix — "
-                "cluster it first (kmeans_fit) or use the membership path"
-            )
-        col = blk["v"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mats.append(
-            np.asarray(col.values, dtype=np.float32).reshape(-1, dim)
+    # bench_idx is documented as bench_ds SCAN-ORDER position, so the
+    # matrix must build in dataset order — a worker-side map + iterate
+    # can interleave blocks by completion (preserve_order defaults
+    # False). The bench side is eval-set-sized by contract: budget-
+    # check, pull the text column in order, embed driver-side.
+    n_bench = bench_ds.count()
+    if n_bench > max_bench_rows:
+        raise ValueError(
+            f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
+            "semantic decontamination broadcasts the bench matrix — "
+            "cluster it first (kmeans_fit) or use the membership path"
         )
-    if not mats:
+    if n_bench == 0:
         raise ValueError("semantic_decontaminate_against: empty benchmark set")
+    texts = bench_ds.select_columns([btc]).to_pandas()[btc].fillna("").tolist()
+    mats = [
+        embed_batch(texts[i : i + 4096], dim=dim, ngrams=ngrams)
+        for i in range(0, len(texts), 4096)
+    ]
     bench = np.vstack(mats)  # rows already L2-normalized by embed_batch
     bref = ray.put(bench)
 

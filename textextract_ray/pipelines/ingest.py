@@ -134,11 +134,15 @@ def ingest_dumps_versioned(
         table_create,
         table_history,
         table_merge,
+        table_notes,
     )
 
     if _head_version(table_dir) < 0:
         table_create(table_dir)
-    done = set(table_history(table_dir)["note"].dropna())
+    # table_notes, not table_history: notes survive table_expire, so a
+    # resume after retention GC can never re-merge a stale old dump
+    # over newer captures
+    done = table_notes(table_dir)
     for name, shard_files in dumps:
         note = f"dump:{name}"
         if note in done:

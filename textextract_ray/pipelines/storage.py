@@ -444,7 +444,17 @@ def write_clustered_multi(
             f"write_clustered_multi: need 1-8 key cols with bits*cols <= 63, "
             f"got {len(key_cols)} cols x {bits} bits"
         )
+    if bits * len(key_cols) + (int(num_ranges) - 1).bit_length() > 64:
+        raise ValueError(
+            "write_clustered_multi: z * num_ranges would overflow uint64 "
+            f"(bits*cols={bits * len(key_cols)} + log2(num_ranges)); lower "
+            "bits or num_ranges"
+        )
     k = len(key_cols)
+    # one upstream execution: the sample passes (one per column) and
+    # the tagged write would otherwise re-run the whole input pipeline
+    # k+1 times; the blocks are about to be written anyway
+    ds = ds.materialize()
     col_bounds = {}
     for col in key_cols:
         sample = _boundary_sample(ds, col, sample_k)
@@ -557,7 +567,16 @@ def read_clustered_multi(out_dir: str, **predicates):
                 if f.endswith(".parquet")
             )
     if not paths:
-        return rd.from_arrow(pa.table({c: pa.array([], pa.string()) for c in m["key_cols"]}))
+        # typed empty result: take the real schema from any range file
+        # (footer only) instead of inventing string-typed key columns
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith("_zrange="):
+                d = os.path.join(out_dir, name)
+                fs = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+                if fs:
+                    sch = pq.read_schema(os.path.join(d, fs[0]))
+                    return rd.from_arrow(sch.empty_table())
+        return rd.from_arrow(pa.table({}))
     ds = rd.read_parquet(paths)
     if not predicates:
         return ds

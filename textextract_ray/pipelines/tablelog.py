@@ -205,12 +205,14 @@ def table_create(table_dir: str) -> int:
 def _write_version(
     table_dir: str, ds, operation: str, stats_cols, token, retries: int, note=None
 ) -> int:
+    # validate BEFORE staging: a typo'd path must fail fast, not after
+    # minutes of parquet writes into an arbitrary directory
+    if _head_version(table_dir) < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table (table_create first)")
     token = token or uuid.uuid4().hex[:12]
     rows = _stage_files(table_dir, ds, stats_cols or (), token)
     for _ in range(max(1, retries)):
         head = _head_version(table_dir)
-        if head < 0:
-            raise ValueError(f"tablelog: {table_dir} is not a table (table_create first)")
         parent = _read_manifest(table_dir, head)
         _check_schema(rows, parent["files"])
         files = rows if operation == "overwrite" else parent["files"] + rows
@@ -283,6 +285,12 @@ def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=No
         keep.append(f)
     read_table_at.last_pruning = (len(keep), len(files))
     if not keep:
+        # typed empty result: take the schema from any of the version's
+        # files (footer only) so downstream selects/unions still work;
+        # a zero-FILE version (v0) genuinely has no schema to offer
+        if files:
+            sch = pq.read_schema(os.path.join(table_dir, files[0]["path"]))
+            return rd.from_arrow(sch.empty_table())
         return rd.from_arrow(pa.table({}))
     ds = rd.read_parquet([os.path.join(table_dir, f["path"]) for f in keep])
     if filter_col is None or (lo is None and hi is None):
@@ -374,12 +382,37 @@ def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int =
         [_file_meta.remote(paths[i : i + 64], rels[i : i + 64], stats_cols) for i in range(0, len(paths), 64)]
     ):
         rows.extend(part)
-    _commit(
-        table_dir,
-        head + 1,
-        {"version": head + 1, "parent": head, "operation": "compact", "files": rows},
+    compacted_from = {f["path"] for f in m["files"]}
+    for _ in range(5):
+        h = _head_version(table_dir)
+        cur = _read_manifest(table_dir, h)["files"]
+        cur_paths = {f["path"] for f in cur}
+        if not compacted_from <= cur_paths:
+            # a concurrent merge/overwrite rewrote files this compaction
+            # consumed — the rewrite is stale, don't publish it
+            raise CommitConflict(
+                "tablelog: head files changed under table_compact "
+                "(concurrent merge/overwrite); rerun compaction"
+            )
+        # append racers are safe: keep their new files alongside ours
+        extra = [f for f in cur if f["path"] not in compacted_from]
+        try:
+            _commit(
+                table_dir,
+                h + 1,
+                {
+                    "version": h + 1,
+                    "parent": h,
+                    "operation": "compact",
+                    "files": rows + extra,
+                },
+            )
+            return h + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"tablelog: lost 5 commit races on {table_dir}; giving up"
     )
-    return head + 1
 
 
 @ray.remote(num_cpus=1)
@@ -429,19 +462,33 @@ def table_merge(
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
-    keys_tbl = ds.select_columns([key_col]).to_pandas()
-    if len(keys_tbl) > key_budget_rows:
+    # stage FIRST, pull keys from the staged parquet afterwards: the
+    # upstream pipeline (e.g. extraction) executes exactly once, and
+    # the delete set is derived from the very rows that were committed
+    # — no re-execution, no drift window if upstream were ever
+    # nondeterministic
+    token = token or uuid.uuid4().hex[:12]
+    new_rows = _stage_files(table_dir, ds, stats_cols or (), token)
+    if sum(r["rows"] for r in new_rows) > key_budget_rows:
         raise ValueError(
-            f"table_merge: upsert side has {len(keys_tbl)} keys > "
-            f"key_budget_rows={key_budget_rows}; merge in smaller batches"
+            f"table_merge: upsert side has {sum(r['rows'] for r in new_rows)} "
+            f"rows > key_budget_rows={key_budget_rows}; merge in smaller batches"
         )
-    keys = pa.array(sorted(keys_tbl[key_col].dropna().unique()))
+    kparts = []
+    for r in new_rows:
+        col = pq.read_table(
+            os.path.join(table_dir, r["path"]), columns=[key_col]
+        )[key_col]
+        kparts.append(col.combine_chunks().drop_null())
+    flat = pa.concat_arrays(kparts) if kparts else pa.array([])
+    if len(flat):
+        u = pc.unique(flat)
+        keys = u.take(pc.sort_indices(u))
+    else:
+        keys = flat
     klo = keys[0].as_py() if len(keys) else None
     khi = keys[-1].as_py() if len(keys) else None
     keys_ref = ray.put(keys)
-
-    token = token or uuid.uuid4().hex[:12]
-    new_rows = _stage_files(table_dir, ds, stats_cols or (), token)
 
     for _ in range(max(1, retries)):
         h = _head_version(table_dir)
@@ -528,36 +575,95 @@ def table_changes(table_dir: str, from_version: int, to_version: int = None):
     return _read(f_to - f_from), _read(f_from - f_to)
 
 
-def table_expire(table_dir: str, *, keep_last: int = 2) -> dict:
+_NOTES_EXPIRED = "_notes_expired.json"
+
+
+def table_notes(table_dir: str) -> set:
+    """Every note ever committed to this table — retained manifests
+    PLUS notes preserved from expired ones (``_notes_expired.json``),
+    so idempotence decisions (``ingest_dumps_versioned``) survive
+    retention GC."""
+    notes = set(table_history(table_dir)["note"].dropna())
+    try:
+        with open(os.path.join(_log_dir(table_dir), _NOTES_EXPIRED)) as fh:
+            notes.update(json.load(fh))
+    except FileNotFoundError:
+        pass
+    return notes
+
+
+def table_expire(
+    table_dir: str, *, keep_last: int = 2, orphan_grace_seconds: float = 86400.0
+) -> dict:
     """Retention GC: keep the newest ``keep_last`` versions, delete
-    older manifests, then delete every data file (and crashed-writer
-    stage dir) no retained manifest references. Pure driver-side set
-    arithmetic over O(files) metadata — the data plane is only touched
-    to unlink. Returns {kept_versions, deleted_files}."""
+    older manifests (their ``note`` stamps are preserved in
+    ``_notes_expired.json`` so ingest idempotence survives expiry),
+    then delete every data file no retained manifest references. Pure
+    driver-side set arithmetic over O(files) metadata — the data plane
+    is only touched to unlink.
+
+    ``orphan_grace_seconds`` protects LIVE concurrent writers: an
+    unreferenced file younger than the grace (by mtime) is a plausible
+    in-flight stage, not garbage, and survives this pass — the same
+    retention rule cloud-table VACUUMs use. Set 0 only when no writer
+    can be active. Returns {kept_versions, deleted_files}."""
+    import time
+
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
     cutoff = max(0, head - max(1, keep_last) + 1)
     log = _log_dir(table_dir)
-    kept, reachable = [], set()
+    kept, reachable, expired_notes = [], set(), set()
+    expired_reachable = set()  # data of expired versions: delete NOW
     for name in sorted(os.listdir(log)):
         if not (name.startswith("v") and name.endswith(".json")):
             continue
         v = int(name[1:9])
+        path = os.path.join(log, name)
         if v < cutoff:
-            os.unlink(os.path.join(log, name))
+            with open(path) as fh:
+                m = json.load(fh)
+            if m.get("note"):
+                expired_notes.add(m["note"])
+            expired_reachable.update(f["path"] for f in m["files"])
+            os.unlink(path)
             continue
         kept.append(v)
-        with open(os.path.join(log, name)) as fh:
+        with open(path) as fh:
             reachable.update(f["path"] for f in json.load(fh)["files"])
+    expired_reachable -= reachable
+    if expired_notes:
+        np_ = os.path.join(log, _NOTES_EXPIRED)
+        try:
+            with open(np_) as fh:
+                expired_notes.update(json.load(fh))
+        except FileNotFoundError:
+            pass
+        tmp = np_ + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(expired_notes), fh)
+        os.replace(tmp, np_)
     deleted = 0
+    now = time.time()
     data_root = os.path.join(table_dir, _DATA)
     for root, _dirs, files in os.walk(data_root, topdown=False):
         for f in files:
             p = os.path.join(root, f)
-            if os.path.relpath(p, table_dir) not in reachable:
-                os.unlink(p)
-                deleted += 1
+            rel = os.path.relpath(p, table_dir)
+            if rel in reachable:
+                continue
+            if rel not in expired_reachable:
+                # referenced by NO manifest: only an orphan if older
+                # than the grace — a young one is a plausible in-flight
+                # stage of a live concurrent writer
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            os.unlink(p)
+            deleted += 1
         if root != data_root and not os.listdir(root):
             os.rmdir(root)
     return {"kept_versions": kept, "deleted_files": deleted}
