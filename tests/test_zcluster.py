@@ -107,3 +107,103 @@ def test_layout_invariance_and_guards(ray_session, tmp_path):
         write_clustered_multi(
             rd.from_arrow(t), str(tmp_path / "c"), ["user_id", "ts"], bits=32
         )
+
+
+def _mk_pair(tmp_path, n_l=4000, n_r=1500):
+    """Two co-partitioned layouts sharing the boundary list."""
+    import ray.data as rd
+
+    from textextract_ray.pipelines.storage import (
+        cluster_boundaries,
+        write_clustered,
+    )
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 2000, n_l).astype(np.int64),
+            "lv": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.randint(0, 2000, n_r).astype(np.int64),
+            "rv": [f"r{i}" for i in range(n_r)],
+        }
+    ).drop_duplicates("rk")
+    ld, rd_ = str(tmp_path / "L"), str(tmp_path / "R")
+    write_clustered(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(6),
+        ld,
+        "k",
+        num_ranges=8,
+    )
+    write_clustered(
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(4),
+        rd_,
+        "rk",
+        boundaries=cluster_boundaries(ld),
+    )
+    return left, right, ld, rd_
+
+
+def test_clustered_join_inner_and_left_exact(ray_session, tmp_path):
+    from textextract_ray.pipelines.storage import clustered_join
+
+    left, right, ld, rd_ = _mk_pair(tmp_path)
+
+    got = (
+        clustered_join(ld, rd_)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk", how="inner")
+        .drop(columns=["rk"])  # Arrow join coalesces the right key (USING)
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    got_l = (
+        clustered_join(ld, rd_, how="left")
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want_l = (
+        left.merge(right, left_on="k", right_on="rk", how="left")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert len(got_l) == len(want_l) == len(left)
+    pd.testing.assert_frame_equal(
+        got_l[["k", "lv"]], want_l[["k", "lv"]]
+    )
+    # unmatched left rows carry null right values
+    assert got_l["rv"].isna().equals(want_l["rv"].isna())
+
+
+def test_clustered_join_guards(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from textextract_ray.pipelines.storage import clustered_join, write_clustered
+
+    left, right, ld, rd_ = _mk_pair(tmp_path)
+    # a layout with its OWN boundaries is not co-partitioned
+    other = str(tmp_path / "other")
+    write_clustered(
+        rd.from_arrow(
+            pa.Table.from_pandas(right, preserve_index=False)
+        ),
+        other,
+        "rk",
+        num_ranges=3,
+    )
+    with pytest.raises(ValueError, match="not co-partitioned"):
+        clustered_join(ld, other)
+    with pytest.raises(ValueError, match="inner|left"):
+        clustered_join(ld, rd_, how="outer")
