@@ -372,3 +372,53 @@ def test_notes_survive_expiry(ray_session, tmp_path):
     table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
     # dump:a / dump:b manifests are gone, but idempotence must hold
     assert table_notes(t) == {"dump:a", "dump:b", "dump:c"}
+
+
+def test_maintain_rollup_incremental_equals_full_recompute(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from textextract_ray.pipelines.relational import maintain_rollup
+    from textextract_ray.pipelines.tablelog import table_notes
+
+    rng = np.random.RandomState(11)
+    t = str(tmp_path / "rollup")
+    table_create(t)
+
+    def batch(n, lo):
+        return pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 20, n).astype("int64"),
+                "day": rng.choice(["2026-01-01", "2026-01-02"], n),
+                "value": np.arange(lo, lo + n, dtype="int64"),
+            }
+        )
+
+    seen = []
+    for i, n in enumerate([500, 300, 200]):
+        b = batch(n, i * 1000)
+        seen.append(b)
+        maintain_rollup(
+            t, rd.from_pandas(b), ["user_id", "day"],
+            sum_cols=["value"], note=f"inc:{i}",
+        )
+        # maintained view == full recompute over everything seen so far
+        got = (
+            read_table_at(t)
+            .to_pandas()
+            .sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        allb = pd.concat(seen)
+        want = (
+            allb.groupby(["user_id", "day"], as_index=False)
+            .agg(n=("value", "size"), value=("value", "sum"))
+            .sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        got["n"] = got["n"].astype("int64")
+        pd.testing.assert_frame_equal(got[["user_id", "day", "n", "value"]], want)
+    # each increment is a retained, time-travelable version with a note
+    assert {"inc:0", "inc:1", "inc:2"} <= table_notes(t)
+    h = table_history(t)
+    assert (h[h.version > 0]["operation"] == "overwrite").all()

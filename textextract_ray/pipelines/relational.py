@@ -1869,3 +1869,55 @@ def hash_join_ds(
         null_key_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     return joined.union(bypass)
+
+
+def maintain_rollup(
+    table_dir: str,
+    new_events,
+    group_cols: list,
+    *,
+    sum_cols=(),
+    count_alias: str = "n",
+    note=None,
+) -> int:
+    """Incremental materialized-view maintenance: keep a grouped
+    count/sum rollup CURRENT across event increments without ever
+    rescanning history — the table-log composition of G1's daily
+    upsert (reference models.py:397-425 increments the (user, date)
+    counters row instead of recounting api_requests; here the whole
+    rollup table is the "row" and a version is the upsert).
+
+    Each call: (1) the NEW events pre-aggregate through one
+    groupby(group_cols) — count + Sum(sum_cols) partials, the only
+    pass that sees raw events; (2) the current rollup (head of the
+    versioned table, aggregate-sized) unions with those increments and
+    reaggregates — sums of sums, every column reaggregable by
+    construction; (3) the result commits via ``table_overwrite`` as
+    one atomic version, so readers see the old rollup or the new one,
+    never a half-update, and ``read_table_at(v)`` time-travels the
+    view to any retained update. Cost per update is O(increment +
+    aggregate), independent of total history — the reason materialized
+    views exist at 100 TB. Stamp ``note`` per increment and reruns can
+    skip already-applied batches (``table_notes``), mirroring
+    ``ingest_dumps_versioned``'s idempotence contract."""
+    import ray.data as rd  # noqa: F401  (Dataset ops on new_events)
+
+    from .tablelog import _head_version, _read_manifest, read_table_at, table_overwrite
+
+    aggs = [Count(alias_name=count_alias)] + [
+        Sum(c, alias_name=c) for c in sum_cols
+    ]
+    inc = new_events.groupby(list(group_cols)).aggregate(*aggs)
+    head = _head_version(table_dir)
+    if head < 0:
+        raise ValueError(f"maintain_rollup: {table_dir} is not a table (table_create first)")
+    if _read_manifest(table_dir, head)["files"]:
+        cur = read_table_at(table_dir)
+        # groupby over pandas-block inputs emits pandas blocks; union
+        # requires both sides in one block format — normalize to arrow
+        inc = inc.map_batches(lambda b: b, batch_format="pyarrow")
+        inc = cur.union(inc).groupby(list(group_cols)).aggregate(
+            Sum(count_alias, alias_name=count_alias),
+            *[Sum(c, alias_name=c) for c in sum_cols],
+        )
+    return table_overwrite(table_dir, inc, note=note)
