@@ -422,3 +422,33 @@ def test_maintain_rollup_incremental_equals_full_recompute(ray_session, tmp_path
     assert {"inc:0", "inc:1", "inc:2"} <= table_notes(t)
     h = table_history(t)
     assert (h[h.version > 0]["operation"] == "overwrite").all()
+
+
+def test_delete_keys_takedown(ray_session, tmp_path):
+    from textextract_ray.pipelines.tablelog import (
+        _read_manifest,
+        table_delete_keys,
+    )
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 1000), stats_cols=["k"])
+    table_append(t, _ds(5000, 6000), stats_cols=["k"])
+    pre = {f["path"] for f in _read_manifest(t, _head_version(t))["files"]}
+
+    v = table_delete_keys(t, "k", [10, 11, 12, 999], note="takedown:req-7")
+    got = read_table_at(t).to_pandas()
+    assert len(got) == 2000 - 4 and not got.k.isin([10, 11, 12, 999]).any()
+    # only the candidate range rewrote; the 5000-5999 files carried
+    post = _read_manifest(t, v)["files"]
+    assert {f["path"] for f in post} & pre  # carried by reference
+    h = table_history(t)
+    assert h[h.version == v]["operation"].iloc[0] == "delete"
+    # rows still visible at the pre-delete version until expiry
+    assert read_table_at(t, v - 1).to_pandas().k.isin([10]).any()
+    table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    with pytest.raises(ValueError, match="not found"):
+        read_table_at(t, v - 1)
+    # contracts
+    with pytest.raises(ValueError, match="empty key set"):
+        table_delete_keys(t, "k", [None])

@@ -490,6 +490,28 @@ def table_merge(
     khi = keys[-1].as_py() if len(keys) else None
     keys_ref = ray.put(keys)
 
+    return _rewrite_and_commit(
+        table_dir,
+        key_col,
+        keys,
+        keys_ref,
+        operation="merge",
+        new_rows=new_rows,
+        stats_cols=stats_cols,
+        retries=retries,
+        note=note,
+    )
+
+
+def _rewrite_and_commit(
+    table_dir, key_col, keys, keys_ref, *, operation, new_rows, stats_cols, retries, note
+) -> int:
+    """Shared copy-on-write tail of merge and delete: prune the
+    candidate file set with manifest [min, max] stats, rewrite only
+    candidates (dropping rows whose key is in the broadcast set), and
+    commit carried + rewritten + new files with optimistic retry."""
+    klo = keys[0].as_py() if len(keys) else None
+    khi = keys[-1].as_py() if len(keys) else None
     for _ in range(max(1, retries)):
         h = _head_version(table_dir)
         parent = _read_manifest(table_dir, h)
@@ -538,7 +560,7 @@ def table_merge(
                 {
                     "version": h + 1,
                     "parent": h,
-                    "operation": "merge",
+                    "operation": operation,
                     "note": note,
                     "files": carried + rw_rows + new_rows,
                 },
@@ -548,6 +570,35 @@ def table_merge(
             continue  # head moved: candidate set may differ — recompute
     raise CommitConflict(
         f"tablelog: lost {retries} commit races on {table_dir}; giving up"
+    )
+
+
+def table_delete_keys(
+    table_dir: str, key_col: str, keys, *, retries: int = 5, note=None
+) -> int:
+    """Row-level DELETE by key — the takedown/right-to-erasure
+    operation a web corpus needs (DMCA url removal, opt-out lists):
+    every row whose ``key_col`` is in ``keys`` disappears from the new
+    head in ONE atomic version, touching only the stats-pruned
+    candidate files (same copy-on-write machinery as ``table_merge``,
+    minus the insert side). Earlier versions still contain the rows
+    until ``table_expire`` reclaims them — run expire after a takedown
+    when the history itself must forget."""
+    arr = pa.array(sorted({k for k in keys if k is not None}))
+    if len(arr) == 0:
+        raise ValueError("table_delete_keys: empty key set")
+    if _head_version(table_dir) < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    return _rewrite_and_commit(
+        table_dir,
+        key_col,
+        arr,
+        ray.put(arr),
+        operation="delete",
+        new_rows=[],
+        stats_cols=(),
+        retries=retries,
+        note=note,
     )
 
 
