@@ -452,3 +452,57 @@ def test_delete_keys_takedown(ray_session, tmp_path):
     # contracts
     with pytest.raises(ValueError, match="empty key set"):
         table_delete_keys(t, "k", [None])
+
+
+def test_bloom_pruned_merge_for_hash_distributed_keys(ray_session, tmp_path):
+    """url-shaped keys span the whole range in every file, so [min,max]
+    stats prune nothing — the per-file Bloom sidecars must carry the
+    untouched files by reference instead."""
+    import hashlib
+
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import _read_manifest, table_merge
+
+    def hdf(lo, hi):
+        ks = [hashlib.md5(str(i).encode()).hexdigest() for i in range(lo, hi)]
+        return pd.DataFrame({"k": ks, "txt": [f"row-{i}" for i in range(lo, hi)]})
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    # 4 appends; every file's key range spans ~the whole hex space
+    for a in range(4):
+        table_append(
+            t, rd.from_pandas(hdf(a * 500, a * 500 + 500)),
+            stats_cols=["k"], bloom_key="k",
+        )
+    pre = {f["path"] for f in _read_manifest(t, _head_version(t))["files"]}
+    # upsert 3 keys that live in ONE of the four appends
+    up = hdf(100, 103)
+    up["txt"] = "patched"
+    v = table_merge(t, rd.from_pandas(up), "k", stats_cols=["k"], bloom_key="k")
+    post = _read_manifest(t, v)["files"]
+    carried = {f["path"] for f in post} & pre
+    # without the blooms every file overlaps [klo, khi] and rewrites;
+    # with them at least the three unaffected appends carry by reference
+    assert len(carried) >= 3
+    got = read_table_at(t).to_pandas().set_index("k")
+    assert len(got) == 2000 and (got.loc[up.k, "txt"] == "patched").all()
+    # rewritten + new files kept their sidecars -> a second merge prunes too
+    assert all(
+        f.get("bloom", {}).get("key") == "k" for f in post
+    )
+    # bloom-pruned delete as well
+    from textextract_ray.pipelines.tablelog import table_delete_keys
+
+    v2 = table_delete_keys(t, "k", list(up.k), bloom_key="k")
+    post2 = {f["path"] for f in _read_manifest(t, v2)["files"]}
+    assert post2 & {f["path"] for f in post}  # carried by reference again
+    assert read_table_at(t).count() == 1997
+    # expire keeps sidecars of live files (merge still prunable after GC)
+    table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    import os as _os
+
+    for f in _read_manifest(t, _head_version(t))["files"]:
+        if f.get("bloom"):
+            assert _os.path.exists(_os.path.join(t, f["bloom"]["path"]))

@@ -148,11 +148,20 @@ def ingest_dumps_versioned(
         if note in done:
             continue
         extracted = extract_files(shard_files, batch_size=batch_size)
+        # bloom sidecars, not just [min,max] stats: url keys are
+        # hash-distributed, so every file spans the whole key range and
+        # range stats alone would make each recrawl merge rewrite the
+        # entire table — the sidecar probe keeps merges proportional to
+        # the files actually touched
         if _head_version(table_dir) == 0:
-            table_append(table_dir, extracted, stats_cols=[key_col], note=note)
+            table_append(
+                table_dir, extracted, stats_cols=[key_col], note=note,
+                bloom_key=key_col,
+            )
         else:
             table_merge(
-                table_dir, extracted, key_col, stats_cols=[key_col], note=note
+                table_dir, extracted, key_col, stats_cols=[key_col], note=note,
+                bloom_key=key_col,
             )
         done.add(note)
     return table_history(table_dir)

@@ -133,7 +133,29 @@ def _plain(v):
     return v.item() if hasattr(v, "item") else v
 
 
-def _stage_files(table_dir: str, ds, stats_cols, token: str) -> list:
+def _attach_blooms(table_dir: str, rows: list, paths: list, bloom_key: str) -> None:
+    """Build one Bloom sidecar per file over ``bloom_key`` (reusing the
+    storage layer's per-shard builder) and record it in each manifest
+    row — the pruning index for HASH-distributed merge/delete keys
+    (e.g. urls), where [min, max] stats cover the whole key space and
+    prune nothing."""
+    from .storage import _shard_bloom
+
+    metas = ray.get(
+        [
+            _shard_bloom.remote(p, r["path"], bloom_key, 0.001)
+            for p, r in zip(paths, rows)
+        ]
+    )
+    for r, m in zip(rows, metas):
+        r["bloom"] = {
+            "key": bloom_key,
+            "path": f"{r['path']}.{bloom_key}.bloom",
+            "k": m["k"],
+        }
+
+
+def _stage_files(table_dir: str, ds, stats_cols, token: str, bloom_key=None) -> list:
     """Write ``ds`` under ``data/<token>/`` and return manifest rows.
     The stage dir is invisible to readers until a manifest referencing
     it commits, so a crashed writer leaves garbage, never corruption
@@ -151,6 +173,8 @@ def _stage_files(table_dir: str, ds, stats_cols, token: str) -> list:
     rows: list = []
     for part in ray.get(futs):
         rows.extend(part)
+    if bloom_key is not None:
+        _attach_blooms(table_dir, rows, paths, bloom_key)
     return rows
 
 
@@ -203,14 +227,21 @@ def table_create(table_dir: str) -> int:
 
 
 def _write_version(
-    table_dir: str, ds, operation: str, stats_cols, token, retries: int, note=None
+    table_dir: str,
+    ds,
+    operation: str,
+    stats_cols,
+    token,
+    retries: int,
+    note=None,
+    bloom_key=None,
 ) -> int:
     # validate BEFORE staging: a typo'd path must fail fast, not after
     # minutes of parquet writes into an arbitrary directory
     if _head_version(table_dir) < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table (table_create first)")
     token = token or uuid.uuid4().hex[:12]
-    rows = _stage_files(table_dir, ds, stats_cols or (), token)
+    rows = _stage_files(table_dir, ds, stats_cols or (), token, bloom_key)
     for _ in range(max(1, retries)):
         head = _head_version(table_dir)
         parent = _read_manifest(table_dir, head)
@@ -237,7 +268,14 @@ def _write_version(
 
 
 def table_append(
-    table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5, note=None
+    table_dir: str,
+    ds,
+    *,
+    stats_cols=(),
+    token=None,
+    retries: int = 5,
+    note=None,
+    bloom_key=None,
 ) -> int:
     """Append ``ds`` as a new version: new files join the parent's file
     list; nothing is rewritten. Optimistic concurrency — a lost commit
@@ -246,18 +284,32 @@ def table_append(
     ``stats_cols`` adds per-file [min, max] to the manifest for
     ``read_table_at`` pruning; ``note`` stamps the manifest with a
     caller label (e.g. a dump id) surfaced by ``table_history`` — the
-    idempotence hook for incremental ingest. Returns the committed
-    version."""
-    return _write_version(table_dir, ds, "append", stats_cols, token, retries, note)
+    idempotence hook for incremental ingest. ``bloom_key`` builds a
+    per-file Bloom sidecar over that column, recorded in the manifest —
+    the merge/delete pruning index for HASH-distributed keys (urls),
+    where [min, max] stats span everything and prune nothing. Returns
+    the committed version."""
+    return _write_version(
+        table_dir, ds, "append", stats_cols, token, retries, note, bloom_key
+    )
 
 
 def table_overwrite(
-    table_dir: str, ds, *, stats_cols=(), token=None, retries: int = 5, note=None
+    table_dir: str,
+    ds,
+    *,
+    stats_cols=(),
+    token=None,
+    retries: int = 5,
+    note=None,
+    bloom_key=None,
 ) -> int:
     """Replace the table's LOGICAL content with ``ds`` as a new version.
     Old versions' files stay on disk, so reads at earlier versions
     still work until ``table_expire`` reclaims them."""
-    return _write_version(table_dir, ds, "overwrite", stats_cols, token, retries, note)
+    return _write_version(
+        table_dir, ds, "overwrite", stats_cols, token, retries, note, bloom_key
+    )
 
 
 def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=None, hi=None):
@@ -445,6 +497,7 @@ def table_merge(
     token=None,
     retries: int = 5,
     note=None,
+    bloom_key=None,
 ) -> int:
     """Copy-on-write MERGE (upsert by ``key_col``): rows of ``ds``
     REPLACE same-key rows in the head snapshot; new keys insert — the
@@ -468,7 +521,7 @@ def table_merge(
     # — no re-execution, no drift window if upstream were ever
     # nondeterministic
     token = token or uuid.uuid4().hex[:12]
-    new_rows = _stage_files(table_dir, ds, stats_cols or (), token)
+    new_rows = _stage_files(table_dir, ds, stats_cols or (), token, bloom_key)
     if sum(r["rows"] for r in new_rows) > key_budget_rows:
         raise ValueError(
             f"table_merge: upsert side has {sum(r['rows'] for r in new_rows)} "
@@ -500,16 +553,31 @@ def table_merge(
         stats_cols=stats_cols,
         retries=retries,
         note=note,
+        bloom_key=bloom_key,
     )
 
 
 def _rewrite_and_commit(
-    table_dir, key_col, keys, keys_ref, *, operation, new_rows, stats_cols, retries, note
+    table_dir,
+    key_col,
+    keys,
+    keys_ref,
+    *,
+    operation,
+    new_rows,
+    stats_cols,
+    retries,
+    note,
+    bloom_key=None,
 ) -> int:
     """Shared copy-on-write tail of merge and delete: prune the
-    candidate file set with manifest [min, max] stats, rewrite only
-    candidates (dropping rows whose key is in the broadcast set), and
-    commit carried + rewritten + new files with optimistic retry."""
+    candidate file set with manifest [min, max] stats AND per-file
+    Bloom sidecars (when the parent files carry one for ``key_col``),
+    rewrite only candidates (dropping rows whose key is in the
+    broadcast set), and commit carried + rewritten + new files with
+    optimistic retry."""
+    from .storage import _probe_blooms
+
     klo = keys[0].as_py() if len(keys) else None
     khi = keys[-1].as_py() if len(keys) else None
     for _ in range(max(1, retries)):
@@ -517,12 +585,31 @@ def _rewrite_and_commit(
         parent = _read_manifest(table_dir, h)
         _check_schema(new_rows, parent["files"])
         carried, rewrite = [], []
+        probe = []  # bloom-indexed candidates: ask the sidecar first
         for f in parent["files"]:
             s = f.get("stats", {}).get(key_col)
             if len(keys) == 0 or (s is not None and (s[1] < klo or s[0] > khi)):
                 carried.append(f)
+            elif f.get("bloom", {}).get("key") == key_col:
+                probe.append(f)
             else:
                 rewrite.append(f)
+        if probe:
+            # the decisive prune for hash-distributed keys (urls):
+            # range stats can't separate them, the sidecars can
+            rows_ = [{"shard": f["path"], "k": f["bloom"]["k"]} for f in probe]
+            hits = set().union(
+                *ray.get(
+                    [
+                        _probe_blooms.remote(
+                            table_dir, rows_[i : i + 256], key_col, keys_ref
+                        )
+                        for i in range(0, len(rows_), 256)
+                    ]
+                )
+            )
+            for f in probe:
+                (rewrite if f["path"] in hits else carried).append(f)
         rw_token = uuid.uuid4().hex[:12]
         stage = os.path.join(table_dir, _DATA, rw_token)
         os.makedirs(stage, exist_ok=True)
@@ -553,6 +640,13 @@ def _rewrite_and_commit(
             ):
                 rw_rows.extend(part)
         rw_rows = [r for r in rw_rows if r["rows"]]  # fully-replaced files drop out
+        if bloom_key is not None and rw_rows:
+            _attach_blooms(
+                table_dir,
+                rw_rows,
+                [os.path.join(table_dir, r["path"]) for r in rw_rows],
+                bloom_key,
+            )
         try:
             _commit(
                 table_dir,
@@ -574,7 +668,7 @@ def _rewrite_and_commit(
 
 
 def table_delete_keys(
-    table_dir: str, key_col: str, keys, *, retries: int = 5, note=None
+    table_dir: str, key_col: str, keys, *, retries: int = 5, note=None, bloom_key=None
 ) -> int:
     """Row-level DELETE by key — the takedown/right-to-erasure
     operation a web corpus needs (DMCA url removal, opt-out lists):
@@ -599,6 +693,7 @@ def table_delete_keys(
         stats_cols=(),
         retries=retries,
         note=note,
+        bloom_key=bloom_key,
     )
 
 
@@ -677,12 +772,18 @@ def table_expire(
                 m = json.load(fh)
             if m.get("note"):
                 expired_notes.add(m["note"])
-            expired_reachable.update(f["path"] for f in m["files"])
+            for f in m["files"]:
+                expired_reachable.add(f["path"])
+                if f.get("bloom"):
+                    expired_reachable.add(f["bloom"]["path"])
             os.unlink(path)
             continue
         kept.append(v)
         with open(path) as fh:
-            reachable.update(f["path"] for f in json.load(fh)["files"])
+            for f in json.load(fh)["files"]:
+                reachable.add(f["path"])
+                if f.get("bloom"):
+                    reachable.add(f["bloom"]["path"])
     expired_reachable -= reachable
     if expired_notes:
         np_ = os.path.join(log, _NOTES_EXPIRED)
