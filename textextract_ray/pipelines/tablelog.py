@@ -138,12 +138,15 @@ def _attach_blooms(table_dir: str, rows: list, paths: list, bloom_key: str) -> N
     storage layer's per-shard builder) and record it in each manifest
     row — the pruning index for HASH-distributed merge/delete keys
     (e.g. urls), where [min, max] stats cover the whole key space and
-    prune nothing."""
+    prune nothing. fpr 1e-6 (≈4.3 bytes/key), not the usual 1e-3: the
+    probe compounds over the WHOLE upsert/takedown key set per file
+    (P[file false-hits] = 1-(1-fpr)^n_keys), so a 10k-key merge at
+    1e-3 would false-rewrite nearly every file."""
     from .storage import _shard_bloom
 
     metas = ray.get(
         [
-            _shard_bloom.remote(p, r["path"], bloom_key, 0.001)
+            _shard_bloom.remote(p, r["path"], bloom_key, 1e-6)
             for p, r in zip(paths, rows)
         ]
     )
