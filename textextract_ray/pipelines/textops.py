@@ -5524,3 +5524,105 @@ def curriculum_mix_ds(
     for p in parts[1:]:
         out = out.union(p)
     return out.sort(["phase_idx", "shuffle_key", id_col, "copy_idx"])
+
+
+def corpus_divergence_ds(
+    ds,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    vocab_top: int = 20_000,
+    alpha: float = 0.5,
+) -> pd.DataFrame:
+    """Pairwise distribution divergence between corpus groups (sources,
+    dumps, langs) over their unigram token distributions — the mix-
+    debugging instrument `corpus_overlap_ds` (shared CONTENT) doesn't
+    give: two dumps can share zero documents yet have near-identical
+    token distributions (healthy resample), or share half their docs
+    yet diverge (one side's cleaner broke). Reports, per group pair,
+    KL(a‖b), KL(b‖a) and the symmetric bounded Jensen-Shannon
+    divergence (0 = identical, ln 2 ≈ 0.693 = disjoint support).
+
+    Scale shape — ONE corpus pass, keys-only shuffle: each batch emits
+    pre-combined (group, token, n) partials through the module's
+    shared lowercase tokenizer; the groupby output is bounded by
+    groups × vocabulary, never the corpus. The driver restricts to the
+    global top-``vocab_top`` tokens (exact, via the shared nomination
+    kernel) + one OOV bucket per group so every group's distribution
+    lives on the same support, applies add-``alpha`` smoothing (no
+    infinite KL from a single missing token), and does the
+    O(groups²·V) pair arithmetic locally. Deterministic and
+    layout-independent."""
+    def partials(batch: pa.Table) -> pa.Table:
+        lists = _lower_token_lists(batch[text_col])
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.asarray(flat.filter(pa.array(keep)).to_pylist(), dtype=object)
+        grp = np.asarray(
+            pc.fill_null(batch[group_col], "").to_pylist(), dtype=object
+        )[parent[keep]]
+        if not len(toks):
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # factorized integer pair key (string concat via numpy U-dtype
+        # would treat a NUL separator as a terminator and drop it)
+        gu, gi = np.unique(grp, return_inverse=True)
+        tu, ti = np.unique(toks, return_inverse=True)
+        key = gi.astype(np.int64) * np.int64(len(tu)) + ti
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                group_col: pa.array(gu[uk // len(tu)].astype(str), pa.string()),
+                "tok": pa.array(tu[uk % len(tu)].astype(str), pa.string()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # groups×vocab-sized; reused for vocab cut + vectors
+    )
+    # global top-V tokens by total count (exact nomination over the
+    # token-marginal reaggregate)
+    tok_totals = counts.groupby("tok").aggregate(Sum("n", alias_name="n"))
+    top = _exact_top(tok_totals, "tok", "n", vocab_top)
+    vocab = sorted(top["tok"])
+    df = counts.to_pandas()
+    if not len(df):
+        return pd.DataFrame(
+            columns=["group_a", "group_b", "kl_ab", "kl_ba", "js"]
+        )
+    vidx = {t: i for i, t in enumerate(vocab)}
+    groups = sorted(df[group_col].unique())
+    V = len(vocab) + 1  # + OOV bucket
+    mat = np.zeros((len(groups), V), dtype=np.float64)
+    gidx = {g: i for i, g in enumerate(groups)}
+    for g, t, n in zip(df[group_col], df["tok"], df["n"]):
+        mat[gidx[g], vidx.get(t, V - 1)] += n
+    p = (mat + alpha) / (mat + alpha).sum(axis=1, keepdims=True)
+    rows = []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            a, b = p[i], p[j]
+            m = 0.5 * (a + b)
+            kl_ab = float(np.sum(a * np.log(a / b)))
+            kl_ba = float(np.sum(b * np.log(b / a)))
+            js = float(0.5 * np.sum(a * np.log(a / m)) + 0.5 * np.sum(b * np.log(b / m)))
+            rows.append(
+                {
+                    "group_a": groups[i],
+                    "group_b": groups[j],
+                    "kl_ab": round(kl_ab, 6),
+                    "kl_ba": round(kl_ba, 6),
+                    "js": round(js, 6),
+                }
+            )
+    return pd.DataFrame(rows)
