@@ -506,3 +506,43 @@ def test_bloom_pruned_merge_for_hash_distributed_keys(ray_session, tmp_path):
     for f in _read_manifest(t, _head_version(t))["files"]:
         if f.get("bloom"):
             assert _os.path.exists(_os.path.join(t, f["bloom"]["path"]))
+
+
+def test_maintain_rollup_note_idempotent(ray_session, tmp_path):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.relational import maintain_rollup
+
+    t = str(tmp_path / "rollup")
+    table_create(t)
+    b = pd.DataFrame({"g": ["x", "x", "y"], "v": [1, 2, 3]})
+    v1 = maintain_rollup(t, rd.from_pandas(b), ["g"], sum_cols=["v"], note="inc:0")
+    # replayed increment: skipped, counts unchanged
+    v2 = maintain_rollup(t, rd.from_pandas(b), ["g"], sum_cols=["v"], note="inc:0")
+    assert v2 == v1
+    got = read_table_at(t).to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(got["n"]) == [2, 1] and list(got["v"]) == [3, 3]
+
+
+def test_bloom_sidecars_inherited_without_flag(ray_session, tmp_path):
+    """A takedown run WITHOUT bloom_key on a bloom-indexed table must
+    not strip the rewritten files' sidecars (future merges would
+    degrade to full-table rewrites)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import _read_manifest, table_delete_keys
+
+    def hdf(lo, hi):
+        ks = [hashlib.md5(str(i).encode()).hexdigest() for i in range(lo, hi)]
+        return pd.DataFrame({"k": ks, "txt": [f"row-{i}" for i in range(lo, hi)]})
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, rd.from_pandas(hdf(0, 300)), stats_cols=["k"], bloom_key="k")
+    doomed = list(hdf(0, 3).k)
+    v = table_delete_keys(t, "k", doomed)  # note: NO bloom_key passed
+    post = _read_manifest(t, v)["files"]
+    assert post and all(f.get("bloom", {}).get("key") == "k" for f in post)
+    assert read_table_at(t).count() == 297

@@ -207,3 +207,35 @@ def test_clustered_join_guards(ray_session, tmp_path):
         clustered_join(ld, other)
     with pytest.raises(ValueError, match="inner|left"):
         clustered_join(ld, rd_, how="outer")
+
+
+def test_clustered_join_left_empty_right_raises(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from textextract_ray.pipelines.storage import (
+        cluster_boundaries,
+        clustered_join,
+        write_clustered,
+    )
+
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "lv": np.arange(100)})
+    ld = str(tmp_path / "L")
+    write_clustered(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)), ld, "k"
+    )
+    # a co-partitioned right layout with a manifest but zero data files
+    rd_dir = str(tmp_path / "R")
+    import json as _json
+    import os as _os
+
+    _os.makedirs(rd_dir)
+    with open(_os.path.join(ld, "_cluster_manifest.json")) as fh:
+        m = _json.load(fh)
+    m["key_col"] = "rk"
+    with open(_os.path.join(rd_dir, "_cluster_manifest.json"), "w") as fh:
+        _json.dump(m, fh)
+    with pytest.raises(ValueError, match="no data files"):
+        clustered_join(ld, rd_dir, how="left")
+    # inner join over the same empty right is simply empty
+    assert clustered_join(ld, rd_dir).count() == 0

@@ -1892,32 +1892,54 @@ def maintain_rollup(
     pass that sees raw events; (2) the current rollup (head of the
     versioned table, aggregate-sized) unions with those increments and
     reaggregates — sums of sums, every column reaggregable by
-    construction; (3) the result commits via ``table_overwrite`` as
-    one atomic version, so readers see the old rollup or the new one,
-    never a half-update, and ``read_table_at(v)`` time-travels the
-    view to any retained update. Cost per update is O(increment +
-    aggregate), independent of total history — the reason materialized
-    views exist at 100 TB. Stamp ``note`` per increment and reruns can
-    skip already-applied batches (``table_notes``), mirroring
-    ``ingest_dumps_versioned``'s idempotence contract."""
-    import ray.data as rd  # noqa: F401  (Dataset ops on new_events)
+    construction; (3) the result commits as one atomic version via a
+    COMPARE-AND-SWAP overwrite (``expected_head``): this is a
+    read-modify-write, so a concurrent increment that landed between
+    the read and the commit must force a recompute from the NEW head —
+    a blind retry would silently drop it. Readers see the old rollup
+    or the new one, never a half-update, and ``read_table_at(v)``
+    time-travels the view to any retained update. Cost per update is
+    O(increment + aggregate), independent of total history — the
+    reason materialized views exist at 100 TB. With a ``note``, a
+    replayed increment whose note is already in ``table_notes`` is
+    skipped (returns the current head) instead of double-counted —
+    the same idempotence contract as ``ingest_dumps_versioned``."""
+    from .tablelog import (
+        CommitConflict,
+        _head_version,
+        _read_manifest,
+        read_table_at,
+        table_notes,
+        table_overwrite,
+    )
 
-    from .tablelog import _head_version, _read_manifest, read_table_at, table_overwrite
-
-    aggs = [Count(alias_name=count_alias)] + [
-        Sum(c, alias_name=c) for c in sum_cols
-    ]
-    inc = new_events.groupby(list(group_cols)).aggregate(*aggs)
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"maintain_rollup: {table_dir} is not a table (table_create first)")
-    if _read_manifest(table_dir, head)["files"]:
-        cur = read_table_at(table_dir)
-        # groupby over pandas-block inputs emits pandas blocks; union
-        # requires both sides in one block format — normalize to arrow
-        inc = inc.map_batches(lambda b: b, batch_format="pyarrow")
-        inc = cur.union(inc).groupby(list(group_cols)).aggregate(
-            Sum(count_alias, alias_name=count_alias),
-            *[Sum(c, alias_name=c) for c in sum_cols],
-        )
-    return table_overwrite(table_dir, inc, note=note)
+    if note is not None and note in table_notes(table_dir):
+        return head  # replayed increment: already applied, don't double-count
+    aggs = [Count(alias_name=count_alias)] + [
+        Sum(c, alias_name=c) for c in sum_cols
+    ]
+    base = new_events.groupby(list(group_cols)).aggregate(*aggs)
+    for _ in range(5):
+        h0 = _head_version(table_dir)
+        inc = base
+        if _read_manifest(table_dir, h0)["files"]:
+            cur = read_table_at(table_dir, h0)
+            # groupby over pandas-block inputs emits pandas blocks;
+            # union requires one block format — normalize to arrow
+            inc = inc.map_batches(lambda b: b, batch_format="pyarrow")
+            inc = cur.union(inc).groupby(list(group_cols)).aggregate(
+                Sum(count_alias, alias_name=count_alias),
+                *[Sum(c, alias_name=c) for c in sum_cols],
+            )
+        try:
+            return table_overwrite(
+                table_dir, inc, note=note, retries=1, expected_head=h0
+            )
+        except CommitConflict:
+            continue  # head moved: recombine against the NEW rollup
+    raise CommitConflict(
+        f"maintain_rollup: lost 5 commit races on {table_dir}; giving up"
+    )

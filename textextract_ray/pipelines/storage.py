@@ -472,6 +472,12 @@ def clustered_join(
         if fs:
             r_schema = pq.read_schema(fs[0])
             break
+    if r_schema is None and how == "left":
+        raise ValueError(
+            "clustered_join: the right layout has no data files, so the "
+            "left join cannot type its null right columns — join against "
+            "a non-empty layout or handle the empty case upstream"
+        )
 
     join_type = "inner" if how == "inner" else "left outer"
 

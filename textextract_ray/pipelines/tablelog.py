@@ -238,6 +238,7 @@ def _write_version(
     retries: int,
     note=None,
     bloom_key=None,
+    expected_head=None,
 ) -> int:
     # validate BEFORE staging: a typo'd path must fail fast, not after
     # minutes of parquet writes into an arbitrary directory
@@ -247,6 +248,14 @@ def _write_version(
     rows = _stage_files(table_dir, ds, stats_cols or (), token, bloom_key)
     for _ in range(max(1, retries)):
         head = _head_version(table_dir)
+        if expected_head is not None and head != expected_head:
+            # compare-and-swap callers (maintain_rollup) computed their
+            # content FROM a specific head — blind retry would publish
+            # a stale read-modify-write; surface the conflict instead
+            raise CommitConflict(
+                f"tablelog: head moved {expected_head} -> {head} under a "
+                "read-modify-write commit"
+            )
         parent = _read_manifest(table_dir, head)
         _check_schema(rows, parent["files"])
         files = rows if operation == "overwrite" else parent["files"] + rows
@@ -306,12 +315,17 @@ def table_overwrite(
     retries: int = 5,
     note=None,
     bloom_key=None,
+    expected_head=None,
 ) -> int:
     """Replace the table's LOGICAL content with ``ds`` as a new version.
     Old versions' files stay on disk, so reads at earlier versions
-    still work until ``table_expire`` reclaims them."""
+    still work until ``table_expire`` reclaims them. ``expected_head``
+    turns the commit into a compare-and-swap: it only publishes if the
+    head is still that version (CommitConflict otherwise) — the hook
+    for read-modify-write callers like ``maintain_rollup``."""
     return _write_version(
-        table_dir, ds, "overwrite", stats_cols, token, retries, note, bloom_key
+        table_dir, ds, "overwrite", stats_cols, token, retries, note, bloom_key,
+        expected_head,
     )
 
 
@@ -542,8 +556,6 @@ def table_merge(
         keys = u.take(pc.sort_indices(u))
     else:
         keys = flat
-    klo = keys[0].as_py() if len(keys) else None
-    khi = keys[-1].as_py() if len(keys) else None
     keys_ref = ray.put(keys)
 
     return _rewrite_and_commit(
@@ -643,12 +655,28 @@ def _rewrite_and_commit(
             ):
                 rw_rows.extend(part)
         rw_rows = [r for r in rw_rows if r["rows"]]  # fully-replaced files drop out
-        if bloom_key is not None and rw_rows:
+        # sidecar inheritance: like stats (stats_union), a rewritten
+        # file keeps its parents' bloom indexing even when the caller
+        # didn't pass bloom_key — otherwise one takedown without the
+        # flag would permanently degrade every future merge's pruning
+        eff_bloom = bloom_key or (
+            key_col
+            if any(f.get("bloom", {}).get("key") == key_col for f in rewrite)
+            else None
+        )
+        if eff_bloom is not None and rw_rows:
             _attach_blooms(
                 table_dir,
                 rw_rows,
                 [os.path.join(table_dir, r["path"]) for r in rw_rows],
-                bloom_key,
+                eff_bloom,
+            )
+        if eff_bloom is not None and new_rows and not new_rows[0].get("bloom"):
+            _attach_blooms(
+                table_dir,
+                new_rows,
+                [os.path.join(table_dir, r["path"]) for r in new_rows],
+                eff_bloom,
             )
         try:
             _commit(

@@ -5595,7 +5595,25 @@ def corpus_divergence_ds(
     tok_totals = counts.groupby("tok").aggregate(Sum("n", alias_name="n"))
     top = _exact_top(tok_totals, "tok", "n", vocab_top)
     vocab = sorted(top["tok"])
-    df = counts.to_pandas()
+
+    # support cut applied DISTRIBUTIVELY: tail tokens collapse to the
+    # OOV sentinel inside the batch and reaggregate, so the driver pull
+    # is O(groups·(V+1)) rows — never the full vocabulary
+    vset = pa.array(vocab, pa.string())
+
+    def to_support(batch: pa.Table) -> pa.Table:
+        known = pc.is_in(batch["tok"], value_set=vset)
+        tok = pc.if_else(known, batch["tok"], pa.scalar("OOV"))
+        return pa.table(
+            {group_col: batch[group_col], "tok": tok, "n": batch["n"]}
+        )
+
+    df = (
+        counts.map_batches(to_support, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
     if not len(df):
         return pd.DataFrame(
             columns=["group_a", "group_b", "kl_ab", "kl_ba", "js"]
