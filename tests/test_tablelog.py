@@ -546,3 +546,43 @@ def test_bloom_sidecars_inherited_without_flag(ray_session, tmp_path):
     post = _read_manifest(t, v)["files"]
     assert post and all(f.get("bloom", {}).get("key") == "k" for f in post)
     assert read_table_at(t).count() == 297
+
+
+def test_read_table_keys_bloom_point_lookup(ray_session, tmp_path):
+    import hashlib
+
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import read_table_keys
+
+    def hdf(lo, hi):
+        ks = [hashlib.md5(str(i).encode()).hexdigest() for i in range(lo, hi)]
+        return pd.DataFrame({"k": ks, "txt": [f"row-{i}" for i in range(lo, hi)]})
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    for a in range(4):
+        table_append(
+            t, rd.from_pandas(hdf(a * 200, a * 200 + 200)),
+            stats_cols=["k"], bloom_key="k",
+        )
+    want = hdf(100, 103)
+    got = (
+        read_table_keys(t, "k", list(want.k))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.sort_values("k").reset_index(drop=True))
+    fr, ft = read_table_keys.last_pruning
+    assert fr < ft  # sidecars actually pruned files
+    # column pruning on both read paths
+    cols = read_table_keys(t, "k", list(want.k), columns=["k"]).to_pandas()
+    assert list(cols.columns) == ["k"] and len(cols) == 3
+    sub = read_table_at(t, columns=["txt"]).to_pandas()
+    assert list(sub.columns) == ["txt"] and len(sub) == 800
+    # miss: typed empty
+    miss = read_table_keys(t, "k", ["0" * 32]).to_pandas()
+    assert len(miss) == 0
+    with pytest.raises(ValueError, match="empty key set"):
+        read_table_keys(t, "k", [None])

@@ -329,12 +329,22 @@ def table_overwrite(
     )
 
 
-def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=None, hi=None):
+def read_table_at(
+    table_dir: str,
+    version: int = None,
+    *,
+    filter_col=None,
+    lo=None,
+    hi=None,
+    columns=None,
+):
     """Read the table AS OF ``version`` (default: head) as a Dataset.
     With ``filter_col``/``lo``/``hi``, files whose manifest stats prove
     no row can match are never opened (``read_table_at.last_pruning``
     records (files_read, files_total)); the residual filter keeps the
-    result exact whether or not a file carried stats."""
+    result exact whether or not a file carried stats. ``columns``
+    prunes at the parquet decode (pass the filter column too when
+    combining both)."""
     import ray.data as rd
 
     head = _head_version(table_dir)
@@ -359,9 +369,14 @@ def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=No
         # a zero-FILE version (v0) genuinely has no schema to offer
         if files:
             sch = pq.read_schema(os.path.join(table_dir, files[0]["path"]))
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
             return rd.from_arrow(sch.empty_table())
         return rd.from_arrow(pa.table({}))
-    ds = rd.read_parquet([os.path.join(table_dir, f["path"]) for f in keep])
+    kwargs = {"columns": list(columns)} if columns is not None else {}
+    ds = rd.read_parquet(
+        [os.path.join(table_dir, f["path"]) for f in keep], **kwargs
+    )
     if filter_col is None or (lo is None and hi is None):
         return ds
 
@@ -373,6 +388,62 @@ def read_table_at(table_dir: str, version: int = None, *, filter_col=None, lo=No
         if hi is not None:
             mask = pc.and_(mask, pc.less(col, pa.scalar(hi)))
         return batch.filter(mask)
+
+    return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, columns=None):
+    """Point lookup over a bloom-indexed table: open ONLY the files of
+    the version whose ``key_col`` sidecar admits one of ``keys`` (plus
+    any file WITHOUT a sidecar — soundness over pruning), then apply
+    the exact ``is_in`` residual. The read-side payoff of the same
+    sidecars the copy-on-write merge/delete prune with: k url lookups
+    over a 100-TB table touch O(files containing those urls), not the
+    table. ``read_table_keys.last_pruning`` records (files_read,
+    files_total)."""
+    import ray.data as rd
+
+    from .storage import _probe_blooms
+
+    head = _head_version(table_dir)
+    if head < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    v = head if version is None else int(version)
+    files = _read_manifest(table_dir, v)["files"]
+    ks = sorted({k for k in keys if k is not None})
+    if not ks:
+        raise ValueError("read_table_keys: empty key set")
+    indexed = [f for f in files if f.get("bloom", {}).get("key") == key_col]
+    unindexed = [f for f in files if f.get("bloom", {}).get("key") != key_col]
+    hit: set = set()
+    if indexed:
+        keys_ref = ray.put(pa.array(ks))
+        rows_ = [{"shard": f["path"], "k": f["bloom"]["k"]} for f in indexed]
+        hit = set().union(
+            *ray.get(
+                [
+                    _probe_blooms.remote(table_dir, rows_[i : i + 256], key_col, keys_ref)
+                    for i in range(0, len(rows_), 256)
+                ]
+            )
+        )
+    keep = [f for f in indexed if f["path"] in hit] + unindexed
+    read_table_keys.last_pruning = (len(keep), len(files))
+    if not keep:
+        if files:
+            sch = pq.read_schema(os.path.join(table_dir, files[0]["path"]))
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            return rd.from_arrow(sch.empty_table())
+        return rd.from_arrow(pa.table({}))
+    kwargs = {"columns": list(columns)} if columns is not None else {}
+    ds = rd.read_parquet(
+        [os.path.join(table_dir, f["path"]) for f in keep], **kwargs
+    )
+    vset = pa.array(ks)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key_col], value_set=vset))
 
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
 
