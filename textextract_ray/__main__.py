@@ -98,6 +98,50 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Versioned latest-capture-wins ingest: each --dump name=path
+    commits as one atomic table version (append, then merges by url)."""
+    from .pipelines.ingest import ingest_dumps_versioned
+    from .sources import expand_shards
+
+    dumps = []
+    for spec in args.dump:
+        if "=" not in spec:
+            print(f"error: --dump takes name=path, got {spec!r}", file=sys.stderr)
+            return 2
+        name, path = spec.split("=", 1)
+        shards = expand_shards([path], (".parquet", ".warc.gz"))
+        if not shards:
+            print(f"error: no shards under {path!r}", file=sys.stderr)
+            return 2
+        dumps.append((name, shards))
+    _init_ray()
+    hist = ingest_dumps_versioned(dumps, args.table)
+    print(hist.to_string(index=False))
+    return 0
+
+
+def cmd_table(args) -> int:
+    """Versioned-table maintenance: history / expire / compact."""
+    from .pipelines import tablelog
+
+    if args.action == "history":
+        print(tablelog.table_history(args.table).to_string(index=False))
+    elif args.action == "expire":
+        _init_ray()  # sidecar-aware sweep walks only metadata, but be uniform
+        res = tablelog.table_expire(
+            args.table,
+            keep_last=args.keep_last,
+            orphan_grace_seconds=args.orphan_grace,
+        )
+        print(json.dumps(res))
+    elif args.action == "compact":
+        _init_ray()
+        v = tablelog.table_compact(args.table, target_mb=args.target_mb)
+        print(json.dumps({"compacted_as_version": v}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="textextract_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -132,6 +176,34 @@ def main(argv=None) -> int:
     pq.add_argument("--name", required=True)
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pq.set_defaults(fn=cmd_query)
+
+    pi = sub.add_parser(
+        "ingest", help="versioned latest-capture-wins ingest of crawl dumps"
+    )
+    pi.add_argument(
+        "--dump",
+        action="append",
+        required=True,
+        metavar="NAME=PATH",
+        help="one crawl dump (repeatable, processed in order); PATH is a "
+        "shard dir or file (.parquet / .warc.gz)",
+    )
+    pi.add_argument("--table", required=True, help="versioned table directory")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pt = sub.add_parser("table", help="versioned-table maintenance")
+    pt.add_argument("action", choices=["history", "expire", "compact"])
+    pt.add_argument("--table", required=True)
+    pt.add_argument("--keep-last", type=int, default=2)
+    pt.add_argument(
+        "--orphan-grace",
+        type=float,
+        default=86400.0,
+        help="seconds an unreferenced data file must be old before the "
+        "expire sweep treats it as a crashed writer's orphan",
+    )
+    pt.add_argument("--target-mb", type=int, default=256)
+    pt.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     try:
