@@ -586,3 +586,56 @@ def test_read_table_keys_bloom_point_lookup(ray_session, tmp_path):
     assert len(miss) == 0
     with pytest.raises(ValueError, match="empty key set"):
         read_table_keys(t, "k", [None])
+
+
+def test_schema_evolution_add_column(ray_session, tmp_path):
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import table_add_column, table_merge
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 50), stats_cols=["k"])
+    v = table_add_column(t, "lang", "en")
+    # metadata-only: same files, old rows read back with the default
+    got = read_table_at(t).to_pandas()
+    assert len(got) == 50 and (got["lang"] == "en").all()
+    # pre-evolution version unaffected
+    assert "lang" not in read_table_at(t, v - 1).to_pandas().columns
+
+    # appends may now carry the column physically: real values survive
+    new = _df(50, 60)
+    new["lang"] = "fr"
+    table_append(t, rd.from_pandas(new), stats_cols=["k"])
+    got = read_table_at(t).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got) == 60
+    assert (got.loc[got.k < 50, "lang"] == "en").all()
+    assert (got.loc[got.k >= 50, "lang"] == "fr").all()
+    # legacy-shaped appends (without the column) still work too
+    table_append(t, _ds(60, 65), stats_cols=["k"])
+    got = read_table_at(t).to_pandas()
+    assert len(got) == 65 and (got.loc[got.k >= 60, "lang"] == "en").all()
+
+    # projections across mixed physical schemas
+    proj = read_table_at(t, columns=["k", "lang"]).to_pandas()
+    assert sorted(proj.columns) == ["k", "lang"] and len(proj) == 65
+    # merge over the evolved table (copy-on-write keeps each file's schema)
+    up = pd.DataFrame({"k": [1], "txt": ["patched"]})
+    table_merge(t, rd.from_pandas(up), "k", stats_cols=["k"])
+    got = read_table_at(t).to_pandas().set_index("k")
+    assert got.loc[1, "txt"] == "patched" and got.loc[1, "lang"] == "en"
+    # compaction across mixed schemas: per-signature groups, content intact
+    v2 = table_compact(t)
+    got2 = read_table_at(t, v2).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2[["k", "txt", "lang"]].sort_values("k").reset_index(drop=True),
+        read_table_at(t, v2 - 1)
+        .to_pandas()[["k", "txt", "lang"]]
+        .sort_values("k")
+        .reset_index(drop=True),
+    )
+    # duplicate add rejected; overwrite resets the logical schema
+    with pytest.raises(ValueError, match="already exists"):
+        table_add_column(t, "lang", "xx")
+    table_overwrite(t, _ds(0, 5))
+    assert "lang" not in read_table_at(t).to_pandas().columns

@@ -204,14 +204,21 @@ def _commit(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _check_schema(new_rows: list, old_files: list) -> None:
+def _check_schema(new_rows: list, old_files: list, defaults: dict = None) -> None:
     if not new_rows or not old_files:
         return
-    new_cols = new_rows[0]["cols"]
+    new_cols = set(new_rows[0]["cols"])
     old_cols = old_files[0].get("cols")
-    if old_cols is not None and list(old_cols) != list(new_cols):
+    if old_cols is None:
+        return
+    # logical table schema = physical columns of the oldest files plus
+    # every evolved (defaulted) column — new writers may carry the
+    # evolved columns physically, old files get them filled at read
+    expected = set(old_cols) | set(defaults or {})
+    if new_cols != expected and new_cols != set(old_cols):
         raise ValueError(
-            f"tablelog: append schema {new_cols} != table schema {old_cols}"
+            f"tablelog: append schema {sorted(new_cols)} != table schema "
+            f"{sorted(expected)}"
         )
 
 
@@ -257,20 +264,21 @@ def _write_version(
                 "read-modify-write commit"
             )
         parent = _read_manifest(table_dir, head)
-        _check_schema(rows, parent["files"])
+        defaults = parent.get("defaults") or {}
+        _check_schema(rows, parent["files"], defaults)
         files = rows if operation == "overwrite" else parent["files"] + rows
+        man = {
+            "version": head + 1,
+            "parent": head,
+            "operation": operation,
+            "note": note,
+            "files": files,
+        }
+        # an overwrite resets the logical schema to the new data alone
+        if defaults and operation != "overwrite":
+            man["defaults"] = defaults
         try:
-            _commit(
-                table_dir,
-                head + 1,
-                {
-                    "version": head + 1,
-                    "parent": head,
-                    "operation": operation,
-                    "note": note,
-                    "files": files,
-                },
-            )
+            _commit(table_dir, head + 1, man)
             return head + 1
         except CommitConflict:
             continue  # staged data is version-independent: re-read head, retry
@@ -373,10 +381,7 @@ def read_table_at(
                 sch = pa.schema([sch.field(c) for c in columns])
             return rd.from_arrow(sch.empty_table())
         return rd.from_arrow(pa.table({}))
-    kwargs = {"columns": list(columns)} if columns is not None else {}
-    ds = rd.read_parquet(
-        [os.path.join(table_dir, f["path"]) for f in keep], **kwargs
-    )
+    ds = _read_version_files(table_dir, keep, columns, m.get("defaults"))
     if filter_col is None or (lo is None and hi is None):
         return ds
 
@@ -409,7 +414,8 @@ def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, 
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
     v = head if version is None else int(version)
-    files = _read_manifest(table_dir, v)["files"]
+    _m = _read_manifest(table_dir, v)
+    files = _m["files"]
     ks = sorted({k for k in keys if k is not None})
     if not ks:
         raise ValueError("read_table_keys: empty key set")
@@ -436,16 +442,137 @@ def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, 
                 sch = pa.schema([sch.field(c) for c in columns])
             return rd.from_arrow(sch.empty_table())
         return rd.from_arrow(pa.table({}))
-    kwargs = {"columns": list(columns)} if columns is not None else {}
-    ds = rd.read_parquet(
-        [os.path.join(table_dir, f["path"]) for f in keep], **kwargs
-    )
+    ds = _read_version_files(table_dir, keep, columns, _m.get("defaults"))
     vset = pa.array(ks)
 
     def residual(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch[key_col], value_set=vset))
 
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def table_add_column(table_dir: str, name: str, default, *, retries: int = 5, note=None) -> int:
+    """Schema evolution — add a column with a constant ``default`` as a
+    METADATA-ONLY commit: no data file is touched; every file written
+    before the column existed gets the default filled at read time
+    (``read_table_at``/``read_table_keys``), and later appends may carry
+    the column physically. The default (and its Arrow type, inferred
+    via ``pa.scalar``) rides the manifest ``defaults`` map, which every
+    subsequent commit carries forward; an overwrite resets the logical
+    schema to its own data. This is the common 90% of table evolution
+    (Iceberg add-column) without rewrite cost at any table size."""
+    if _head_version(table_dir) < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    pa.scalar(default)  # fail fast on an un-inferable default
+    for _ in range(max(1, retries)):
+        h = _head_version(table_dir)
+        parent = _read_manifest(table_dir, h)
+        defaults = dict(parent.get("defaults") or {})
+        phys = parent["files"][0]["cols"] if parent["files"] else []
+        if name in defaults or name in phys:
+            raise ValueError(f"table_add_column: column {name!r} already exists")
+        defaults[name] = default
+        try:
+            _commit(
+                table_dir,
+                h + 1,
+                {
+                    "version": h + 1,
+                    "parent": h,
+                    "operation": "add_column",
+                    "note": note,
+                    "files": parent["files"],
+                    "defaults": defaults,
+                },
+            )
+            return h + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
+    )
+
+
+def _fill_defaults(ds, defaults: dict, columns=None):
+    """Reader-side schema evolution: append each defaulted column a
+    batch is physically missing (constant array, type via pa.scalar)."""
+    want = {
+        k: v for k, v in defaults.items() if columns is None or k in columns
+    }
+    if not want:
+        return ds
+
+    def fill(batch: pa.Table) -> pa.Table:
+        for k, v in want.items():
+            if k not in batch.column_names:
+                sc = pa.scalar(v)
+                batch = batch.append_column(
+                    k, pa.array([v] * batch.num_rows, type=sc.type)
+                )
+        return batch
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _read_version_files(table_dir: str, keep: list, columns, defaults: dict):
+    """Read a set of manifest files as one Dataset, schema-evolution
+    aware: files are grouped by the PHYSICAL subset of the requested
+    columns they contain (manifest ``cols``), each group reads with its
+    own pushdown, missing defaulted columns fill as constants, and the
+    groups union — so rows written after an add-column keep their real
+    values while older files get the default, under any ``columns``
+    projection."""
+    import ray.data as rd
+
+    defaults = defaults or {}
+    if not defaults:
+        kwargs = {"columns": list(columns)} if columns is not None else {}
+        return rd.read_parquet(
+            [os.path.join(table_dir, f["path"]) for f in keep], **kwargs
+        )
+    want = list(columns) if columns is not None else None
+    unknown = [
+        c
+        for c in (want or [])
+        if c not in defaults
+        and not any(c in (f.get("cols") or []) for f in keep)
+    ]
+    if unknown:
+        raise ValueError(f"tablelog: unknown columns {unknown}")
+    groups: dict = {}
+    for f in keep:
+        phys = tuple(
+            c
+            for c in (f.get("cols") or [])
+            if want is None or c in want
+        )
+        groups.setdefault(phys, []).append(f)
+    parts = []
+    out_cols = None
+    for phys, fs in sorted(groups.items()):
+        d = rd.read_parquet(
+            [os.path.join(table_dir, f["path"]) for f in fs],
+            columns=list(phys),
+        )
+        missing = {
+            c: v
+            for c, v in defaults.items()
+            if c not in phys and (want is None or c in want)
+        }
+        d = _fill_defaults(d, missing)
+        cols = (
+            want
+            if want is not None
+            else list(phys) + [c for c in defaults if c not in phys]
+        )
+        if out_cols is None:
+            out_cols = cols
+        d = d.select_columns(list(out_cols))
+        parts.append(d)
+    ds = parts[0]
+    for d in parts[1:]:
+        ds = ds.union(d)
+    return ds
 
 
 def table_history(table_dir: str) -> pd.DataFrame:
@@ -489,23 +616,36 @@ def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int =
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(table_dir, _DATA, token)
     os.makedirs(stage, exist_ok=True)
-    sized = [
-        (os.path.join(table_dir, f["path"]), os.path.getsize(os.path.join(table_dir, f["path"])))
-        for f in m["files"]
-    ]
     target = target_mb * (1 << 20)
-    order = sorted(sized, key=lambda fs: (-fs[1], fs[0]))
     groups: list = []
-    totals: list = []
-    for path, size in order:
-        for i, s in enumerate(totals):
-            if s + size <= target:
-                groups[i].append(path)
-                totals[i] += size
-                break
-        else:
-            groups.append([path])
-            totals.append(size)
+    # post-evolution tables can hold files with different physical
+    # schemas (add_column is metadata-only) — the streaming compactor
+    # requires a uniform schema per output file, so bins never mix
+    # schema signatures
+    by_schema: dict = {}
+    for f in m["files"]:
+        by_schema.setdefault(tuple(f.get("cols") or ()), []).append(f)
+    for _sig, fs in sorted(by_schema.items()):
+        sized = [
+            (
+                os.path.join(table_dir, f["path"]),
+                os.path.getsize(os.path.join(table_dir, f["path"])),
+            )
+            for f in fs
+        ]
+        order = sorted(sized, key=lambda x: (-x[1], x[0]))
+        totals: list = []
+        sub: list = []
+        for path, size in order:
+            for i, t_ in enumerate(totals):
+                if t_ + size <= target:
+                    sub[i].append(path)
+                    totals[i] += size
+                    break
+            else:
+                sub.append([path])
+                totals.append(size)
+        groups.extend(sub)
     futs = [
         _compact_group.remote(
             g, os.path.join(stage, f"compact-{i:05d}.parquet"), row_group_rows
@@ -536,17 +676,17 @@ def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int =
             )
         # append racers are safe: keep their new files alongside ours
         extra = [f for f in cur if f["path"] not in compacted_from]
+        man = {
+            "version": h + 1,
+            "parent": h,
+            "operation": "compact",
+            "files": rows + extra,
+        }
+        cur_defaults = _read_manifest(table_dir, h).get("defaults")
+        if cur_defaults:
+            man["defaults"] = cur_defaults
         try:
-            _commit(
-                table_dir,
-                h + 1,
-                {
-                    "version": h + 1,
-                    "parent": h,
-                    "operation": "compact",
-                    "files": rows + extra,
-                },
-            )
+            _commit(table_dir, h + 1, man)
             return h + 1
         except CommitConflict:
             continue
@@ -669,7 +809,8 @@ def _rewrite_and_commit(
     for _ in range(max(1, retries)):
         h = _head_version(table_dir)
         parent = _read_manifest(table_dir, h)
-        _check_schema(new_rows, parent["files"])
+        defaults = parent.get("defaults") or {}
+        _check_schema(new_rows, parent["files"], defaults)
         carried, rewrite = [], []
         probe = []  # bloom-indexed candidates: ask the sidecar first
         for f in parent["files"]:
@@ -749,18 +890,17 @@ def _rewrite_and_commit(
                 [os.path.join(table_dir, r["path"]) for r in new_rows],
                 eff_bloom,
             )
+        man = {
+            "version": h + 1,
+            "parent": h,
+            "operation": operation,
+            "note": note,
+            "files": carried + rw_rows + new_rows,
+        }
+        if defaults:
+            man["defaults"] = defaults
         try:
-            _commit(
-                table_dir,
-                h + 1,
-                {
-                    "version": h + 1,
-                    "parent": h,
-                    "operation": operation,
-                    "note": note,
-                    "files": carried + rw_rows + new_rows,
-                },
-            )
+            _commit(table_dir, h + 1, man)
             return h + 1
         except CommitConflict:
             continue  # head moved: candidate set may differ — recompute
