@@ -639,3 +639,77 @@ def test_schema_evolution_add_column(ray_session, tmp_path):
         table_add_column(t, "lang", "xx")
     table_overwrite(t, _ds(0, 5))
     assert "lang" not in read_table_at(t).to_pandas().columns
+
+
+def test_review3_regressions(ray_session, tmp_path):
+    """Third-pass review regressions: evolved typed-empty reads, compact
+    keeping blooms, evolution-aware change feed, physical fill types,
+    key_col-less projections, JSON-unsafe defaults."""
+    import numpy as np
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import (
+        _read_manifest,
+        read_table_keys,
+        table_add_column,
+        table_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 100), stats_cols=["k"], bloom_key="txt")
+    v_add = table_add_column(t, "lang", "en")
+
+    # typed-empty on an evolved table includes the defaulted column
+    # (assert on the Dataset schema: Ray's to_pandas of a 0-block
+    # dataset drops columns, the dataset itself is correctly typed)
+    miss = read_table_keys(t, "txt", ["nope"], columns=["k", "lang"])
+    assert miss.schema().names == ["k", "lang"] and miss.count() == 0
+    empty = read_table_at(t, filter_col="k", lo=10**9)
+    assert "lang" in empty.schema().names and empty.count() == 0
+
+    # projection omitting key_col still filters by it, result excludes it
+    got = read_table_keys(t, "txt", ["row-7"], columns=["k"]).to_pandas()
+    assert list(got.columns) == ["k"] and list(got["k"]) == [7]
+
+    # physical fill types: append carries lang physically (large_string
+    # via pandas) — union with filled groups must not schema-clash
+    new = _df(100, 110)
+    new["lang"] = "fr"
+    table_append(t, rd.from_pandas(new), stats_cols=["k"])
+    full = read_table_at(t).to_pandas()
+    assert len(full) == 110 and set(full.lang) == {"en", "fr"}
+
+    # change feed across the evolution is defaults-aware on both sides
+    added, removed = table_changes(t, v_add)
+    a = added.to_pandas()
+    assert len(a) == 10 and (a["lang"] == "fr").all()
+    assert removed.count() == 0
+
+    # change feed across the COMPACT boundary: the removed side holds
+    # mixed physical schemas and must still fill defaults
+    v_c = table_compact(t)
+    added_c, removed_c = table_changes(t, v_c - 1, v_c)
+    rc = removed_c.to_pandas()
+    assert len(rc) == 110 and set(rc["lang"]) == {"en", "fr"}
+    post = _read_manifest(t, v_c)["files"]
+    assert any(f.get("bloom", {}).get("key") == "txt" for f in post)
+    read_table_keys(t, "txt", ["row-7"]).to_pandas()
+    fr, ft = read_table_keys.last_pruning
+    assert fr < ft  # pruning still works post-compact
+    # post-compact content parity
+    got2 = read_table_at(t).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got2) == 110 and (got2.loc[got2.k < 100, "lang"] == "en").all()
+
+    # legacy-shaped append still valid after compaction regrouped files
+    table_append(t, _ds(200, 205), stats_cols=["k"])
+    assert read_table_at(t).count() == 115
+
+    # JSON-unsafe default fails fast with a clean error and no stray tmp
+    import os as _os
+
+    with pytest.raises(ValueError, match="column default"):
+        table_add_column(t, "ts", np.datetime64("2026-01-01"))
+    assert not [
+        f for f in _os.listdir(_os.path.join(t, "_log")) if ".tmp-" in f
+    ]

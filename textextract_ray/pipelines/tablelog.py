@@ -190,10 +190,17 @@ def _commit(table_dir: str, version: int, manifest: dict) -> None:
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, _manifest_name(version))
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-        fh.flush()
-        os.fsync(fh.fileno())
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:
+        try:
+            os.unlink(tmp)  # never leave a stray tmp in _log
+        except OSError:
+            pass
+        raise
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -208,17 +215,26 @@ def _check_schema(new_rows: list, old_files: list, defaults: dict = None) -> Non
     if not new_rows or not old_files:
         return
     new_cols = set(new_rows[0]["cols"])
-    old_cols = old_files[0].get("cols")
-    if old_cols is None:
-        return
-    # logical table schema = physical columns of the oldest files plus
-    # every evolved (defaulted) column — new writers may carry the
-    # evolved columns physically, old files get them filled at read
-    expected = set(old_cols) | set(defaults or {})
-    if new_cols != expected and new_cols != set(old_cols):
+    # a post-evolution table legitimately holds several physical
+    # signatures; an append is valid if it matches ANY existing file's
+    # signature (legacy-shaped) or any signature plus the evolved
+    # (defaulted) columns — order-independent, so compaction regrouping
+    # can never invalidate previously-valid append shapes
+    dset = set(defaults or {})
+    ok = False
+    for f in old_files:
+        cols = f.get("cols")
+        if cols is None:
+            return  # pre-metadata manifest: nothing to check against
+        cset = set(cols)
+        if new_cols == cset or new_cols == (cset | dset):
+            ok = True
+            break
+    if not ok:
+        sigs = sorted({tuple(sorted(f["cols"])) for f in old_files})
         raise ValueError(
-            f"tablelog: append schema {sorted(new_cols)} != table schema "
-            f"{sorted(expected)}"
+            f"tablelog: append schema {sorted(new_cols)} matches no table "
+            f"schema (file signatures {sigs}, evolved columns {sorted(dset)})"
         )
 
 
@@ -372,15 +388,7 @@ def read_table_at(
         keep.append(f)
     read_table_at.last_pruning = (len(keep), len(files))
     if not keep:
-        # typed empty result: take the schema from any of the version's
-        # files (footer only) so downstream selects/unions still work;
-        # a zero-FILE version (v0) genuinely has no schema to offer
-        if files:
-            sch = pq.read_schema(os.path.join(table_dir, files[0]["path"]))
-            if columns is not None:
-                sch = pa.schema([sch.field(c) for c in columns])
-            return rd.from_arrow(sch.empty_table())
-        return rd.from_arrow(pa.table({}))
+        return _typed_empty(table_dir, files, columns, m.get("defaults"))
     ds = _read_version_files(table_dir, keep, columns, m.get("defaults"))
     if filter_col is None or (lo is None and hi is None):
         return ds
@@ -436,17 +444,20 @@ def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, 
     keep = [f for f in indexed if f["path"] in hit] + unindexed
     read_table_keys.last_pruning = (len(keep), len(files))
     if not keep:
-        if files:
-            sch = pq.read_schema(os.path.join(table_dir, files[0]["path"]))
-            if columns is not None:
-                sch = pa.schema([sch.field(c) for c in columns])
-            return rd.from_arrow(sch.empty_table())
-        return rd.from_arrow(pa.table({}))
-    ds = _read_version_files(table_dir, keep, columns, _m.get("defaults"))
+        return _typed_empty(table_dir, files, columns, _m.get("defaults"))
+    # the residual needs key_col even when the caller's projection
+    # omits it — read it, filter, then drop it
+    read_cols = columns
+    if columns is not None and key_col not in columns:
+        read_cols = list(columns) + [key_col]
+    ds = _read_version_files(table_dir, keep, read_cols, _m.get("defaults"))
     vset = pa.array(ks)
 
     def residual(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch[key_col], value_set=vset))
+        out = batch.filter(pc.is_in(batch[key_col], value_set=vset))
+        if columns is not None and key_col not in columns:
+            out = out.select(list(columns))
+        return out
 
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -463,7 +474,14 @@ def table_add_column(table_dir: str, name: str, default, *, retries: int = 5, no
     (Iceberg add-column) without rewrite cost at any table size."""
     if _head_version(table_dir) < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
-    pa.scalar(default)  # fail fast on an un-inferable default
+    try:
+        pa.scalar(default)  # must be Arrow-inferable...
+        json.dumps(default)  # ...and ride a JSON manifest
+    except (TypeError, pa.ArrowInvalid, pa.ArrowTypeError):
+        raise ValueError(
+            f"table_add_column: default {default!r} is not usable as a "
+            "column default (use a plain int/float/str/bool/None)"
+        ) from None
     for _ in range(max(1, retries)):
         h = _head_version(table_dir)
         parent = _read_manifest(table_dir, h)
@@ -493,25 +511,47 @@ def table_add_column(table_dir: str, name: str, default, *, retries: int = 5, no
     )
 
 
-def _fill_defaults(ds, defaults: dict, columns=None):
+def _fill_defaults(ds, defaults: dict, columns=None, types: dict = None):
     """Reader-side schema evolution: append each defaulted column a
-    batch is physically missing (constant array, type via pa.scalar)."""
+    batch is physically missing. The constant's Arrow type comes from
+    ``types`` when a physical occurrence of the column exists elsewhere
+    in the version (so filled and physical groups union cleanly), else
+    from ``pa.scalar`` inference."""
     want = {
         k: v for k, v in defaults.items() if columns is None or k in columns
     }
     if not want:
         return ds
+    types = types or {}
 
     def fill(batch: pa.Table) -> pa.Table:
         for k, v in want.items():
             if k not in batch.column_names:
-                sc = pa.scalar(v)
+                t = types.get(k) or pa.scalar(v).type
                 batch = batch.append_column(
-                    k, pa.array([v] * batch.num_rows, type=sc.type)
+                    k, pa.array([v] * batch.num_rows, type=t).cast(t)
                 )
         return batch
 
     return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _typed_empty(table_dir: str, files: list, columns, defaults: dict):
+    """Empty Dataset with the version's LOGICAL schema: physical schema
+    of any file plus the evolved (defaulted) columns, projected to
+    ``columns`` when given. A zero-file version has no schema to offer."""
+    import ray.data as rd
+
+    defaults = defaults or {}
+    if not files:
+        return rd.from_arrow(pa.table({}))
+    sch = pq.read_schema(os.path.join(table_dir, files[0]["path"]))
+    for k, v in defaults.items():
+        if sch.get_field_index(k) < 0:
+            sch = sch.append(pa.field(k, pa.scalar(v).type))
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.from_arrow(sch.empty_table())
 
 
 def _read_version_files(table_dir: str, keep: list, columns, defaults: dict):
@@ -547,6 +587,16 @@ def _read_version_files(table_dir: str, keep: list, columns, defaults: dict):
             if want is None or c in want
         )
         groups.setdefault(phys, []).append(f)
+    # when a defaulted column exists PHYSICALLY in some file, the fill
+    # must use that Arrow type (not pa.scalar inference) or the
+    # filled/physical groups won't union
+    fill_types: dict = {}
+    for c in defaults:
+        for f in keep:
+            if c in (f.get("cols") or []):
+                sch = pq.read_schema(os.path.join(table_dir, f["path"]))
+                fill_types[c] = sch.field(c).type
+                break
     parts = []
     out_cols = None
     for phys, fs in sorted(groups.items()):
@@ -559,7 +609,7 @@ def _read_version_files(table_dir: str, keep: list, columns, defaults: dict):
             for c, v in defaults.items()
             if c not in phys and (want is None or c in want)
         }
-        d = _fill_defaults(d, missing)
+        d = _fill_defaults(d, missing, types=fill_types)
         cols = (
             want
             if want is not None
@@ -662,10 +712,23 @@ def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int =
         [_file_meta.remote(paths[i : i + 64], rels[i : i + 64], stats_cols) for i in range(0, len(paths), 64)]
     ):
         rows.extend(part)
+    # sidecar inheritance (same rule as _rewrite_and_commit): compaction
+    # must not silently strip the table's bloom indexing
+    bloom_keys = sorted({f["bloom"]["key"] for f in m["files"] if f.get("bloom")})
+    for bk in bloom_keys:
+        sub = [r for r in rows if bk in r["cols"] and not r.get("bloom")]
+        if sub:
+            _attach_blooms(
+                table_dir,
+                sub,
+                [os.path.join(table_dir, r["path"]) for r in sub],
+                bk,
+            )
     compacted_from = {f["path"] for f in m["files"]}
     for _ in range(5):
         h = _head_version(table_dir)
-        cur = _read_manifest(table_dir, h)["files"]
+        curm = _read_manifest(table_dir, h)
+        cur = curm["files"]
         cur_paths = {f["path"] for f in cur}
         if not compacted_from <= cur_paths:
             # a concurrent merge/overwrite rewrote files this compaction
@@ -682,9 +745,8 @@ def table_compact(table_dir: str, *, target_mb: int = 256, row_group_rows: int =
             "operation": "compact",
             "files": rows + extra,
         }
-        cur_defaults = _read_manifest(table_dir, h).get("defaults")
-        if cur_defaults:
-            man["defaults"] = cur_defaults
+        if curm.get("defaults"):
+            man["defaults"] = curm["defaults"]
         try:
             _commit(table_dir, h + 1, man)
             return h + 1
@@ -952,15 +1014,24 @@ def table_changes(table_dir: str, from_version: int, to_version: int = None):
     import ray.data as rd
 
     to_v = _head_version(table_dir) if to_version is None else int(to_version)
-    f_from = {f["path"] for f in _read_manifest(table_dir, from_version)["files"]}
-    f_to = {f["path"] for f in _read_manifest(table_dir, to_v)["files"]}
+    m_from = _read_manifest(table_dir, from_version)
+    m_to = _read_manifest(table_dir, to_v)
+    f_from = {f["path"]: f for f in m_from["files"]}
+    f_to = {f["path"]: f for f in m_to["files"]}
 
-    def _read(paths):
-        if not paths:
+    def _read(file_map, only, defaults):
+        keep = [f for p, f in sorted(file_map.items()) if p in only]
+        if not keep:
             return rd.from_arrow(pa.table({}))
-        return rd.read_parquet([os.path.join(table_dir, p) for p in sorted(paths)])
+        # evolution-aware: each side reads through the grouped-schema
+        # path so mixed physical schemas fill their defaults instead of
+        # silently dropping or nulling the evolved columns
+        return _read_version_files(table_dir, keep, None, defaults)
 
-    return _read(f_to - f_from), _read(f_from - f_to)
+    return (
+        _read(f_to, set(f_to) - set(f_from), m_to.get("defaults")),
+        _read(f_from, set(f_from) - set(f_to), m_from.get("defaults")),
+    )
 
 
 _NOTES_EXPIRED = "_notes_expired.json"
