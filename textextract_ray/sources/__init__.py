@@ -125,6 +125,32 @@ def _fs_from_uri(uri: str):
         return PyFileSystem(FSSpecHandler(fs)), path
 
 
+def open_shard(path: str):
+    """Resolve a shard path/URI to something the incremental decoders
+    (``pq.ParquetFile``, gzip/WARC framing) can read worker-side.
+
+    Local paths pass through as strings (the mmap fast path).
+    ``http(s)://`` streams the whole shard into a buffer with the retry
+    ladder (no Range support on bare crawl mirrors — whole-file
+    transfer is the floor, matching the reference's streamed download,
+    src/updater.py:545-715). Any other scheme opens a RANDOM-ACCESS
+    file through the URI's filesystem (pyarrow-native for s3/gcs/hdfs,
+    fsspec-wrapped otherwise), so parquet row groups still decode
+    incrementally — worker heap stays bounded by one decode chunk even
+    when the shard lives in an object store. This is what lets the
+    fused read+extract path (``extract_files``) keep its zero-plasma
+    data motion on the storage layout a 100-TB cluster actually uses."""
+    if "://" not in path:
+        return path
+    scheme = path.split("://", 1)[0]
+    if scheme in ("http", "https"):
+        import io
+
+        return io.BytesIO(_http_get(path))
+    f, sp = _fs_from_uri(path)
+    return f.open_input_file(sp)
+
+
 def map_parquet_fused(
     paths, fn, *, columns=None, batch_size: int = 4096, min_tasks: int = 1
 ) -> rd.Dataset:
@@ -282,12 +308,37 @@ def expand_shards(paths, suffixes: tuple) -> list:
     """Shared str-or-list → sorted shard-path list: a directory expands
     to its suffix-matching files, files pass through. One copy of the
     idiom (``extract_files``, ``read_warc``, ``read_jsonl``,
-    ``read_arrow_shards``) so the sorting/error contracts don't drift."""
+    ``read_arrow_shards``) so the sorting/error contracts don't drift.
+
+    URI entries: ``http(s)://`` passes through untouched (bare HTTP has
+    no listing — pass explicit shard urls); any other scheme resolves
+    its filesystem, expands directories through it, and RE-ATTACHES the
+    scheme to every listed entry — the scheme is what tells the worker
+    task which filesystem to open the shard through."""
     if isinstance(paths, (str, bytes)):
         paths = [paths]
     shard_list = []
     for p in map(str, paths):
-        if os.path.isdir(p):
+        if "://" in p:
+            scheme = p.split("://", 1)[0]
+            if scheme in ("http", "https"):
+                shard_list.append(p)
+                continue
+            from pyarrow import fs as pafs
+
+            f, sp = _fs_from_uri(p)
+            info = f.get_file_info(sp)
+            if info.type == pafs.FileType.Directory:
+                shard_list.extend(
+                    sorted(
+                        f"{scheme}://{e.path}"
+                        for e in f.get_file_info(pafs.FileSelector(sp))
+                        if e.path.endswith(tuple(suffixes))
+                    )
+                )
+            else:
+                shard_list.append(p)
+        elif os.path.isdir(p):
             shard_list.extend(
                 sorted(
                     os.path.join(p, f)

@@ -66,20 +66,16 @@ def iter_warc_records(stream):
 
 
 def iter_warc_gz(path_or_stream):
-    """Yield records from a ``.warc.gz`` (multi-member gzip) file path
-    or binary file object."""
-    if isinstance(path_or_stream, (str, bytes)) and not (
-        isinstance(path_or_stream, bytes) and path_or_stream[:2] == b"\x1f\x8b"
-    ):
-        with gzip.open(path_or_stream, "rb") as fp:
-            yield from iter_warc_records(fp)
-        return
-    raw = (
-        path_or_stream
-        if isinstance(path_or_stream, bytes)
-        else path_or_stream.read()
-    )
-    with gzip.open(io.BytesIO(raw), "rb") as fp:
+    """Yield records from a ``.warc.gz`` (multi-member gzip) file path,
+    binary file object, or raw bytes. File objects (including pyarrow
+    NativeFiles from an object-store filesystem) decompress STREAMING —
+    gzip reads from the handle record-at-a-time, so worker heap stays
+    bounded by one record, never one archive."""
+    if isinstance(path_or_stream, bytes) and path_or_stream[:2] == b"\x1f\x8b":
+        path_or_stream = io.BytesIO(path_or_stream)
+    # str/bytes path OR file object: gzip.open handles both (an existing
+    # file object streams; it is NOT read fully first)
+    with gzip.open(path_or_stream, "rb") as fp:
         yield from iter_warc_records(fp)
 
 
