@@ -257,3 +257,34 @@ def test_semantic_decontaminate_contracts(ray_session):
             rd.from_pandas(pd.DataFrame({"text": ["a", "b", "c"]})),
             max_bench_rows=2,
         )
+
+
+def test_semantic_decontaminate_single_bench_execution(ray_session, tmp_path):
+    """ADVICE r4: the bench pipeline must execute ONCE (one pull with a
+    budget-checked limit), not count()+to_pandas() twice — double
+    execution doubles upstream cost and can drift the documented
+    bench_idx scan-order audit pointer."""
+    import os
+
+    import ray.data as rd
+
+    from textextract_ray.pipelines.embed import semantic_decontaminate_against
+
+    marker_dir = str(tmp_path / "exec_markers")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def marked(batch):
+        import uuid
+
+        open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+        return batch
+
+    bench = rd.from_items(
+        [{"text": f"benchmark question {i}"} for i in range(8)]
+    ).repartition(1).map_batches(marked)
+    corpus = rd.from_items(
+        [{"doc_id": i, "text": f"corpus doc {i}"} for i in range(10)]
+    )
+    out = semantic_decontaminate_against(corpus, bench).to_pandas()
+    assert len(out) == 10
+    assert len(os.listdir(marker_dir)) == 1  # exactly one bench execution

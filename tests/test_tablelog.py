@@ -713,3 +713,116 @@ def test_review3_regressions(ray_session, tmp_path):
     assert not [
         f for f in _os.listdir(_os.path.join(t, "_log")) if ".tmp-" in f
     ]
+
+
+def test_expire_persists_notes_before_unlink(ray_session, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): table_expire must durably write the expired
+    manifests' notes sidecar BEFORE unlinking anything — a crash between
+    unlink and notes-write would permanently lose a dump-idempotence
+    stamp and let a later ingest re-merge a stale dump."""
+    import json
+
+    from textextract_ray.pipelines.tablelog import _NOTES_EXPIRED, _log_dir
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 10), note="dump:aa")
+    table_append(t, _ds(10, 20), note="dump:bb")
+    table_append(t, _ds(20, 30))
+
+    real_unlink = os.unlink
+    log = _log_dir(t)
+
+    def crashing_unlink(path, *a, **kw):
+        if str(path).startswith(log) and str(path).endswith(".json"):
+            raise OSError("injected crash at manifest unlink")
+        return real_unlink(path, *a, **kw)
+
+    monkeypatch.setattr(os, "unlink", crashing_unlink)
+    with pytest.raises(OSError, match="injected crash"):
+        table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    monkeypatch.undo()
+    # the notes sidecar landed BEFORE the (crashed) unlink
+    with open(os.path.join(log, _NOTES_EXPIRED)) as fh:
+        persisted = set(json.load(fh))
+    assert {"dump:aa", "dump:bb"} <= persisted
+    # and the interrupted pass is re-runnable to completion
+    table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    from textextract_ray.pipelines.tablelog import table_notes
+
+    assert {"dump:aa", "dump:bb"} <= table_notes(t)
+
+
+def test_merge_delete_keyed_on_evolved_column(ray_session, tmp_path):
+    """ADVICE r4: a merge/delete keyed on a schema-evolved (defaulted)
+    column must give correct row semantics for legacy files that lack
+    the column physically — drop the whole file when the default is in
+    the key set, carry it otherwise — never a raw KeyError task death."""
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import (
+        table_add_column,
+        table_delete_keys,
+    )
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 30))          # legacy: no lang column
+    table_add_column(t, "lang", "en")    # metadata-only default
+    phys = _df(30, 40)
+    phys["lang"] = "fr"
+    table_append(t, rd.from_pandas(phys))
+
+    # default NOT in key set: legacy file carries by reference
+    table_delete_keys(t, "lang", ["fr"])
+    got = _sorted(read_table_at(t).to_pandas())
+    assert len(got) == 30 and (got["lang"] == "en").all()
+
+    # default IN the key set: legacy files drop whole
+    table_append(t, rd.from_pandas(phys))  # bring fr rows back
+    table_delete_keys(t, "lang", ["en"])
+    got = _sorted(read_table_at(t).to_pandas())
+    assert len(got) == 10 and (got["lang"] == "fr").all()
+
+    # file lacking the key column with NO declared default: clean error,
+    # not a worker KeyError (crafted manifest — the commit path itself
+    # refuses to create this shape)
+    from textextract_ray.pipelines.tablelog import _read_manifest
+
+    t2 = str(tmp_path / "tbl2")
+    table_create(t2)
+    table_append(t2, _ds(0, 5))
+    h = _head_version(t2)
+    m = _read_manifest(t2, h)
+    m2 = {
+        "version": h + 1,
+        "parent": h,
+        "operation": "append",
+        "files": m["files"],
+    }
+    _commit(t2, h + 1, m2)
+    with pytest.raises(ValueError, match="declares no default"):
+        table_delete_keys(t2, "missing_col", ["x"])
+
+
+def test_append_type_mismatch_rejected(ray_session, tmp_path):
+    """ADVICE r4: same column names, different Arrow types must be
+    rejected AT COMMIT — not surface later as a compaction/union
+    failure far from the offending writer."""
+    import ray.data as rd
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 10))  # k: int64, txt: string
+    bad = _df(10, 20)
+    bad["k"] = bad["k"].astype(str)  # k: string — same names, wrong type
+    with pytest.raises(ValueError, match="types mismatch"):
+        table_append(t, rd.from_pandas(bad))
+    # matching types still commit fine
+    v = table_append(t, _ds(10, 20))
+    assert len(read_table_at(t, v).to_pandas()) == 20
+    # manifests record per-column types
+    from textextract_ray.pipelines.tablelog import _read_manifest
+
+    m = _read_manifest(t, v)
+    assert all(f["types"]["k"] == "int64" for f in m["files"])

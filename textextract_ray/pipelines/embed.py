@@ -222,7 +222,17 @@ def semantic_decontaminate_against(
     # can interleave blocks by completion (preserve_order defaults
     # False). The bench side is eval-set-sized by contract: budget-
     # check, pull the text column in order, embed driver-side.
-    n_bench = bench_ds.count()
+    # ONE pull (limit max_bench_rows+1), budget enforced on its length:
+    # count() + to_pandas() would execute the upstream bench pipeline
+    # twice — double the cost, and the documented bench_idx scan-order
+    # audit pointer could drift between the two runs if the upstream
+    # were ever nondeterministic (ADVICE r4)
+    bench_df = bench_ds.select_columns([btc]).limit(max_bench_rows + 1).to_pandas()
+    # an empty Dataset's to_pandas can drop the column entirely
+    texts = (
+        bench_df[btc].fillna("").tolist() if btc in bench_df.columns else []
+    )
+    n_bench = len(texts)
     if n_bench > max_bench_rows:
         raise ValueError(
             f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
@@ -231,7 +241,6 @@ def semantic_decontaminate_against(
         )
     if n_bench == 0:
         raise ValueError("semantic_decontaminate_against: empty benchmark set")
-    texts = bench_ds.select_columns([btc]).to_pandas()[btc].fillna("").tolist()
     mats = [
         embed_batch(texts[i : i + 4096], dim=dim, ngrams=ngrams)
         for i in range(0, len(texts), 4096)

@@ -100,7 +100,8 @@ def _file_meta(paths: list, rels: list, stats_cols: list) -> list:
     for path, rel in zip(paths, rels):
         md = pq.read_metadata(path)
         stats: dict = {}
-        names = md.schema.to_arrow_schema().names
+        sch = md.schema.to_arrow_schema()
+        names = sch.names
         for col in stats_cols:
             if col not in names:
                 continue
@@ -121,6 +122,11 @@ def _file_meta(paths: list, rels: list, stats_cols: list) -> list:
                 "path": rel,
                 "rows": md.num_rows,
                 "cols": list(names),
+                # per-column Arrow types: lets _check_schema reject
+                # name-matching-but-type-mismatched appends AT COMMIT,
+                # not later as a _compact_group/union failure far from
+                # the offending writer (ADVICE r4)
+                "types": {n: str(sch.field(n).type) for n in names},
                 "stats": stats,
             }
         )
@@ -211,31 +217,62 @@ def _commit(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _norm_type(t: str) -> str:
+    """Normalize representation-equivalent Arrow type spellings before
+    comparing: large_string/string, large_binary/binary and
+    large_list/list differ only in offset width — parquet round-trips
+    and Ray block building flip between them freely, and reads union
+    them fine. Only SEMANTIC mismatches (string vs int64, int32 vs
+    int64) should fail an append."""
+    return t.replace("large_string", "string").replace(
+        "large_binary", "binary"
+    ).replace("large_list<", "list<")
+
+
 def _check_schema(new_rows: list, old_files: list, defaults: dict = None) -> None:
     if not new_rows or not old_files:
         return
     new_cols = set(new_rows[0]["cols"])
+    new_types = new_rows[0].get("types") or {}
     # a post-evolution table legitimately holds several physical
     # signatures; an append is valid if it matches ANY existing file's
     # signature (legacy-shaped) or any signature plus the evolved
     # (defaulted) columns — order-independent, so compaction regrouping
-    # can never invalidate previously-valid append shapes
+    # can never invalidate previously-valid append shapes. Column NAMES
+    # must match a signature AND the shared columns' Arrow types must
+    # agree with that file's recorded types (pre-types manifests skip
+    # the type arm): a string-vs-int url would otherwise commit fine
+    # and only explode later in table_compact or a read-side union.
     dset = set(defaults or {})
-    ok = False
+    name_ok = False
+    type_err = None
     for f in old_files:
         cols = f.get("cols")
         if cols is None:
             return  # pre-metadata manifest: nothing to check against
         cset = set(cols)
         if new_cols == cset or new_cols == (cset | dset):
-            ok = True
-            break
-    if not ok:
+            name_ok = True
+            old_types = f.get("types") or {}
+            bad = {
+                c: (old_types[c], new_types[c])
+                for c in new_cols & set(old_types) & set(new_types)
+                if _norm_type(old_types[c]) != _norm_type(new_types[c])
+            }
+            if not bad:
+                return  # names + types both compatible with this file
+            type_err = bad
+    if not name_ok:
         sigs = sorted({tuple(sorted(f["cols"])) for f in old_files})
         raise ValueError(
             f"tablelog: append schema {sorted(new_cols)} matches no table "
             f"schema (file signatures {sigs}, evolved columns {sorted(dset)})"
         )
+    raise ValueError(
+        "tablelog: append column types mismatch the table's "
+        f"(column: (table type, append type)) = {type_err}; cast the "
+        "append side before committing"
+    )
 
 
 def table_create(table_dir: str) -> int:
@@ -876,6 +913,33 @@ def _rewrite_and_commit(
         carried, rewrite = [], []
         probe = []  # bloom-indexed candidates: ask the sidecar first
         for f in parent["files"]:
+            fcols = f.get("cols")
+            if fcols and key_col not in fcols:
+                # legacy physical schema lacks the key column
+                # (add_column is metadata-only): every row of this file
+                # carries the evolved DEFAULT for key_col, so the file
+                # either drops whole (default ∈ key set) or carries by
+                # reference — never a rewrite task, which would KeyError
+                # on the missing column (ADVICE r4)
+                if key_col not in defaults:
+                    raise ValueError(
+                        f"tablelog: {operation} keyed on {key_col!r}, but "
+                        f"file {f['path']} lacks the column and the table "
+                        "declares no default for it — cannot resolve "
+                        "row-level semantics for a column that never "
+                        "physically existed in this file"
+                    )
+                dval = defaults[key_col]
+                if len(keys) and (
+                    pc.is_in(
+                        pa.array([dval]).cast(keys.type), value_set=keys
+                    )
+                    .fill_null(False)[0]
+                    .as_py()
+                ):
+                    continue  # whole file replaced/deleted: drop it
+                carried.append(f)
+                continue
             s = f.get("stats", {}).get(key_col)
             if len(keys) == 0 or (s is not None and (s[1] < klo or s[0] > khi)):
                 carried.append(f)
@@ -1075,6 +1139,12 @@ def table_expire(
     log = _log_dir(table_dir)
     kept, reachable, expired_notes = [], set(), set()
     expired_reachable = set()  # data of expired versions: delete NOW
+    expired_manifests = []
+    # PASS 1 — read-only: collect expired notes + file sets. Nothing is
+    # unlinked until the notes sidecar is durably on disk: a crash
+    # between unlink and notes-write would permanently lose a dump-
+    # idempotence stamp, and a later ingest_dumps_versioned rerun would
+    # re-merge a stale old dump over newer captures (ADVICE r4, medium).
     for name in sorted(os.listdir(log)):
         if not (name.startswith("v") and name.endswith(".json")):
             continue
@@ -1089,7 +1159,7 @@ def table_expire(
                 expired_reachable.add(f["path"])
                 if f.get("bloom"):
                     expired_reachable.add(f["bloom"]["path"])
-            os.unlink(path)
+            expired_manifests.append(path)
             continue
         kept.append(v)
         with open(path) as fh:
@@ -1098,6 +1168,10 @@ def table_expire(
                 if f.get("bloom"):
                     reachable.add(f["bloom"]["path"])
     expired_reachable -= reachable
+    # PASS 2 — persist notes FIRST (atomic merge-write), THEN unlink the
+    # expired manifests. A crash anywhere leaves either extra manifests
+    # (re-expired next run, idempotent) or extra notes (harmless), never
+    # a lost note.
     if expired_notes:
         np_ = os.path.join(log, _NOTES_EXPIRED)
         try:
@@ -1108,7 +1182,11 @@ def table_expire(
         tmp = np_ + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(sorted(expired_notes), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, np_)
+    for path in expired_manifests:
+        os.unlink(path)
     deleted = 0
     now = time.time()
     data_root = os.path.join(table_dir, _DATA)
