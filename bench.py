@@ -96,6 +96,65 @@ def bench_extract(files: list) -> dict:
     }
 
 
+def bench_tablelog() -> float:
+    """Merge-heavy versioned-table pipeline (VERDICT r4 item 7): append
+    three 50k-row dumps (bloom-sidecar'd, url-keyed), copy-on-write
+    MERGE a 6k-row recrawl whose keys live in one dump's range, then
+    read the latest snapshot. Regressions in manifest/stats/Bloom
+    pruning (merge rewriting carried files it should skip) show up here
+    round-over-round. Deterministic corpus, fresh table per run."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import (
+        read_table_at,
+        table_append,
+        table_create,
+        table_merge,
+    )
+
+    tdir = "/tmp/textextract_bench/tbl"
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    def pages(lo: int, n: int):
+        def make(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy(zero_copy_only=False) + lo
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://s{i % 997}.example/p/{i}" for i in ids]
+                    ),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(
+                        np.char.add("text-", ids.astype("U12"))
+                    ),
+                }
+            )
+
+        return rd.range(n, override_num_blocks=16).map_batches(
+            make, batch_format="pyarrow"
+        )
+
+    t0 = time.perf_counter()
+    table_create(tdir)
+    for d in range(3):
+        table_append(
+            tdir, pages(d * 50_000, 50_000), stats_cols=["doc_id"],
+            bloom_key="url", note=f"dump:{d}",
+        )
+    # recrawl: 6k urls from dump 1's id range — stats+bloom pruning must
+    # carry dumps 0/2 by reference and rewrite only the hit files
+    recrawl = pages(50_000, 6_000)
+    table_merge(tdir, recrawl, "url", stats_cols=["doc_id"], bloom_key="url")
+    n = read_table_at(tdir).count()
+    dt = time.perf_counter() - t0
+    assert n == 150_000, f"tablelog bench row drift: {n}"
+    return dt
+
+
 def bench_queries(sf_dir: str, names: list) -> dict:
     import __ray_entry__ as em
 
@@ -179,6 +238,7 @@ def main() -> None:
                 ],
             )
         )
+        queries["tablelog_merge"] = round(bench_tablelog(), 3)
 
     total = sum(queries.values())
     print(

@@ -826,3 +826,60 @@ def test_append_type_mismatch_rejected(ray_session, tmp_path):
 
     m = _read_manifest(t, v)
     assert all(f["types"]["k"] == "int64" for f in m["files"])
+
+
+def test_run_job_versioned_kill_resume_time_travel(ray_session, tmp_path):
+    """VERDICT r4 item 6: the headline job commits into the table log —
+    kill mid-job, resume skips committed partitions, every partition is
+    a time-travelable version, and merge-by-url makes the table
+    exactly-once per url globally."""
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import run_job
+    from textextract_ray.pipelines.tablelog import (
+        read_table_at,
+        table_changes,
+        table_history,
+    )
+
+    files = generate_pages(str(tmp_path / "pages"), 200, 4, giant_bytes=1 << 17)
+    t = str(tmp_path / "tbl")
+
+    # kill before partition 2: partitions 0-1 commit as versions
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_job(files, "", shards_per_partition=1, table_dir=t, fail_at_partition=2)
+    hist = table_history(t)
+    notes = [n for n in hist["note"].dropna() if n.startswith("job-part:")]
+    assert len(notes) == 2
+
+    # resume completes the remaining partitions only
+    report = run_job(files, "", shards_per_partition=1, table_dir=t)
+    assert len(report) == 4 and int(report["docs"].sum()) > 0
+    hist = table_history(t)
+    notes = [n for n in hist["note"].dropna() if n.startswith("job-part:")]
+    assert len(notes) == 4
+    assert len({n.split(":")[1] for n in notes}) == 4  # one per pid
+
+    # rerun on complete output: pure no-op (head unmoved), same counters
+    head = int(hist["version"].max())
+    report2 = run_job(files, "", shards_per_partition=1, table_dir=t)
+    assert int(table_history(t)["version"].max()) == head
+    stable = ["partition_id", "docs", "bytes_in", "ok_count"]
+    pd.testing.assert_frame_equal(
+        report[stable], report2[stable], check_dtype=False
+    )
+
+    # exactly-once per url globally (fixture F9 plants cross-shard dups)
+    full = read_table_at(t).to_pandas()
+    assert full["url"].is_unique
+
+    # time travel: the snapshot after partition 0's commit is intact
+    v1 = int(hist.loc[hist["note"] == notes[0], "version"].iloc[0])
+    snap = read_table_at(t, v1).to_pandas()
+    assert 0 < len(snap) < len(full)
+    # change feed between two job versions yields the partition's rows
+    added, removed = table_changes(t, v1, v1 + 1)
+    assert added.count() > 0
+
+    # re-partitioned rerun fails loudly (lineage guard)
+    with pytest.raises(ValueError, match="different shard list"):
+        run_job(files, "", shards_per_partition=2, table_dir=t)

@@ -666,6 +666,120 @@ def _auto_shards_per_partition(shard_files: list) -> int:
     return max(1, min(len(shard_files), round(target / per_shard)))
 
 
+def run_job_versioned(
+    shard_files: list,
+    table_dir: str,
+    *,
+    shards_per_partition: int | None = 4,
+    batch_size: int = 256,
+    key_col: str = "url",
+    fail_at_partition: int | None = None,
+) -> pd.DataFrame:
+    """The resumable extraction job committing INTO the versioned table
+    log: each partition publishes as one atomic table version (first as
+    an append, later ones as copy-on-write MERGE by ``key_col``), so
+    extraction output gets time travel, change feeds, compaction and
+    retention GC for free — ``ingest_dumps_versioned`` proved the
+    composition per dump; this is the same contract at the primary
+    entry point's partition granularity (VERDICT r4 item 6).
+
+    Resume protocol: each committing manifest is stamped
+    ``note="job-part:<pid>:<sha1(shards)[:12]>"`` and carries the
+    partition counters + lineage in the manifest ``meta``; a rerun
+    skips any partition whose note is already in ``table_notes`` (notes
+    survive retention GC). A same-pid note with a DIFFERENT shard hash
+    means the caller re-partitioned the input — fail loudly, exactly
+    like the manifest lineage guard in ``run_job``.
+
+    Cross-partition semantics: merge-by-``key_col`` makes the table
+    exactly-once per url GLOBALLY (latest partition wins), not just per
+    partition — stronger than ``run_job``'s per-partition dedup, and
+    each pre-merge snapshot stays time-travelable. Bloom sidecars ride
+    every commit because url keys are hash-distributed (range stats
+    alone would rewrite the whole table every partition).
+
+    Returns the standard per-partition counters report."""
+    import hashlib
+
+    from ..state.checkpoint import EXTRACTOR_VERSION
+    from .tablelog import (
+        _head_version,
+        _read_manifest,
+        table_append,
+        table_create,
+        table_history,
+        table_merge,
+        table_notes,
+    )
+
+    if not shard_files:
+        raise ValueError("no input shards: shard_files is empty")
+    if _head_version(table_dir) < 0:
+        table_create(table_dir)
+    if shards_per_partition is None:
+        shards_per_partition = _auto_shards_per_partition(shard_files)
+    partitions = [
+        shard_files[i : i + shards_per_partition]
+        for i in range(0, len(shard_files), shards_per_partition)
+    ]
+    # notes survive table_expire; manifests may not — counters for
+    # expired-but-noted partitions degrade to a bare row, never a rerun
+    done = table_notes(table_dir)
+    committed_meta: dict = {}
+    hist = table_history(table_dir)
+    for _, h_row in hist.iterrows():
+        n = h_row.get("note")
+        if isinstance(n, str) and n.startswith("job-part:"):
+            m = _read_manifest(table_dir, int(h_row["version"]))
+            committed_meta[n] = m.get("meta") or {}
+    seen_pids = {}
+    for n in done:
+        if isinstance(n, str) and n.startswith("job-part:"):
+            _, pid_s, hh = n.split(":")
+            seen_pids[int(pid_s)] = hh
+    results: dict = {}
+    for pid, shards in enumerate(partitions):
+        hh = hashlib.sha1("\x00".join(map(str, shards)).encode()).hexdigest()[:12]
+        note = f"job-part:{pid}:{hh}"
+        if pid in seen_pids:
+            if seen_pids[pid] != hh:
+                raise ValueError(
+                    f"partition {pid} was committed from a different shard "
+                    f"list (note hash {seen_pids[pid]} != {hh}); "
+                    "shards_per_partition changed? use the original sizing "
+                    "or a fresh table"
+                )
+            meta = committed_meta.get(note, {})
+            results[pid] = dict(
+                meta.get("counters") or {"partition_id": pid, "docs": 0}
+            )
+            continue
+        if fail_at_partition is not None and pid >= fail_at_partition:
+            raise RuntimeError(f"fault injection: killed before partition {pid}")
+        extracted = extract_files(
+            shards, batch_size=batch_size, dedup=True
+        ).materialize()  # pin: counters + stage both read the same blocks
+        counters = aggregate_counters(extracted, pid)
+        meta = {
+            "counters": counters,
+            "input_shards": list(map(str, shards)),
+            "shards_per_partition": shards_per_partition,
+            "extractor_version": EXTRACTOR_VERSION,
+        }
+        if _head_version(table_dir) == 0:
+            table_append(
+                table_dir, extracted, stats_cols=[key_col], note=note,
+                bloom_key=key_col, meta=meta,
+            )
+        else:
+            table_merge(
+                table_dir, extracted, key_col, stats_cols=[key_col],
+                note=note, bloom_key=key_col, meta=meta,
+            )
+        results[pid] = counters
+    return counters_report([results[pid] for pid in sorted(results)])
+
+
 def run_job(
     shard_files: list,
     out_dir: str,
@@ -676,6 +790,7 @@ def run_job(
     giant_threshold: int | None = None,
     fail_at_partition: int | None = None,
     overlap_commit: bool = True,
+    table_dir: str | None = None,
 ) -> pd.DataFrame:
     """Resumable extraction job over Parquet shards.
 
@@ -716,10 +831,21 @@ def run_job(
     resume, the sizing recorded in the existing manifests WINS over
     auto — partition boundaries must be identical across runs or
     partition ids would not line up with the committed lineage.
-    Returns the per-partition counters report.
+    ``table_dir`` switches the commit target to the versioned table log
+    (``run_job_versioned``): each partition publishes as one atomic
+    table version with time travel / CDC / compaction for free, and
+    ``out_dir`` is ignored. Returns the per-partition counters report.
     """
     import threading
 
+    if table_dir is not None:
+        return run_job_versioned(
+            shard_files,
+            table_dir,
+            shards_per_partition=shards_per_partition,
+            batch_size=batch_size,
+            fail_at_partition=fail_at_partition,
+        )
     committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
     if shards_per_partition is None:
         if committed:

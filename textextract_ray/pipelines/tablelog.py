@@ -299,6 +299,7 @@ def _write_version(
     note=None,
     bloom_key=None,
     expected_head=None,
+    meta=None,
 ) -> int:
     # validate BEFORE staging: a typo'd path must fail fast, not after
     # minutes of parquet writes into an arbitrary directory
@@ -327,6 +328,8 @@ def _write_version(
             "note": note,
             "files": files,
         }
+        if meta is not None:
+            man["meta"] = meta  # caller-opaque JSON (e.g. job counters)
         # an overwrite resets the logical schema to the new data alone
         if defaults and operation != "overwrite":
             man["defaults"] = defaults
@@ -349,6 +352,7 @@ def table_append(
     retries: int = 5,
     note=None,
     bloom_key=None,
+    meta=None,
 ) -> int:
     """Append ``ds`` as a new version: new files join the parent's file
     list; nothing is rewritten. Optimistic concurrency — a lost commit
@@ -363,7 +367,8 @@ def table_append(
     where [min, max] stats span everything and prune nothing. Returns
     the committed version."""
     return _write_version(
-        table_dir, ds, "append", stats_cols, token, retries, note, bloom_key
+        table_dir, ds, "append", stats_cols, token, retries, note, bloom_key,
+        meta=meta,
     )
 
 
@@ -825,6 +830,7 @@ def table_merge(
     retries: int = 5,
     note=None,
     bloom_key=None,
+    meta=None,
 ) -> int:
     """Copy-on-write MERGE (upsert by ``key_col``): rows of ``ds``
     REPLACE same-key rows in the head snapshot; new keys insert — the
@@ -879,6 +885,7 @@ def table_merge(
         retries=retries,
         note=note,
         bloom_key=bloom_key,
+        meta=meta,
     )
 
 
@@ -894,6 +901,7 @@ def _rewrite_and_commit(
     retries,
     note,
     bloom_key=None,
+    meta=None,
 ) -> int:
     """Shared copy-on-write tail of merge and delete: prune the
     candidate file set with manifest [min, max] stats AND per-file
@@ -1023,6 +1031,8 @@ def _rewrite_and_commit(
             "note": note,
             "files": carried + rw_rows + new_rows,
         }
+        if meta is not None:
+            man["meta"] = meta  # caller-opaque JSON (e.g. job counters)
         if defaults:
             man["defaults"] = defaults
         try:
