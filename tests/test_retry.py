@@ -137,13 +137,20 @@ def test_task_mode_transient_retry(ray_session, tmp_path, monkeypatch):
     assert os.path.exists(marker)  # the injected failure actually fired
 
 
-def test_extract_files_rejects_uri_shards(ray_session):
-    """extract_files takes local paths only — URI shards must raise
-    with guidance (run_job routes them to the Dataset path instead of
-    crashing inside a worker on a scheme pyarrow can't open)."""
+def test_permanently_dead_shard_fails_bounded(ray_session):
+    """A permanently-failing shard (missing object-store key — the
+    OSError class the transient policy retries) must surface to the
+    driver after TRANSIENT_MAX_RETRIES task retries, NOT respawn its
+    task forever. Round-5 regression: extract_files grew URI support
+    (the old local-only ValueError is gone), and with Ray Data's
+    default task max_retries=-1 the retry_exceptions contract turned a
+    dead localhost mirror into a 401-attempt infinite loop that wedged
+    the suite until a SIGINT."""
     import pytest as _pytest
 
     from textextract_ray.pipelines.extract_pipeline import extract_files
 
-    with _pytest.raises(ValueError, match="read_pages"):
-        extract_files(["http://mirror.example/shard-0.parquet"])
+    with _pytest.raises(Exception, match="nonexistent-bucket|No such file|not found"):
+        # dedup's key scan materializes, so the bounded failure surfaces
+        # right here — no separate consume step needed
+        extract_files(["local:///nonexistent-bucket/shard-0.parquet"]).count()

@@ -131,6 +131,7 @@ def extract_files(
     from ..sources import expand_shards
     from ..stages.extract import (
         TRANSIENT_EXCEPTIONS,
+        TRANSIENT_MAX_RETRIES,
         ExtractBatch,
         apply_transient_retry_policy,
     )
@@ -192,6 +193,10 @@ def extract_files(
         # the shard READ I/O lives inside this task now, exactly where
         # a dropped NFS/object-store connection would surface
         retry_exceptions=list(TRANSIENT_EXCEPTIONS),
+        # bounded: Ray Data task operators default to max_retries=-1,
+        # which turns a permanently-dead shard (OSError class) into an
+        # infinite task-respawn loop wedging the pipeline
+        max_retries=TRANSIENT_MAX_RETRIES,
     )
     if dedup:
         extracted = dedup_by_url(extracted, canonicalize=canonicalize_urls)

@@ -193,6 +193,7 @@ def map_parquet_fused(
             items.append({"path": p, "rg": rg})
     if len(items) < min_tasks:
         from ..stages.extract import TRANSIENT_EXCEPTIONS as _TE
+        from ..stages.extract import TRANSIENT_MAX_RETRIES as _TMR
 
         kwargs = {"columns": list(columns)} if columns is not None else {}
         # same transient-retry semantics as the fused branch — failure
@@ -203,6 +204,7 @@ def map_parquet_fused(
             batch_size=batch_size,
             zero_copy_batch=True,
             retry_exceptions=list(_TE),
+            max_retries=_TMR,
         )
 
     cols = list(columns) if columns is not None else None
@@ -215,12 +217,13 @@ def map_parquet_fused(
             for off in range(0, t.num_rows, batch_size):
                 yield fn(t.slice(off, batch_size))
 
-    from ..stages.extract import TRANSIENT_EXCEPTIONS
+    from ..stages.extract import TRANSIENT_EXCEPTIONS, TRANSIENT_MAX_RETRIES
 
     return rd.from_items(items, override_num_blocks=len(items)).map_batches(
         run,
         batch_format="pyarrow",
         retry_exceptions=list(TRANSIENT_EXCEPTIONS),
+        max_retries=TRANSIENT_MAX_RETRIES,
     )
 
 
@@ -321,7 +324,12 @@ def expand_shards(paths, suffixes: tuple) -> list:
     for p in map(str, paths):
         if "://" in p:
             scheme = p.split("://", 1)[0]
-            if scheme in ("http", "https"):
+            if scheme in ("http", "https") or p.endswith(tuple(suffixes)):
+                # a suffix-matching URI is a shard FILE: pass through
+                # without touching its filesystem — resolving remotely
+                # per entry would cost one metadata round-trip per
+                # shard on explicit 10^6-entry lists (and http can't
+                # be listed at all)
                 shard_list.append(p)
                 continue
             from pyarrow import fs as pafs

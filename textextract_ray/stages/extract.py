@@ -40,6 +40,19 @@ _SPAN_TYPE = EXTRACTED_SCHEMA.field("spans").type
 # retries or wedge the pipeline.
 TRANSIENT_EXCEPTIONS = (OSError, ConnectionError, TimeoutError)
 
+# Bound for plain-task transient retries: Ray Data's task operators
+# default to max_retries=-1, so a PERMANENTLY-failing shard (dead
+# mirror, deleted object-store key — both surface as OSError, the
+# retryable class) would respawn its task forever and wedge the whole
+# pipeline on one input. 4 retries absorbs real transience (each http
+# attempt already runs a 3x backoff ladder internally = up to 15
+# connection attempts total); the 5th failure surfaces the error to
+# the driver, where run_job's partition granularity makes the retry
+# decision a human/scheduler one. Found the hard way: a round-5 test
+# against a dead localhost mirror retried one task 401 times before a
+# SIGINT ended the run.
+TRANSIENT_MAX_RETRIES = 4
+
 
 def apply_transient_retry_policy() -> None:
     """Idempotently install the transient-retry classification on the
@@ -189,6 +202,7 @@ def extract_pages(
                 # (Ray 2.49 reads it only in the actor-pool operator) —
                 # the transient contract rides the remote args instead
                 retry_exceptions=list(TRANSIENT_EXCEPTIONS),
+                max_retries=TRANSIENT_MAX_RETRIES,
             )
         return pages_ds.map_batches(
             ExtractBatch,
