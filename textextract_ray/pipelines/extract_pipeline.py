@@ -119,10 +119,16 @@ def extract_files(
     groups still decode incrementally. This is the 100-TB deployment
     shape: object-store shards keep the fused zero-plasma data motion
     instead of falling back to the read→plasma→extract round-trip
-    (VERDICT r4 rank-1 item). Parity with the Dataset path over both
-    ``file://`` and ``http://`` shard lists is pinned in
-    ``test_pipeline_e2e.test_fused_matches_dataset_path_uri`` and
-    ``test_http_source.test_fused_http_matches_local``.
+    (VERDICT r4 rank-1 item). One refinement for whole-file-fetch
+    http(s) lists: shards group TWO per task with a background-thread
+    prefetch of the next shard's bytes, so network wait overlaps
+    extraction inside the task (measured 0.80×→0.90× of the pipelined
+    Dataset path on an adversarial same-box localhost server;
+    BASELINE.md round 5 has the full trade, including why fused stays
+    the default — plasma holds ~10× fewer bytes at scale). Parity with
+    the Dataset path over both ``file://`` and ``http://`` shard lists
+    is pinned in ``test_uri_shards.test_fused_matches_dataset_path_uri``
+    and ``test_http_source.test_fused_http_matches_local``.
     """
     import ray.data as rd
 
@@ -144,6 +150,20 @@ def extract_files(
         DEFAULT_MAX_OUTPUT_BYTES if max_output_bytes is None else max_output_bytes
     )
     decode_rows = max(batch_size, 4096)
+    # http(s) shards: the whole-shard fetch (no Range support → one
+    # buffered GET) would otherwise serialize with extraction inside
+    # the task — the worker's slot idles on network for the full shard
+    # transfer before any CPU work starts, costing ~20% wall vs the
+    # pipelined Dataset path (measured, BASELINE.md round 5). Group two
+    # shards per task and PREFETCH the next shard's bytes on a
+    # background thread while the current one extracts: fetch overlaps
+    # compute within the task, zero-plasma motion intact. Random-access
+    # schemes (file/s3-style) read incrementally per row group, so
+    # their stall is already amortized — leave them one shard per task
+    # (maximum straggler granularity).
+    group2 = len(shard_list) >= 8 and all(
+        p.split("://", 1)[0] in ("http", "https") for p in shard_list if "://" in p
+    ) and any("://" in p for p in shard_list)
 
     def fused(batch: pa.Table):
         import pyarrow.parquet as pq
@@ -152,11 +172,10 @@ def extract_files(
 
         extractor = ExtractBatch(max_output_bytes=out_bytes)
 
-        def chunks(path):
+        def chunks(path, src):
             # open_shard: local path string (mmap fast path) OR a
             # worker-side stream for URI shards — decode stays
             # incremental either way
-            src = open_shard(path)
             try:
                 if path.endswith(".warc.gz"):
                     yield from warc_pages_chunks(src, rows_per_chunk=decode_rows)
@@ -169,21 +188,33 @@ def extract_files(
                 if src is not path and hasattr(src, "close"):
                     src.close()
 
-        for path in batch["path"].to_pylist():
-            for t in chunks(path):
-                if validate_schema:
-                    t = validate_table(
-                        t, PAGES_SCHEMA, where="extract_files input"
-                    )
-                t = annotate_batch(t)
-                # slice-by-slice so extracted rows stream downstream
-                # (Ray coalesces yields into target-size output blocks)
-                for off in range(0, t.num_rows, batch_size):
-                    yield extractor(t.slice(off, batch_size))
+        paths_ = batch["path"].to_pylist()
+        from concurrent.futures import ThreadPoolExecutor
 
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(open_shard, paths_[0]) if paths_ else None
+            for i, path in enumerate(paths_):
+                src = nxt.result()
+                nxt = (
+                    pool.submit(open_shard, paths_[i + 1])
+                    if i + 1 < len(paths_)
+                    else None
+                )
+                for t in chunks(path, src):
+                    if validate_schema:
+                        t = validate_table(
+                            t, PAGES_SCHEMA, where="extract_files input"
+                        )
+                    t = annotate_batch(t)
+                    # slice-by-slice so extracted rows stream downstream
+                    # (Ray coalesces yields into target-size output blocks)
+                    for off in range(0, t.num_rows, batch_size):
+                        yield extractor(t.slice(off, batch_size))
+
+    n_blocks = (len(shard_list) + 1) // 2 if group2 else len(shard_list)
     extracted = rd.from_items(
         [{"path": p} for p in shard_list],
-        override_num_blocks=len(shard_list),
+        override_num_blocks=n_blocks,
     ).map_batches(
         fused,
         batch_format="pyarrow",
