@@ -883,3 +883,44 @@ def test_run_job_versioned_kill_resume_time_travel(ray_session, tmp_path):
     # re-partitioned rerun fails loudly (lineage guard)
     with pytest.raises(ValueError, match="different shard list"):
         run_job(files, "", shards_per_partition=2, table_dir=t)
+
+
+def test_run_job_versioned_extractor_upgrade_reextracts(
+    ray_session, tmp_path, monkeypatch
+):
+    """A parser upgrade must re-extract committed partitions on resume
+    (the versioned-path analogue of run_job's is_committed version
+    check): same shard hash + older version note -> re-extract + merge,
+    latest rows win, pre-upgrade snapshot stays time-travelable."""
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import run_job_versioned
+    from textextract_ray.pipelines.tablelog import read_table_at, table_history
+
+    files = generate_pages(str(tmp_path / "pages"), 100, 2, giant_bytes=1 << 16)
+    t = str(tmp_path / "tbl")
+    run_job_versioned(files, t, shards_per_partition=1)
+    head1 = int(table_history(t)["version"].max())
+    n1 = read_table_at(t).count()
+
+    # same version rerun: pure no-op
+    run_job_versioned(files, t, shards_per_partition=1)
+    assert int(table_history(t)["version"].max()) == head1
+
+    # simulate a parser upgrade
+    from textextract_ray.state import checkpoint as ckpt
+
+    monkeypatch.setattr(ckpt, "EXTRACTOR_VERSION", "1.0.1")
+    report = run_job_versioned(files, t, shards_per_partition=1)
+    hist = table_history(t)
+    assert int(hist["version"].max()) == head1 + 2  # both partitions re-ran
+    notes = [n for n in hist["note"].dropna() if n.startswith("job-part:")]
+    assert sum(n.endswith(":v1.0.1") for n in notes) == 2
+    assert int(report["docs"].sum()) > 0
+    # merge semantics: still exactly-once per url, same logical content
+    full = read_table_at(t).to_pandas()
+    assert full["url"].is_unique and len(full) == n1
+    # pre-upgrade snapshot intact
+    assert read_table_at(t, head1).count() == n1
+    # upgraded rerun at the new version: no-op again
+    run_job_versioned(files, t, shards_per_partition=1)
+    assert int(table_history(t)["version"].max()) == head1 + 2

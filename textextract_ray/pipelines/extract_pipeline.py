@@ -720,12 +720,17 @@ def run_job_versioned(
     entry point's partition granularity (VERDICT r4 item 6).
 
     Resume protocol: each committing manifest is stamped
-    ``note="job-part:<pid>:<sha1(shards)[:12]>"`` and carries the
-    partition counters + lineage in the manifest ``meta``; a rerun
-    skips any partition whose note is already in ``table_notes`` (notes
-    survive retention GC). A same-pid note with a DIFFERENT shard hash
-    means the caller re-partitioned the input — fail loudly, exactly
-    like the manifest lineage guard in ``run_job``.
+    ``note="job-part:<pid>:<sha1(shards)[:12]>:v<extractor_version>"``
+    and carries the partition counters + lineage in the manifest
+    ``meta``; a rerun skips any partition whose (hash, version) note is
+    already in ``table_notes`` (notes survive retention GC). A same-pid
+    note with a DIFFERENT shard hash means the caller re-partitioned
+    the input — fail loudly, exactly like the manifest lineage guard in
+    ``run_job``. A same-hash note from an OLDER extractor version means
+    the parser was upgraded: the partition RE-extracts and merges
+    (latest capture of each url supersedes the stale-version rows; the
+    pre-upgrade snapshot stays time-travelable) — the versioned-path
+    analogue of ``run_job``'s is_committed extractor-version check.
 
     Cross-partition semantics: merge-by-``key_col`` makes the table
     exactly-once per url GLOBALLY (latest partition wins), not just per
@@ -768,28 +773,34 @@ def run_job_versioned(
         if isinstance(n, str) and n.startswith("job-part:"):
             m = _read_manifest(table_dir, int(h_row["version"]))
             committed_meta[n] = m.get("meta") or {}
-    seen_pids = {}
+    seen_pids: dict = {}  # pid -> {hash: {versions}}
     for n in done:
         if isinstance(n, str) and n.startswith("job-part:"):
-            _, pid_s, hh = n.split(":")
-            seen_pids[int(pid_s)] = hh
+            parts = n.split(":")
+            pid_i, hh_s = int(parts[1]), parts[2]
+            ver = parts[3][1:] if len(parts) > 3 else ""  # pre-version notes
+            seen_pids.setdefault(pid_i, {}).setdefault(hh_s, set()).add(ver)
     results: dict = {}
     for pid, shards in enumerate(partitions):
         hh = hashlib.sha1("\x00".join(map(str, shards)).encode()).hexdigest()[:12]
-        note = f"job-part:{pid}:{hh}"
-        if pid in seen_pids:
-            if seen_pids[pid] != hh:
+        note = f"job-part:{pid}:{hh}:v{EXTRACTOR_VERSION}"
+        prior = seen_pids.get(pid)
+        if prior is not None:
+            if hh not in prior:
                 raise ValueError(
                     f"partition {pid} was committed from a different shard "
-                    f"list (note hash {seen_pids[pid]} != {hh}); "
+                    f"list (note hashes {sorted(prior)} != {hh}); "
                     "shards_per_partition changed? use the original sizing "
                     "or a fresh table"
                 )
-            meta = committed_meta.get(note, {})
-            results[pid] = dict(
-                meta.get("counters") or {"partition_id": pid, "docs": 0}
-            )
-            continue
+            if EXTRACTOR_VERSION in prior[hh]:
+                meta = committed_meta.get(note, {})
+                results[pid] = dict(
+                    meta.get("counters") or {"partition_id": pid, "docs": 0}
+                )
+                continue
+            # same shards, older extractor version: fall through and
+            # re-extract — the merge below supersedes the stale rows
         if fail_at_partition is not None and pid >= fail_at_partition:
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         extracted = extract_files(
