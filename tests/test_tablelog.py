@@ -924,3 +924,27 @@ def test_run_job_versioned_extractor_upgrade_reextracts(
     # upgraded rerun at the new version: no-op again
     run_job_versioned(files, t, shards_per_partition=1)
     assert int(table_history(t)["version"].max()) == head1 + 2
+
+
+def test_run_job_versioned_resume_after_expiry(ray_session, tmp_path):
+    """Retention GC may expire job manifests (counters ride manifest
+    meta) while the note stamps survive — a resume must still skip the
+    partitions (no re-extraction) and the report must degrade to
+    zero-counter rows, not crash."""
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import run_job_versioned
+    from textextract_ray.pipelines.tablelog import table_expire, table_history
+
+    files = generate_pages(str(tmp_path / "pages"), 60, 2, giant_bytes=1 << 15)
+    t = str(tmp_path / "tbl")
+    run_job_versioned(files, t, shards_per_partition=1)
+    head = int(table_history(t)["version"].max())
+    table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+
+    report = run_job_versioned(files, t, shards_per_partition=1)
+    assert int(table_history(t)["version"].max()) == head  # nothing re-ran
+    assert len(report) == 2
+    # the expired partition's counters degrade to zeros; the retained
+    # head partition keeps real counters via its manifest meta
+    assert int(report["docs"].max()) > 0
+    assert int(report["docs"].min()) == 0

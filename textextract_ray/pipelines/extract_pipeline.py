@@ -795,9 +795,18 @@ def run_job_versioned(
                 )
             if EXTRACTOR_VERSION in prior[hh]:
                 meta = committed_meta.get(note, {})
-                results[pid] = dict(
-                    meta.get("counters") or {"partition_id": pid, "docs": 0}
-                )
+                # manifest expired by retention GC -> full zero-counter
+                # row (counters_report needs every counter column; a
+                # bare dict would KeyError the report when ALL rows
+                # degrade)
+                from ..schemas import COUNTERS_SCHEMA
+
+                zero = {f.name: 0 for f in COUNTERS_SCHEMA}
+                results[pid] = {
+                    **zero,
+                    **(meta.get("counters") or {}),
+                    "partition_id": pid,
+                }
                 continue
             # same shards, older extractor version: fall through and
             # re-extract — the merge below supersedes the stale rows
