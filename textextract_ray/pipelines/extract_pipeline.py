@@ -741,6 +741,7 @@ def run_job_versioned(
 
     Returns the standard per-partition counters report."""
     import hashlib
+    import threading
 
     from ..state.checkpoint import EXTRACTOR_VERSION
     from .tablelog import (
@@ -781,6 +782,19 @@ def run_job_versioned(
             ver = parts[3][1:] if len(parts) > 3 else ""  # pre-version notes
             seen_pids.setdefault(pid_i, {}).setdefault(hh_s, set()).add(ver)
     results: dict = {}
+    errors: dict = {}
+    pending: list = []
+
+    def join_pending() -> None:
+        for t in pending:
+            t.join()
+        pending.clear()
+        if errors:
+            pid_, exc = sorted(errors.items())[0]
+            raise RuntimeError(
+                f"partition {pid_} table commit failed"
+            ) from exc
+
     for pid, shards in enumerate(partitions):
         hh = hashlib.sha1("\x00".join(map(str, shards)).encode()).hexdigest()[:12]
         note = f"job-part:{pid}:{hh}:v{EXTRACTOR_VERSION}"
@@ -811,28 +825,51 @@ def run_job_versioned(
             # same shards, older extractor version: fall through and
             # re-extract — the merge below supersedes the stale rows
         if fail_at_partition is not None and pid >= fail_at_partition:
+            join_pending()  # earlier commits land; THIS partition does not
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         extracted = extract_files(
             shards, batch_size=batch_size, dedup=True
         ).materialize()  # pin: counters + stage both read the same blocks
-        counters = aggregate_counters(extracted, pid)
-        meta = {
-            "counters": counters,
-            "input_shards": list(map(str, shards)),
-            "shards_per_partition": shards_per_partition,
-            "extractor_version": EXTRACTOR_VERSION,
-        }
-        if _head_version(table_dir) == 0:
-            table_append(
-                table_dir, extracted, stats_cols=[key_col], note=note,
-                bloom_key=key_col, meta=meta,
-            )
-        else:
-            table_merge(
-                table_dir, extracted, key_col, stats_cols=[key_col],
-                note=note, bloom_key=key_col, meta=meta,
-            )
-        results[pid] = counters
+
+        def commit_one(pid=pid, shards=shards, note=note, extracted=extracted):
+            try:
+                counters = aggregate_counters(extracted, pid)
+                meta = {
+                    "counters": counters,
+                    "input_shards": list(map(str, shards)),
+                    "shards_per_partition": shards_per_partition,
+                    "extractor_version": EXTRACTOR_VERSION,
+                }
+                if _head_version(table_dir) == 0:
+                    table_append(
+                        table_dir, extracted, stats_cols=[key_col], note=note,
+                        bloom_key=key_col, meta=meta,
+                    )
+                else:
+                    table_merge(
+                        table_dir, extracted, key_col, stats_cols=[key_col],
+                        note=note, bloom_key=key_col, meta=meta,
+                    )
+                results[pid] = counters
+            except BaseException as exc:  # surfaced on join
+                errors[pid] = exc
+
+        # counters + bloom build + stage + commit run OVERLAPPED with the
+        # next partition's extraction (one deep — the same shape as
+        # run_job's verify_and_commit thread; measured ~10% of soak wall
+        # serialized otherwise, BASELINE.md round 5). Depth 1 means at
+        # most one committer mutates the head at a time, so the
+        # head==0 append-vs-merge decision inside the thread is
+        # race-free; out-of-order completion is resume-safe because
+        # notes are per-partition.
+        t = threading.Thread(target=commit_one, daemon=True)
+        t.start()
+        pending.append(t)
+        while len(pending) > 1:
+            pending.pop(0).join()
+        if errors:
+            join_pending()
+    join_pending()
     return counters_report([results[pid] for pid in sorted(results)])
 
 
