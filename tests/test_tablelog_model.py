@@ -54,6 +54,19 @@ def test_random_op_sequences_match_pandas_model(ray_session, tmp_path):
         op = rng.choice(["append", "overwrite", "merge", "delete"], p=[0.4, 0.15, 0.3, 0.15])
         if op == "append":
             df = _frame(rng, 200)
+            if rng.rand() < 0.25 and len(model):
+                # adversarial arm: a type-mismatched append (same names,
+                # string k) must be REJECTED at commit and leave the
+                # table byte-identical to the model (r5 type guard)
+                bad = df.copy()
+                bad["k"] = bad["k"].astype(str)
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="types mismatch"):
+                    table_append(t, rd.from_pandas(bad), stats_cols=["k"])
+                pd.testing.assert_frame_equal(
+                    _norm(read_table_at(t).to_pandas()), _norm(model)
+                )
             v = table_append(t, rd.from_pandas(df), stats_cols=["k"])
             model = pd.concat([model, df], ignore_index=True)
         elif op == "overwrite":
