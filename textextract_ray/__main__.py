@@ -51,6 +51,22 @@ def cmd_extract(args) -> int:
     if not files:
         print(f"error: no parquet shards under {args.input!r}", file=sys.stderr)
         return 2
+    if not args.table and not args.out:
+        print("error: pass --out (manifest mode) or --table (versioned mode)", file=sys.stderr)
+        return 2
+    if args.table:
+        # versioned mode: commits go to the table log (time travel /
+        # CDC / compaction); resume is note-based and always safe, so
+        # no --resume gate is needed
+        _init_ray()
+        report = run_job(
+            files,
+            args.out or args.table,
+            shards_per_partition=args.shards_per_partition or None,
+            table_dir=args.table,
+        )
+        print(report.to_string(index=False))
+        return 0
     if not args.resume and os.path.exists(os.path.join(args.out, "_manifests")):
         print(
             f"error: {args.out} already has manifests; pass --resume to continue it",
@@ -148,7 +164,7 @@ def main(argv=None) -> int:
 
     pe = sub.add_parser("extract", help="resumable extraction job over parquet shards")
     pe.add_argument("--input", required=True, help="shard glob, directory, or file")
-    pe.add_argument("--out", required=True)
+    pe.add_argument("--out", default="", help="manifest-mode output dir (unused with --table)")
     pe.add_argument(
         "--shards-per-partition",
         type=int,
@@ -164,6 +180,13 @@ def main(argv=None) -> int:
         help="route docs larger than this many bytes to the dedicated "
         "small-batch giant pool (opt-in); 0 (default) = the fused "
         "single-pool shape, matching run_job's library default",
+    )
+    pe.add_argument(
+        "--table",
+        default="",
+        help="commit partitions into this versioned table log instead "
+        "of manifest directories (time travel / change feeds / "
+        "compaction; resume is note-based and automatic)",
     )
     pe.add_argument("--resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)
