@@ -871,6 +871,13 @@ def test_run_job_versioned_kill_resume_time_travel(ray_session, tmp_path):
     # exactly-once per url globally (fixture F9 plants cross-shard dups)
     full = read_table_at(t).to_pandas()
     assert full["url"].is_unique
+    # exactly ONE append (the first partition), every later one a merge
+    # — two overlapped committers racing head==0 would both append and
+    # silently drop the cross-partition url merge (r5 overlap review)
+    ops = [
+        hist.loc[hist["note"] == n, "operation"].iloc[0] for n in notes
+    ]
+    assert ops.count("append") == 1 and set(ops) <= {"append", "merge"}
 
     # time travel: the snapshot after partition 0's commit is intact
     v1 = int(hist.loc[hist["note"] == notes[0], "version"].iloc[0])

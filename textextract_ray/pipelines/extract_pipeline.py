@@ -857,18 +857,19 @@ def run_job_versioned(
         # counters + bloom build + stage + commit run OVERLAPPED with the
         # next partition's extraction (one deep — the same shape as
         # run_job's verify_and_commit thread; measured ~10% of soak wall
-        # serialized otherwise, BASELINE.md round 5). Depth 1 means at
-        # most one committer mutates the head at a time, so the
-        # head==0 append-vs-merge decision inside the thread is
-        # race-free; out-of-order completion is resume-safe because
-        # notes are per-partition.
-        t = threading.Thread(target=commit_one, daemon=True)
-        t.start()
-        pending.append(t)
-        while len(pending) > 1:
+        # serialized otherwise, BASELINE.md round 5). The PREVIOUS
+        # committer is joined BEFORE this one starts — the overlap is
+        # commit N under extraction N+1, never two committers at once,
+        # so the head==0 append-vs-merge decision inside the thread is
+        # race-free (two live committers could both see head 0 and both
+        # APPEND, silently dropping the cross-partition url merge).
+        while pending:
             pending.pop(0).join()
         if errors:
             join_pending()
+        t = threading.Thread(target=commit_one, daemon=True)
+        t.start()
+        pending.append(t)
     join_pending()
     return counters_report([results[pid] for pid in sorted(results)])
 
