@@ -58,6 +58,17 @@ def cmd_extract(args) -> int:
         # versioned mode: commits go to the table log (time travel /
         # CDC / compaction); resume is note-based and always safe, so
         # no --resume gate is needed
+        if args.giant_threshold > 0:
+            # the versioned job is the fused single-pool shape only —
+            # silently dropping the user's giant-doc sizing would be a
+            # misconfiguration they only notice in production
+            print(
+                "error: --giant-threshold is not supported with --table "
+                "(the versioned job uses the fused single-pool path); "
+                "drop the flag or use manifest mode (--out)",
+                file=sys.stderr,
+            )
+            return 2
         _init_ray()
         report = run_job(
             files,

@@ -66,6 +66,71 @@ def extract_dataset(
     return extracted
 
 
+class _CommitOverlap:
+    """Background-commit machinery shared by ``run_job`` (manifest
+    verify+commit, backlog ≤ 2) and ``run_job_versioned`` (table
+    commit, one at a time): ``submit(pid, fn)`` runs ``fn`` on a
+    daemon thread catching its failure; ``drain(n)`` joins until at
+    most ``n`` are in flight; ``join_all()`` joins everything and
+    re-raises the FIRST failure as ``RuntimeError("partition <pid>
+    <what> failed")``. One copy so the error-surfacing / backlog
+    semantics cannot drift between the two resume protocols."""
+
+    def __init__(self, what: str):
+        import threading
+
+        self._threading = threading
+        self.pending: list = []
+        self.errors: dict = {}
+        self.what = what
+
+    def submit(self, pid: int, fn) -> None:
+        def run():
+            try:
+                fn()
+            except BaseException as exc:  # surfaced on join
+                self.errors[pid] = exc
+
+        t = self._threading.Thread(target=run, daemon=True)
+        t.start()
+        self.pending.append(t)
+
+    def drain(self, n: int) -> None:
+        while len(self.pending) > n:
+            self.pending.pop(0).join()
+
+    def join_all(self) -> None:
+        self.drain(0)
+        if self.errors:
+            pid, exc = sorted(self.errors.items())[0]
+            raise RuntimeError(
+                f"partition {pid} {self.what} failed"
+            ) from exc
+
+
+# prefetch doubles per-task heap to 2× one shard buffer — cap the shard
+# size it engages at (Common Crawl WARCs run ~1 GB; 256 MB × 2 keeps a
+# task's buffers comfortably inside a 4 GB worker heap next to decode)
+_HTTP_PREFETCH_MAX = 256 << 20
+
+
+def _http_size_ok(url: str) -> bool:
+    """ONE driver-side HEAD request on the first shard: prefetch-group
+    only when Content-Length is known and under _HTTP_PREFETCH_MAX
+    (crawl dumps are uniformly sized, so one probe stands for the
+    list). Unknown size or probe failure → False: the one-buffer heap
+    contract wins over the ~10% overlap gain."""
+    import urllib.request
+
+    try:
+        req = urllib.request.Request(url, method="HEAD")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            n = resp.headers.get("Content-Length")
+        return n is not None and int(n) <= _HTTP_PREFETCH_MAX
+    except Exception:
+        return False
+
+
 def extract_files(
     paths,
     *,
@@ -157,13 +222,22 @@ def extract_files(
     # pipelined Dataset path (measured, BASELINE.md round 5). Group two
     # shards per task and PREFETCH the next shard's bytes on a
     # background thread while the current one extracts: fetch overlaps
-    # compute within the task, zero-plasma motion intact. Random-access
-    # schemes (file/s3-style) read incrementally per row group, so
-    # their stall is already amortized — leave them one shard per task
-    # (maximum straggler granularity).
+    # compute within the task, zero-plasma motion intact. Grouping
+    # requires an ALL-http list (a mixed list would halve the local
+    # shards' task parallelism for zero prefetch benefit — open_shard
+    # on a local path is a string pass-through) and a bounded shard
+    # size: while shard i extracts, shard i+1's buffer is ALSO live, so
+    # per-task heap is 2× one shard. One driver-side HEAD probe of the
+    # first shard checks Content-Length against _HTTP_PREFETCH_MAX
+    # (crawl shards are uniformly sized); oversized or unprobeable →
+    # one shard per task, the one-buffer heap contract holds. Random-
+    # access schemes (file/s3-style) read incrementally per row group,
+    # so their stall is already amortized — never grouped.
     group2 = len(shard_list) >= 8 and all(
-        p.split("://", 1)[0] in ("http", "https") for p in shard_list if "://" in p
-    ) and any("://" in p for p in shard_list)
+        p.split("://", 1)[0] in ("http", "https") for p in shard_list
+    )
+    if group2:
+        group2 = _http_size_ok(shard_list[0])
 
     def fused(batch: pa.Table):
         import pyarrow.parquet as pq
@@ -193,23 +267,37 @@ def extract_files(
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             nxt = pool.submit(open_shard, paths_[0]) if paths_ else None
-            for i, path in enumerate(paths_):
-                src = nxt.result()
-                nxt = (
-                    pool.submit(open_shard, paths_[i + 1])
-                    if i + 1 < len(paths_)
-                    else None
-                )
-                for t in chunks(path, src):
-                    if validate_schema:
-                        t = validate_table(
-                            t, PAGES_SCHEMA, where="extract_files input"
-                        )
-                    t = annotate_batch(t)
-                    # slice-by-slice so extracted rows stream downstream
-                    # (Ray coalesces yields into target-size output blocks)
-                    for off in range(0, t.num_rows, batch_size):
-                        yield extractor(t.slice(off, batch_size))
+            try:
+                for i, path in enumerate(paths_):
+                    src = nxt.result()
+                    nxt = (
+                        pool.submit(open_shard, paths_[i + 1])
+                        if i + 1 < len(paths_)
+                        else None
+                    )
+                    for t in chunks(path, src):
+                        if validate_schema:
+                            t = validate_table(
+                                t, PAGES_SCHEMA, where="extract_files input"
+                            )
+                        t = annotate_batch(t)
+                        # slice-by-slice so extracted rows stream
+                        # downstream (Ray coalesces yields into
+                        # target-size output blocks)
+                        for off in range(0, t.num_rows, batch_size):
+                            yield extractor(t.slice(off, batch_size))
+            finally:
+                # a decode error in the CURRENT shard (or Ray closing
+                # the streaming generator early) must not abandon the
+                # in-flight prefetch handle — over max_retries task
+                # retries that accumulates open remote files/sockets
+                if nxt is not None:
+                    try:
+                        h = nxt.result(timeout=60)
+                        if hasattr(h, "close"):
+                            h.close()
+                    except Exception:
+                        pass
 
     n_blocks = (len(shard_list) + 1) // 2 if group2 else len(shard_list)
     extracted = rd.from_items(
@@ -693,10 +781,26 @@ def _auto_shards_per_partition(shard_files: list) -> int:
     from ..sources import open_shard
 
     sample = shard_files[:: max(1, len(shard_files) // 16)][:16]
-    # open_shard: URI shard lists size from footers too (a remote
-    # footer read is metadata-only through a random-access handle;
-    # http fetches the sample shard once — sizing is a one-time cost)
-    rows = [pq.ParquetFile(open_shard(f)).metadata.num_rows for f in sample]
+    # URI shard lists size from footers too. Random-access schemes read
+    # metadata-only through their handle (closed after the footer);
+    # http has no Range support, so each sampled shard is a FULL
+    # driver-side download — cap those at 2 (crawl shards are uniformly
+    # sized; 16 full fetches before any extraction starts would cost
+    # GBs of driver traffic for a number the median barely moves).
+    http_seen = 0
+    rows = []
+    for f in sample:
+        is_http = f.split("://", 1)[0] in ("http", "https")
+        if is_http:
+            if http_seen >= 2:
+                continue
+            http_seen += 1
+        src = open_shard(f)
+        try:
+            rows.append(pq.ParquetFile(src).metadata.num_rows)
+        finally:
+            if src is not f and hasattr(src, "close"):
+                src.close()
     per_shard = max(1, int(np.median(rows)))
     target = PARTITION_TARGET_DOCS_PER_CPU * ncpu
     return max(1, min(len(shard_files), round(target / per_shard)))
@@ -741,7 +845,6 @@ def run_job_versioned(
 
     Returns the standard per-partition counters report."""
     import hashlib
-    import threading
 
     from ..state.checkpoint import EXTRACTOR_VERSION
     from .tablelog import (
@@ -758,12 +861,6 @@ def run_job_versioned(
         raise ValueError("no input shards: shard_files is empty")
     if _head_version(table_dir) < 0:
         table_create(table_dir)
-    if shards_per_partition is None:
-        shards_per_partition = _auto_shards_per_partition(shard_files)
-    partitions = [
-        shard_files[i : i + shards_per_partition]
-        for i in range(0, len(shard_files), shards_per_partition)
-    ]
     # notes survive table_expire; manifests may not — counters for
     # expired-but-noted partitions degrade to a bare row, never a rerun
     done = table_notes(table_dir)
@@ -774,6 +871,26 @@ def run_job_versioned(
         if isinstance(n, str) and n.startswith("job-part:"):
             m = _read_manifest(table_dir, int(h_row["version"]))
             committed_meta[n] = m.get("meta") or {}
+    if shards_per_partition is None:
+        # resume rule identical to run_job's manifest mode: the sizing
+        # recorded in committed job metadata WINS over auto — partition
+        # boundaries must be identical across runs or pids would not
+        # line up with committed lineage (an auto recompute on a
+        # different-sized cluster would shift every shard hash and make
+        # the job permanently unresumable)
+        sizes = {
+            m["shards_per_partition"]
+            for m in committed_meta.values()
+            if m.get("shards_per_partition")
+        }
+        if sizes:
+            shards_per_partition = sizes.pop()
+        else:
+            shards_per_partition = _auto_shards_per_partition(shard_files)
+    partitions = [
+        shard_files[i : i + shards_per_partition]
+        for i in range(0, len(shard_files), shards_per_partition)
+    ]
     seen_pids: dict = {}  # pid -> {hash: {versions}}
     for n in done:
         if isinstance(n, str) and n.startswith("job-part:"):
@@ -782,18 +899,7 @@ def run_job_versioned(
             ver = parts[3][1:] if len(parts) > 3 else ""  # pre-version notes
             seen_pids.setdefault(pid_i, {}).setdefault(hh_s, set()).add(ver)
     results: dict = {}
-    errors: dict = {}
-    pending: list = []
-
-    def join_pending() -> None:
-        for t in pending:
-            t.join()
-        pending.clear()
-        if errors:
-            pid_, exc = sorted(errors.items())[0]
-            raise RuntimeError(
-                f"partition {pid_} table commit failed"
-            ) from exc
+    commits = _CommitOverlap("table commit")
 
     for pid, shards in enumerate(partitions):
         hh = hashlib.sha1("\x00".join(map(str, shards)).encode()).hexdigest()[:12]
@@ -825,52 +931,46 @@ def run_job_versioned(
             # same shards, older extractor version: fall through and
             # re-extract — the merge below supersedes the stale rows
         if fail_at_partition is not None and pid >= fail_at_partition:
-            join_pending()  # earlier commits land; THIS partition does not
+            commits.join_all()  # earlier commits land; THIS one does not
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         extracted = extract_files(
             shards, batch_size=batch_size, dedup=True
         ).materialize()  # pin: counters + stage both read the same blocks
 
         def commit_one(pid=pid, shards=shards, note=note, extracted=extracted):
-            try:
-                counters = aggregate_counters(extracted, pid)
-                meta = {
-                    "counters": counters,
-                    "input_shards": list(map(str, shards)),
-                    "shards_per_partition": shards_per_partition,
-                    "extractor_version": EXTRACTOR_VERSION,
-                }
-                if _head_version(table_dir) == 0:
-                    table_append(
-                        table_dir, extracted, stats_cols=[key_col], note=note,
-                        bloom_key=key_col, meta=meta,
-                    )
-                else:
-                    table_merge(
-                        table_dir, extracted, key_col, stats_cols=[key_col],
-                        note=note, bloom_key=key_col, meta=meta,
-                    )
-                results[pid] = counters
-            except BaseException as exc:  # surfaced on join
-                errors[pid] = exc
+            counters = aggregate_counters(extracted, pid)
+            meta = {
+                "counters": counters,
+                "input_shards": list(map(str, shards)),
+                "shards_per_partition": shards_per_partition,
+                "extractor_version": EXTRACTOR_VERSION,
+            }
+            if _head_version(table_dir) == 0:
+                table_append(
+                    table_dir, extracted, stats_cols=[key_col], note=note,
+                    bloom_key=key_col, meta=meta,
+                )
+            else:
+                table_merge(
+                    table_dir, extracted, key_col, stats_cols=[key_col],
+                    note=note, bloom_key=key_col, meta=meta,
+                )
+            results[pid] = counters
 
         # counters + bloom build + stage + commit run OVERLAPPED with the
         # next partition's extraction (one deep — the same shape as
         # run_job's verify_and_commit thread; measured ~10% of soak wall
         # serialized otherwise, BASELINE.md round 5). The PREVIOUS
-        # committer is joined BEFORE this one starts — the overlap is
+        # committer is drained BEFORE this one starts — the overlap is
         # commit N under extraction N+1, never two committers at once,
         # so the head==0 append-vs-merge decision inside the thread is
         # race-free (two live committers could both see head 0 and both
         # APPEND, silently dropping the cross-partition url merge).
-        while pending:
-            pending.pop(0).join()
-        if errors:
-            join_pending()
-        t = threading.Thread(target=commit_one, daemon=True)
-        t.start()
-        pending.append(t)
-    join_pending()
+        commits.drain(0)
+        if commits.errors:
+            commits.join_all()
+        commits.submit(pid, commit_one)
+    commits.join_all()
     return counters_report([results[pid] for pid in sorted(results)])
 
 
@@ -930,8 +1030,6 @@ def run_job(
     table version with time travel / CDC / compaction for free, and
     ``out_dir`` is ignored. Returns the per-partition counters report.
     """
-    import threading
-
     if table_dir is not None:
         return run_job_versioned(
             shard_files,
@@ -979,8 +1077,7 @@ def run_job(
                 f"use the original sizing or a fresh out_dir"
             )
     results: dict = {}
-    errors: dict = {}
-    pending: list = []
+    commits = _CommitOverlap("verify/commit")
 
     def verify_and_commit(pid: int, shards: list, pdir: str) -> None:
         # retry ladder (mirrors the reference's write-verify sink,
@@ -988,8 +1085,9 @@ def run_job(
         # surfacing as OSError/IOError anywhere in read-back, counter
         # aggregation, or manifest write — retry 3× with increasing
         # backoff; anything else (bad data, schema drift, logic errors)
-        # fails fast. The whole attempt is idempotent: read-back is
-        # pure, and commit_partition writes the manifest atomically
+        # fails fast (raises to the _CommitOverlap wrapper). The whole
+        # attempt is idempotent: read-back is pure, and
+        # commit_partition writes the manifest atomically
         # (tmp+fsync+rename), so a retry after a partially-failed
         # attempt cannot double-commit or corrupt lineage — exactly-once
         # is preserved because the manifest either exists (done) or not.
@@ -1014,25 +1112,14 @@ def run_job(
                     f"failed ({type(exc).__name__}: {exc}); retrying"
                 )
                 _time.sleep(0.3 * (attempt + 1))
-            except BaseException as exc:  # non-transient: surfaced on join
-                errors[pid] = exc
-                return
-        errors[pid] = last_exc
-
-    def join_pending() -> None:
-        for t in pending:
-            t.join()
-        pending.clear()
-        if errors:
-            pid, exc = sorted(errors.items())[0]
-            raise RuntimeError(f"partition {pid} verify/commit failed") from exc
+        raise last_exc  # type: ignore[misc]
 
     for pid, shards in enumerate(partitions):
         if checkpoint.is_committed(out_dir, pid):
             results[pid] = {"partition_id": pid, **committed[pid]["counters"]}
             continue
         if fail_at_partition is not None and pid >= fail_at_partition:
-            join_pending()  # earlier commits land; THIS partition does not
+            commits.join_all()  # earlier commits land; THIS one does not
             raise RuntimeError(f"fault injection: killed before partition {pid}")
         checkpoint.clean_uncommitted(out_dir, pid)
         if giant_threshold is None and concurrency is None:
@@ -1056,19 +1143,17 @@ def run_job(
         extracted.write_parquet(pdir)
         # commit barrier off the critical path: next partition's read +
         # extract starts while this one verifies and commits
-        t = threading.Thread(
-            target=verify_and_commit, args=(pid, shards, pdir), daemon=True
+        commits.submit(
+            pid, lambda pid=pid, shards=shards, pdir=pdir: verify_and_commit(
+                pid, shards, pdir
+            )
         )
-        t.start()
-        pending.append(t)
         # bound the verify backlog: at most 2 in flight, so a slow
         # verify applies backpressure instead of piling up read jobs
-        max_pending = 2 if overlap_commit else 0
-        while len(pending) > max_pending:
-            pending.pop(0).join()
-        if errors:
-            join_pending()
-    join_pending()
+        commits.drain(2 if overlap_commit else 0)
+        if commits.errors:
+            commits.join_all()
+    commits.join_all()
     report = counters_report([results[pid] for pid in sorted(results)])
     # S6 metrics sink: the counters table rides next to the manifests
     # (reference update-track event sink, update_routes.py:287-313)
