@@ -180,3 +180,30 @@ def test_fused_http_matches_local(ray_session, fixture_pages, http_fixture_serve
     local["spans"] = local["spans"].map(spanify)
     over_http["spans"] = over_http["spans"].map(spanify)
     pd.testing.assert_frame_equal(local, over_http)
+
+
+def test_fused_http_oversized_shards_skip_prefetch(
+    ray_session, fixture_pages, http_fixture_server, monkeypatch
+):
+    """Shards over the prefetch cap (or unprobeable servers) must fall
+    back to one shard per task — the one-buffer heap contract wins —
+    and output stays byte-identical."""
+    from textextract_ray.pipelines import extract_pipeline as ep
+
+    monkeypatch.setattr(ep, "_HTTP_PREFETCH_MAX", 1)  # everything oversized
+    a = (
+        ep.extract_files(list(http_fixture_server), dedup=False)
+        .to_pandas()[["url", "extracted_text"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        ep.extract_files(list(fixture_pages), dedup=False)
+        .to_pandas()[["url", "extracted_text"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert not ep._http_size_ok(http_fixture_server[0])  # cap enforced
+    monkeypatch.undo()
+    assert ep._http_size_ok(http_fixture_server[0])  # normal cap admits
