@@ -191,6 +191,7 @@ def test_fused_http_oversized_shards_skip_prefetch(
     from textextract_ray.pipelines import extract_pipeline as ep
 
     monkeypatch.setattr(ep, "_HTTP_PREFETCH_MAX", 1)  # everything oversized
+    ep._http_size_cache.clear()  # probe results are memoized per url
     a = (
         ep.extract_files(list(http_fixture_server), dedup=False)
         .to_pandas()[["url", "extracted_text"]]
@@ -206,4 +207,5 @@ def test_fused_http_oversized_shards_skip_prefetch(
     assert a.equals(b)
     assert not ep._http_size_ok(http_fixture_server[0])  # cap enforced
     monkeypatch.undo()
+    ep._http_size_cache.clear()
     assert ep._http_size_ok(http_fixture_server[0])  # normal cap admits

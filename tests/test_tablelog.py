@@ -921,7 +921,7 @@ def test_run_job_versioned_extractor_upgrade_reextracts(
     hist = table_history(t)
     assert int(hist["version"].max()) == head1 + 2  # both partitions re-ran
     notes = [n for n in hist["note"].dropna() if n.startswith("job-part:")]
-    assert sum(n.endswith(":v1.0.1") for n in notes) == 2
+    assert sum(":v1.0.1:" in n for n in notes) == 2
     assert int(report["docs"].sum()) > 0
     # merge semantics: still exactly-once per url, same logical content
     full = read_table_at(t).to_pandas()
@@ -955,3 +955,46 @@ def test_run_job_versioned_resume_after_expiry(ray_session, tmp_path):
     # head partition keeps real counters via its manifest meta
     assert int(report["docs"].max()) > 0
     assert int(report["docs"].min()) == 0
+
+
+def test_run_job_versioned_auto_sizing_resume_survives_expiry(
+    ray_session, tmp_path, monkeypatch
+):
+    """Auto-sized (shards_per_partition=None) versioned jobs must
+    resume with the ORIGINAL sizing even after retention GC expired the
+    job manifests and the cluster size changed — the sizing rides the
+    GC-surviving note stamps, not just manifest meta."""
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines import extract_pipeline as ep
+    from textextract_ray.pipelines.tablelog import table_expire, table_history
+
+    files = generate_pages(str(tmp_path / "pages"), 80, 4, giant_bytes=1 << 15)
+    t = str(tmp_path / "tbl")
+    # pin auto-sizing to 1 for the first (partial) run
+    monkeypatch.setattr(ep, "_auto_shards_per_partition", lambda fs: 1)
+    with pytest.raises(RuntimeError, match="fault injection"):
+        ep.run_job_versioned(files, t, shards_per_partition=None, fail_at_partition=2)
+    table_expire(t, keep_last=1, orphan_grace_seconds=0.0)
+    # "cluster changed": auto would now pick a DIFFERENT sizing — the
+    # recorded one must win or the lineage guard would hard-fail
+    monkeypatch.setattr(ep, "_auto_shards_per_partition", lambda fs: 2)
+    report = ep.run_job_versioned(files, t, shards_per_partition=None)
+    assert len(report) == 4  # original sizing (1 shard/partition) kept
+    notes = [
+        n for n in table_history(t)["note"].dropna() if n.startswith("job-part:")
+    ]
+    assert all(n.split(":")[4] == "s1" for n in notes)
+
+
+def test_run_job_table_dir_rejects_unsupported_knobs(ray_session, tmp_path):
+    """Library-level guard (not just the CLI): table_dir with
+    giant-pool sizing / explicit concurrency / overlap_commit=False
+    must raise, never silently drop the knob."""
+    from textextract_ray.pipelines.extract_pipeline import run_job
+
+    with pytest.raises(ValueError, match="giant_threshold"):
+        run_job(["x.parquet"], "", table_dir=str(tmp_path), giant_threshold=1 << 20)
+    with pytest.raises(ValueError, match="concurrency"):
+        run_job(["x.parquet"], "", table_dir=str(tmp_path), concurrency=4)
+    with pytest.raises(ValueError, match="overlap_commit"):
+        run_job(["x.parquet"], "", table_dir=str(tmp_path), overlap_commit=False)

@@ -114,21 +114,31 @@ class _CommitOverlap:
 _HTTP_PREFETCH_MAX = 256 << 20
 
 
+_http_size_cache: dict = {}
+
+
 def _http_size_ok(url: str) -> bool:
     """ONE driver-side HEAD request on the first shard: prefetch-group
     only when Content-Length is known and under _HTTP_PREFETCH_MAX
     (crawl dumps are uniformly sized, so one probe stands for the
     list). Unknown size or probe failure → False: the one-buffer heap
-    contract wins over the ~10% overlap gain."""
+    contract wins over the ~10% overlap gain. Memoized per url — the
+    job loops call extract_files once per partition, and re-probing an
+    unreachable-from-driver mirror would burn the 10 s timeout per
+    partition while flapping the same answer."""
+    if url in _http_size_cache:
+        return _http_size_cache[url]
     import urllib.request
 
     try:
         req = urllib.request.Request(url, method="HEAD")
         with urllib.request.urlopen(req, timeout=10) as resp:
             n = resp.headers.get("Content-Length")
-        return n is not None and int(n) <= _HTTP_PREFETCH_MAX
+        ok = n is not None and int(n) <= _HTTP_PREFETCH_MAX
     except Exception:
-        return False
+        ok = False
+    _http_size_cache[url] = ok
+    return ok
 
 
 def extract_files(
@@ -233,9 +243,9 @@ def extract_files(
     # one shard per task, the one-buffer heap contract holds. Random-
     # access schemes (file/s3-style) read incrementally per row group,
     # so their stall is already amortized — never grouped.
-    group2 = len(shard_list) >= 8 and all(
-        p.split("://", 1)[0] in ("http", "https") for p in shard_list
-    )
+    from ..sources import is_http
+
+    group2 = len(shard_list) >= 8 and all(is_http(p) for p in shard_list)
     if group2:
         group2 = _http_size_ok(shard_list[0])
 
@@ -787,11 +797,14 @@ def _auto_shards_per_partition(shard_files: list) -> int:
     # driver-side download — cap those at 2 (crawl shards are uniformly
     # sized; 16 full fetches before any extraction starts would cost
     # GBs of driver traffic for a number the median barely moves).
+    from ..sources import is_http
+
     http_seen = 0
     rows = []
     for f in sample:
-        is_http = f.split("://", 1)[0] in ("http", "https")
-        if is_http:
+        if not f.endswith(".parquet"):
+            continue  # warc shards have no footer; see fallback below
+        if is_http(f):
             if http_seen >= 2:
                 continue
             http_seen += 1
@@ -801,6 +814,11 @@ def _auto_shards_per_partition(shard_files: list) -> int:
         finally:
             if src is not f and hasattr(src, "close"):
                 src.close()
+    if not rows:
+        # all-warc sample: row counts need a full archive scan (no
+        # footer metadata), so auto-sizing has nothing cheap to read —
+        # fall back to the fixed default rather than crash or scan
+        return min(4, len(shard_files))
     per_shard = max(1, int(np.median(rows)))
     target = PARTITION_TARGET_DOCS_PER_CPU * ncpu
     return max(1, min(len(shard_files), round(target / per_shard)))
@@ -873,12 +891,21 @@ def run_job_versioned(
             committed_meta[n] = m.get("meta") or {}
     if shards_per_partition is None:
         # resume rule identical to run_job's manifest mode: the sizing
-        # recorded in committed job metadata WINS over auto — partition
+        # recorded by the committed job WINS over auto — partition
         # boundaries must be identical across runs or pids would not
         # line up with committed lineage (an auto recompute on a
         # different-sized cluster would shift every shard hash and make
-        # the job permanently unresumable)
+        # the job permanently unresumable). Read it from the NOTE
+        # stamps first (they survive retention GC via _notes_expired —
+        # manifest meta does not), manifest meta as the fallback for
+        # pre-s-field notes.
         sizes = {
+            int(n.split(":")[4][1:])
+            for n in done
+            if isinstance(n, str)
+            and n.startswith("job-part:")
+            and len(n.split(":")) > 4
+        } or {
             m["shards_per_partition"]
             for m in committed_meta.values()
             if m.get("shards_per_partition")
@@ -903,7 +930,9 @@ def run_job_versioned(
 
     for pid, shards in enumerate(partitions):
         hh = hashlib.sha1("\x00".join(map(str, shards)).encode()).hexdigest()[:12]
-        note = f"job-part:{pid}:{hh}:v{EXTRACTOR_VERSION}"
+        note = (
+            f"job-part:{pid}:{hh}:v{EXTRACTOR_VERSION}:s{shards_per_partition}"
+        )
         prior = seen_pids.get(pid)
         if prior is not None:
             if hh not in prior:
@@ -1031,6 +1060,27 @@ def run_job(
     ``out_dir`` is ignored. Returns the per-partition counters report.
     """
     if table_dir is not None:
+        # reject, don't silently drop: the versioned job is the fused
+        # single-pool always-overlapped shape — a caller passing
+        # giant-pool sizing, explicit concurrency, or a serialization
+        # request would otherwise only notice in production (the CLI
+        # repeats this check for its own friendlier message)
+        dropped = [
+            name
+            for name, bad in (
+                ("giant_threshold", giant_threshold is not None),
+                ("concurrency", concurrency is not None),
+                ("overlap_commit=False", overlap_commit is False),
+            )
+            if bad
+        ]
+        if dropped:
+            raise ValueError(
+                f"run_job(table_dir=...) does not support {', '.join(dropped)}: "
+                "the versioned job is the fused single-pool shape with "
+                "one-deep commit overlap; use manifest mode (out_dir) "
+                "for those knobs"
+            )
         return run_job_versioned(
             shard_files,
             table_dir,

@@ -47,6 +47,14 @@ TABLES = (
 ).split()
 
 
+def is_http(path: str) -> bool:
+    """One copy of the whole-file-fetch scheme predicate (http(s) has
+    no Range support on bare mirrors, so these schemes buffer whole
+    shards) — shared by the fetch, grouping, sampling-cap and listing
+    decisions so they can never drift."""
+    return str(path).split("://", 1)[0] in ("http", "https")
+
+
 def _http_get(url: str, *, retries: int = 3, backoff: float = 1.0,
               chunk: int = 65536) -> bytes:
     """Stream one URL fully into memory with a retry ladder — the
@@ -142,8 +150,7 @@ def open_shard(path: str):
     data motion on the storage layout a 100-TB cluster actually uses."""
     if "://" not in path:
         return path
-    scheme = path.split("://", 1)[0]
-    if scheme in ("http", "https"):
+    if is_http(path):
         import io
 
         return io.BytesIO(_http_get(path))
@@ -249,7 +256,7 @@ def read_pages(paths, columns=None) -> rd.Dataset:
     kwargs = {}
     if columns is not None:
         kwargs["columns"] = list(columns)
-    if isinstance(paths, str) and paths.split("://", 1)[0] in ("http", "https"):
+    if isinstance(paths, str) and is_http(paths):
         # a single http(s) shard url (directories can't be listed over
         # bare HTTP — pass explicit shard lists)
         return read_pages_http([paths], columns=columns)
@@ -324,7 +331,7 @@ def expand_shards(paths, suffixes: tuple) -> list:
     for p in map(str, paths):
         if "://" in p:
             scheme = p.split("://", 1)[0]
-            if scheme in ("http", "https") or p.endswith(tuple(suffixes)):
+            if is_http(p) or p.endswith(tuple(suffixes)):
                 # a suffix-matching URI is a shard FILE: pass through
                 # without touching its filesystem — resolving remotely
                 # per entry would cost one metadata round-trip per
