@@ -998,3 +998,40 @@ def test_run_job_table_dir_rejects_unsupported_knobs(ray_session, tmp_path):
         run_job(["x.parquet"], "", table_dir=str(tmp_path), concurrency=4)
     with pytest.raises(ValueError, match="overlap_commit"):
         run_job(["x.parquet"], "", table_dir=str(tmp_path), overlap_commit=False)
+
+
+def test_append_type_guard_covers_evolved_columns(ray_session, tmp_path):
+    """Pass-3 review repro: with a legacy file lacking an evolved
+    column, a type-mismatched append of that column must STILL be
+    rejected — types fold across the whole table, not just the first
+    name-matching file."""
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import table_add_column
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 10))            # legacy: {k, txt}
+    table_add_column(t, "lang", "en")
+    ok = _df(10, 20)
+    ok["lang"] = "fr"
+    table_append(t, rd.from_pandas(ok))    # physical lang: string
+    bad = _df(20, 30)
+    bad["lang"] = 7                        # physical lang: int64
+    with pytest.raises(ValueError, match="types mismatch"):
+        table_append(t, rd.from_pandas(bad))
+    # compaction still sound after the rejected commit
+    table_compact(t)
+    got = _sorted(read_table_at(t).to_pandas())
+    assert len(got) == 20 and set(got["lang"]) == {"en", "fr"}
+
+    # no physical occurrence at all: the evolved default's inferred
+    # type is the contract
+    t2 = str(tmp_path / "tbl2")
+    table_create(t2)
+    table_append(t2, _ds(0, 5))
+    table_add_column(t2, "score", 1.5)     # double default, never physical
+    bad2 = _df(5, 10)
+    bad2["score"] = "high"
+    with pytest.raises(ValueError, match="types mismatch"):
+        table_append(t2, rd.from_pandas(bad2))

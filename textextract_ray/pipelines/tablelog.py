@@ -235,17 +235,21 @@ def _check_schema(new_rows: list, old_files: list, defaults: dict = None) -> Non
     new_cols = set(new_rows[0]["cols"])
     new_types = new_rows[0].get("types") or {}
     # a post-evolution table legitimately holds several physical
-    # signatures; an append is valid if it matches ANY existing file's
-    # signature (legacy-shaped) or any signature plus the evolved
-    # (defaulted) columns — order-independent, so compaction regrouping
-    # can never invalidate previously-valid append shapes. Column NAMES
-    # must match a signature AND the shared columns' Arrow types must
-    # agree with that file's recorded types (pre-types manifests skip
-    # the type arm): a string-vs-int url would otherwise commit fine
-    # and only explode later in table_compact or a read-side union.
+    # signatures; an append is valid if its NAMES match ANY existing
+    # file's signature (legacy-shaped) or any signature plus the
+    # evolved (defaulted) columns — order-independent, so compaction
+    # regrouping can never invalidate previously-valid append shapes.
+    # TYPES are checked against the WHOLE TABLE's folded per-column
+    # type set, not just the name-matching file: a legacy file lacking
+    # an evolved column would otherwise name-match first and let a
+    # type-mismatched evolved column commit (review r5 pass-3 repro:
+    # append lang:int64 after a lang:string file — the legacy signature
+    # matched, lang was never type-checked, and table_compact exploded
+    # exactly as this guard's comment claims it prevents). Defaulted
+    # columns with no physical occurrence check against the default
+    # value's inferred Arrow type (what the read path will fill).
     dset = set(defaults or {})
     name_ok = False
-    type_err = None
     for f in old_files:
         cols = f.get("cols")
         if cols is None:
@@ -253,26 +257,33 @@ def _check_schema(new_rows: list, old_files: list, defaults: dict = None) -> Non
         cset = set(cols)
         if new_cols == cset or new_cols == (cset | dset):
             name_ok = True
-            old_types = f.get("types") or {}
-            bad = {
-                c: (old_types[c], new_types[c])
-                for c in new_cols & set(old_types) & set(new_types)
-                if _norm_type(old_types[c]) != _norm_type(new_types[c])
-            }
-            if not bad:
-                return  # names + types both compatible with this file
-            type_err = bad
+            break
     if not name_ok:
         sigs = sorted({tuple(sorted(f["cols"])) for f in old_files})
         raise ValueError(
             f"tablelog: append schema {sorted(new_cols)} matches no table "
             f"schema (file signatures {sigs}, evolved columns {sorted(dset)})"
         )
-    raise ValueError(
-        "tablelog: append column types mismatch the table's "
-        f"(column: (table type, append type)) = {type_err}; cast the "
-        "append side before committing"
-    )
+    if not new_types:
+        return
+    allowed: dict = {}
+    for f in old_files:
+        for c, t in (f.get("types") or {}).items():
+            allowed.setdefault(c, set()).add(_norm_type(t))
+    for c, dval in (defaults or {}).items():
+        if c not in allowed and dval is not None:
+            allowed[c] = {_norm_type(str(pa.scalar(dval).type))}
+    type_err = {
+        c: (sorted(allowed[c]), new_types[c])
+        for c in new_cols & set(allowed) & set(new_types)
+        if _norm_type(new_types[c]) not in allowed[c]
+    }
+    if type_err:
+        raise ValueError(
+            "tablelog: append column types mismatch the table's "
+            f"(column: (table types, append type)) = {type_err}; cast "
+            "the append side before committing"
+        )
 
 
 def table_create(table_dir: str) -> int:
@@ -1190,11 +1201,20 @@ def table_expire(
         except FileNotFoundError:
             pass
         tmp = np_ + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(sorted(expired_notes), fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, np_)
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(sorted(expired_notes), fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, np_)
+        except BaseException:
+            # same tmp-hygiene as _commit: a disk-full/crash mid-write
+            # must not litter _log with stray tmp files forever
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     for path in expired_manifests:
         os.unlink(path)
     deleted = 0

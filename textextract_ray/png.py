@@ -203,7 +203,13 @@ def png_decode(data: bytes) -> "np.ndarray":
     # [-255, 510]. (VERDICT r4 item 2 — the no-PIL decode ladder no
     # longer runs at Python speed on filter-heavy real-world PNGs.)
     wpx = stride // c
-    body3 = bodies.reshape(h, wpx, c).astype(np.int16)
+    # bodies stays a uint8 VIEW of the raw buffer: each diagonal gathers
+    # and widens only its own O(diag) slice, so peak heap is recon (one
+    # full int16 image) — not recon PLUS a full int16 copy of the
+    # filter bytes (review r5: a 10k×10k RGBA with one Paeth row would
+    # have tripled the old decoder's footprint inside multimodal
+    # actors)
+    body3 = bodies.reshape(h, wpx, c)
     recon = np.zeros((h, wpx, c), dtype=np.int16)
     ft16 = fts.astype(np.int16)
     for d in range(h + wpx - 1):
@@ -230,6 +236,6 @@ def png_decode(data: bytes) -> "np.ndarray":
             [a, b, (a + b) >> 1, paeth],
             0,
         )
-        recon[ys, xs] = (body3[ys, xs] + pred) & 255
+        recon[ys, xs] = (body3[ys, xs].astype(np.int16) + pred) & 255
     out = recon.astype(np.uint8)
     return out.reshape(h, w) if c == 1 else out
