@@ -347,3 +347,70 @@ def test_winnow_overlap_pairs(ray_session):
     # empty Datasets may round-trip schemaless (documented engine-wide
     # caveat); when columns survive they must be the declared four
     assert list(clean.columns) in ([], ["id_a", "id_b", "n_shared", "overlap"])
+
+
+def test_group_all_pairs_matches_per_group_reference():
+    """`_group_all_pairs` (the vectorized all-groups-at-once pair
+    builder behind the MinHash/incremental LSH candidate stage) must
+    emit exactly the per-group reference semantics: sort by `order`,
+    drop duplicate ids (first occurrence wins), cap, then all in-group
+    (earlier, later) pairs — later side only when droppable."""
+    import numpy as np
+    import pandas as pd
+
+    from textextract_ray.stages.dedup import _group_all_pairs
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "band_id": rng.integers(0, 5, 2000),
+            "band_key": rng.integers(0, 50, 2000).astype(str),
+            "id": rng.integers(0, 500, 2000),
+            "_rank": rng.integers(0, 2, 2000).astype(np.int32),
+        }
+    )
+
+    def reference(df, order, droppable, cap):
+        outs = []
+        d2 = df[df.duplicated(["band_id", "band_key"], keep=False)]
+        for _, g in d2.groupby(["band_id", "band_key"], sort=True):
+            g = g.sort_values(order, kind="stable").drop_duplicates("id").head(cap)
+            ids = g["id"].to_numpy()
+            lo, hi = np.triu_indices(len(ids), k=1)
+            if droppable:
+                keep = (g["_rank"].to_numpy() > 0)[hi]
+                outs.append(
+                    pd.DataFrame({"id": ids[hi[keep]], "keep_id": ids[lo[keep]]})
+                )
+            else:
+                outs.append(pd.DataFrame({"id": ids[hi], "keep_id": ids[lo]}))
+        if not outs:
+            return pd.DataFrame({"id": [], "keep_id": []})
+        return pd.concat(outs, ignore_index=True)
+
+    cases = [
+        (["id"], False, 1024),
+        (["id"], False, 3),  # exercises the cap filter
+        (["_rank", "id"], True, 1024),
+        (["_rank", "id"], True, 4),
+    ]
+    for order, drop, cap in cases:
+        want = reference(df, order, drop, cap)
+        got = _group_all_pairs(
+            df,
+            ["band_id", "band_key"],
+            cap=cap,
+            order=order,
+            droppable_col="_rank" if drop else None,
+        )
+        assert sorted(map(tuple, want.to_numpy())) == sorted(
+            map(tuple, got.to_numpy())
+        ), (order, drop, cap)
+
+    # empty input and all-singleton input both give a typed empty frame
+    for empty_in in (df.iloc[:0], df.drop_duplicates(["band_id", "band_key"])):
+        out = _group_all_pairs(
+            empty_in.drop_duplicates(["band_id", "band_key"]),
+            ["band_id", "band_key"],
+        )
+        assert len(out) == 0 and list(out.columns) == ["id", "keep_id"]

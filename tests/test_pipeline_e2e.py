@@ -350,3 +350,24 @@ def test_fused_matches_dataset_path(ray_session, fixture_pages):
     d = os.path.dirname(fixture_pages[0])
     c = extract_files(d, dedup=False)
     assert c.count() == 200
+
+
+def test_agg_fold_fallback_arm_parity(ray_session, sf_dir, monkeypatch):
+    """q3 and usage_rollup take a budgeted driver fold over per-block
+    partial aggregates; past the budget they must fall back to the
+    distributed groupby merge with an identical answer. Forcing
+    `_fold_partials` to report past-budget exercises the fallback."""
+    import textextract_ray.pipelines.relational as rel
+
+    import pandas as pd
+
+    a_q3 = rel.q3_top_orders(sf_dir)
+    a_roll = rel.usage_rollup(sf_dir)
+    monkeypatch.setattr(rel, "_fold_partials", lambda *a, **k: None)
+    b_q3 = rel.q3_top_orders(sf_dir)
+    b_roll = rel.usage_rollup(sf_dir)
+    assert a_q3["o_orderkey"].tolist() == b_q3["o_orderkey"].tolist()
+    assert (a_q3["revenue"] - b_q3["revenue"]).abs().max() < 1e-6
+    pd.testing.assert_frame_equal(
+        a_roll.reset_index(drop=True), b_roll.reset_index(drop=True)
+    )

@@ -504,7 +504,9 @@ def _dedup_with_winner(
     folded_h: list = []
     folded_n: list = []
     seen_rows = 0
-    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+    for b in parts.iter_batches(
+        batch_size=None, batch_format="pyarrow", prefetch_batches=16
+    ):
         folded_h.append(b["h"].to_numpy(zero_copy_only=False))
         folded_n.append(b["n"].to_numpy(zero_copy_only=False))
         seen_rows += b.num_rows

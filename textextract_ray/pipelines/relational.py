@@ -102,6 +102,35 @@ def q1_pricing_summary(sf_dir: str):
 # fits comfortably in every worker's plasma share)
 Q3_BROADCAST_BUDGET_KEYS = 2_000_000
 
+# driver-fold budget for pre-aggregated partial blocks (same idiom as
+# stages/dedup._bucketed_group_apply): partials are aggregate-sized
+# keys+sums rows, so the budget is ~100s of MB of driver heap at most
+AGG_FOLD_BUDGET_ROWS = 5_000_000
+
+
+def _fold_partials(partials, *, budget_rows: int = AGG_FOLD_BUDGET_ROWS):
+    """Stream per-block partial-aggregate rows to the driver (prefetch
+    overlaps the per-block fetch latency with execution) and return one
+    pandas frame — or None once the stream exceeds ``budget_rows``,
+    in which case the caller falls back to the distributed groupby
+    over the SAME partials lineage (sums of partial sums; only paid in
+    the regime where the partial pass is a vanishing fraction of the
+    work). A Ray groupby costs ~1 s of fixed all-to-all overhead per
+    few hundred blocks regardless of row count (SCALE.md round-4
+    audit), which dwarfs aggregate-sized folds at bench scale."""
+    tables, rows = [], 0
+    for b in partials.iter_batches(
+        batch_size=None, batch_format="pyarrow", prefetch_batches=16
+    ):
+        tables.append(b)
+        rows += b.num_rows
+        if rows > budget_rows:
+            return None
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pd.DataFrame()
+    return pa.concat_tables(live).combine_chunks().to_pandas()
+
 
 def _segment_customer_keys_ds(sf_dir: str, segment: str):
     """Keys-only Dataset of the segment's customers — filtered and
@@ -180,17 +209,32 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
     )
 
     def rev(batch: pa.Table) -> pa.Table:
+        # per-block PARTIAL revenue sums (combiner): each block
+        # collapses to its distinct surviving orders before anything
+        # leaves the task, so the merge sees aggregate-sized rows
         batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=ray.get(okeys_ref)))
         r = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
 
     li_r = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-    agg = li_r.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
-    out = agg.to_pandas().sort_values(
-        ["revenue", "l_orderkey"], ascending=[False, True]
-    ).head(k)
+    folded = _fold_partials(li_r)
+    if folded is None:
+        # past-budget regime: distributed merge of the same partials
+        agg = li_r.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+        out = agg.to_pandas()
+    else:
+        out = (
+            folded.groupby("l_orderkey", as_index=False)["rev"].sum()
+            .rename(columns={"rev": "revenue"})
+            if len(folded)
+            else pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
+                               "revenue": pd.Series(dtype="float64")})
+        )
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
     return _round_floats(out.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True))
 
 
@@ -402,46 +446,81 @@ def usage_rollup(sf_dir: str):
     perplexity_buckets)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"])
 
-    def day_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def day_partials(batch: pa.Table) -> pa.Table:
+        # per-block PARTIAL (user, day) aggregates — the combiner: each
+        # block collapses to its distinct user-days before the merge
+        t = pa.table(
             {
                 "user_id": batch["user_id"],
                 "bucket": date_bucket(batch["ts"]),
+                # explicit ones column: requests_count is a ROW count
+                # (Count() semantics), not a non-null value count
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
                 "value": batch["value"],
                 "is_error": pc.equal(batch["event_type"], "error").cast(pa.int64()),
             }
         )
-
-    day = ds.map_batches(day_rows, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        ["user_id", "bucket"]
-    ).aggregate(
-        Count(alias_name="requests_count"),
-        Sum("value", alias_name="total_value"),
-        Sum("is_error", alias_name="error_count"),
-    ).materialize()  # day-agg-sized (users×days), reused by both levels
-
-    def to_month(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("bucket"),
-            "bucket",
-            pc.utf8_slice_codeunits(batch["bucket"], 0, 7),  # 'YYYY-MM-DD'→'YYYY-MM'
+        g = t.group_by(["user_id", "bucket"]).aggregate(
+            [("one", "sum"), ("value", "sum"), ("is_error", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "bucket": g["bucket"],
+                "requests_count": g["one_sum"],
+                "total_value": g["value_sum"],
+                "error_count": g["is_error_sum"],
+            }
         )
 
-    month = (
-        day.map_batches(to_month, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "bucket"])
-        .aggregate(
+    partials = ds.map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+    cols = ["user_id", "bucket", "requests_count", "total_value", "error_count"]
+    sums = ["requests_count", "total_value", "error_count"]
+    folded = _fold_partials(partials)
+    if folded is not None:
+        # aggregate-sized fold: both rollup levels are driver pandas
+        # (the month level reaggregates the |users|×|days| day frame)
+        if len(folded):
+            d = folded.groupby(["user_id", "bucket"], as_index=False)[sums].sum()
+        else:
+            d = pd.DataFrame(columns=cols)
+        m = (
+            d.assign(bucket=d["bucket"].str.slice(0, 7))
+            .groupby(["user_id", "bucket"], as_index=False)[sums].sum()
+        )
+    else:
+        # past-budget regime: hierarchical distributed merge of the
+        # same partials — events shuffle ONCE into the (user, day)
+        # aggregate; the month level is a second groupby over the
+        # day-agg DATASET, whose input is |users|×|days| rows
+        day = partials.groupby(["user_id", "bucket"]).aggregate(
             Sum("requests_count", alias_name="requests_count"),
             Sum("total_value", alias_name="total_value"),
             Sum("error_count", alias_name="error_count"),
+        ).materialize()  # day-agg-sized, reused by both levels
+
+        def to_month(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("bucket"),
+                "bucket",
+                pc.utf8_slice_codeunits(batch["bucket"], 0, 7),  # 'YYYY-MM-DD'→'YYYY-MM'
+            )
+
+        month = (
+            day.map_batches(to_month, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["user_id", "bucket"])
+            .aggregate(
+                Sum("requests_count", alias_name="requests_count"),
+                Sum("total_value", alias_name="total_value"),
+                Sum("error_count", alias_name="error_count"),
+            )
         )
-    )
-    cols = ["user_id", "bucket", "requests_count", "total_value", "error_count"]
-    d = day.to_pandas()[cols].assign(scope="day")
-    m = month.to_pandas()[cols].assign(scope="month")
-    out = pd.concat([d, m], ignore_index=True)[
-        ["scope", "user_id", "bucket", "requests_count", "total_value", "error_count"]
-    ]
+        d = day.to_pandas()[cols]
+        m = month.to_pandas()[cols]
+    out = pd.concat(
+        [d[cols].assign(scope="day"), m[cols].assign(scope="month")],
+        ignore_index=True,
+    )[["scope", "user_id", "bucket", "requests_count", "total_value", "error_count"]]
     return _round_floats(
         out.sort_values(["scope", "user_id", "bucket"]).reset_index(drop=True)
     )

@@ -85,6 +85,79 @@ def exact_dedup(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
 GROUP_APPLY_FOLD_BUDGET_ROWS = 5_000_000
 
 
+def _group_all_pairs(
+    df: pd.DataFrame,
+    cols,
+    *,
+    cap: int = 1024,
+    order=None,
+    droppable_col: str | None = None,
+    log_label: str = "lsh",
+) -> pd.DataFrame:
+    """All unordered within-group id pairs, vectorized across EVERY
+    group in the frame at once. Equivalent to the per-group loop
+    ``sort_values(order) → drop_duplicates("id") → head(cap) → emit
+    (id=later, keep_id=earlier) for each in-group pair``, but
+    O(rows + pairs) numpy instead of ~0.3 ms of pandas dispatch per
+    group — a few thousand tiny LSH groups cost over a second that
+    way (measured, round 5).
+
+    ``order`` (default ``["id"]``) fixes the within-group order: the
+    earlier row of a pair is always ``keep_id``. ``droppable_col``
+    names an optional truthy column; rows where it is falsy never
+    appear on the drop (``id``) side but still anchor as keepers
+    (the incremental-index contract)."""
+    empty = pd.DataFrame(
+        {"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")}
+    )
+    if len(df) == 0:
+        return empty
+    cols = list(cols)
+    order = list(order) if order is not None else ["id"]
+    df = df.sort_values(cols + order, kind="stable")
+    df = df[~df.duplicated(cols + ["id"])]
+    n = len(df)
+    if n == 0:
+        return empty
+    # group boundaries on the sorted frame: one adjacent-row compare
+    # per group column (no hash/ngroup pass)
+    changed = np.zeros(n, dtype=bool)
+    changed[0] = True
+    for c in cols:
+        v = df[c].to_numpy()
+        changed[1:] |= v[1:] != v[:-1]
+    starts = np.flatnonzero(changed)
+    sizes = np.diff(np.append(starts, n))
+    pos = np.arange(n) - np.repeat(starts, sizes)
+    over = pos >= cap
+    if over.any():
+        gid = np.cumsum(changed) - 1
+        print(
+            f"{log_label} bucket capped: {np.unique(gid[over]).size} "
+            f"group(s) over {cap} candidates; pairing first {cap} per group"
+        )
+        keep_rows = ~over
+        # surviving rows are each group's first `cap` in sort order and
+        # stay contiguous, so pos still indexes from the group start
+        df = df[keep_rows]
+        pos = pos[keep_rows]
+        n = len(df)
+    ids = df["id"].to_numpy()
+    # row at within-group position p is the `id` (drop) side of p pairs,
+    # one per preceding row of its group
+    cnt = pos.copy()
+    if droppable_col is not None:
+        cnt = np.where(df[droppable_col].to_numpy().astype(bool), cnt, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return empty
+    hi = np.repeat(np.arange(n), cnt)
+    csum = np.cumsum(cnt)
+    offset = np.arange(total) - np.repeat(csum - cnt, cnt)
+    lo = np.repeat(np.arange(n) - pos, cnt) + offset
+    return pd.DataFrame({"id": ids[hi], "keep_id": ids[lo]})
+
+
 def _bucketed_group_apply(
     ds,
     group_cols,
@@ -92,6 +165,7 @@ def _bucketed_group_apply(
     *,
     num_buckets: int = 64,
     fold_budget_rows: int = GROUP_APPLY_FOLD_BUDGET_ROWS,
+    frame_fn=None,
 ):
     """Apply ``fn`` per (group_cols) group WITHOUT paying per-group Ray
     dispatch. Two arms, identical results:
@@ -111,7 +185,13 @@ def _bucketed_group_apply(
       dwarfs the actual work; bucketing keeps the same shuffle volume
       with O(num_buckets) dispatch. (The fallback re-executes ``ds``'s
       lineage once more — only paid in the regime where the hashing
-      pass is a vanishing fraction of the group work.)"""
+      pass is a vanishing fraction of the group work.)
+
+    ``frame_fn``, when given, replaces the per-group ``fn`` loop with
+    ONE call over the whole duplicate-filtered frame (all groups at
+    once) — for group bodies that vectorize across groups (e.g.
+    `_group_all_pairs`). Both arms use it, so the speedup applies to
+    the bucket tasks at corpus scale, not just the driver fold."""
     import ray.data as rd
 
     from ..functions.scalar import stable_bucket
@@ -125,6 +205,8 @@ def _bucketed_group_apply(
         # singleton groups costs more than all the group work combined
         if len(df):
             df = df[df.duplicated(cols, keep=False)]
+        if frame_fn is not None:
+            return frame_fn(df)
         outs = []
         for _, g in df.groupby(cols, sort=True):
             outs.append(fn(g))
@@ -133,7 +215,12 @@ def _bucketed_group_apply(
         return pd.concat(outs, ignore_index=True)
 
     tables, rows = [], 0
-    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # prefetch_batches: the fold's per-block driver fetch is pure
+    # latency (~10 ms/block serialized); prefetching overlaps it with
+    # upstream execution — measured 2× on a 64-block band pass
+    for b in ds.iter_batches(
+        batch_size=None, batch_format="pyarrow", prefetch_batches=16
+    ):
         tables.append(b)
         rows += b.num_rows
         if rows > fold_budget_rows:
@@ -312,24 +399,20 @@ def minhash_duplicate_assignments(
         zero_copy_batch=True,
     )
 
-    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        # all-pairs candidates within the bucket; LSH keeps buckets
-        # small. A deterministic cap bounds adversarial buckets:
-        # candidates past the first 1024 ids (sorted) are NOT paired —
-        # print() lands in the Ray task log so a capped bucket is
-        # visible, and zero-shingle docs are excluded upstream so the
-        # main degenerate source is gone.
-        if len(group) > 1024:
-            print(
-                f"minhash bucket capped: {len(group)} candidates in one "
-                f"LSH bucket, pairing first 1024 by id"
-            )
-        g = group.sort_values("id").drop_duplicates("id").head(1024)
-        ids = g["id"].to_numpy()
-        lo, hi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id": ids[hi], "keep_id": ids[lo]})
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs candidates within each LSH bucket, vectorized
+        # across every bucket in the frame at once; LSH keeps buckets
+        # small and a deterministic 1024-id cap bounds adversarial
+        # ones (the cap print lands in the Ray task log). Zero-shingle
+        # docs are excluded upstream so the main degenerate source of
+        # giant buckets is gone.
+        return _group_all_pairs(
+            df, ["band_id", "band_key"], cap=1024, log_label="minhash"
+        )
 
-    cand = _bucketed_group_apply(band_rows, ["band_id", "band_key"], bucket_candidates)
+    cand = _bucketed_group_apply(
+        band_rows, ["band_id", "band_key"], None, frame_fn=bucket_candidates
+    )
     # candidate-pair table is O(similar pairs) — driver-side from here.
     # (an all-empty map_groups output loses its schema, hence the
     # column check before drop_duplicates)
@@ -1466,25 +1549,21 @@ def incremental_minhash_near_dups(
 
     exploded = union_sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) > 1024:
-            print(
-                f"incremental minhash bucket capped: {len(group)} candidates "
-                "in one LSH bucket, pairing first 1024 by (rank, id)"
-            )
-        g = (
-            group.sort_values(["_rank", "id"])
-            .drop_duplicates("id")
-            .head(1024)
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        # (rank, id) order puts index rows first so the later (hi) side
+        # of every pair is the drop side; rows with _rank == 0 (already
+        # indexed) are never droppable but still anchor as keepers
+        return _group_all_pairs(
+            df,
+            ["band_id", "band_key"],
+            cap=1024,
+            order=["_rank", "id"],
+            droppable_col="_rank",
+            log_label="incremental minhash",
         )
-        ids = g["id"].to_numpy()
-        droppable = g["_rank"].to_numpy() > 0
-        lo, hi = np.triu_indices(len(ids), k=1)
-        keep = droppable[hi]  # (rank, id)-sorted: hi side is the drop
-        return pd.DataFrame({"id": ids[hi[keep]], "keep_id": ids[lo[keep]]})
 
     cand = _bucketed_group_apply(exploded, ["band_id", "band_key"],
-                                 bucket_candidates)
+                                 None, frame_fn=bucket_candidates)
     cand_df = cand.to_pandas()
     empty_assign = pd.DataFrame(
         {"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")}

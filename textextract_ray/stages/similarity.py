@@ -45,7 +45,9 @@ def _merge_topk(partial, k: int):
     import ray.data as rd
 
     tables, rows = [], 0
-    for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+    for b in partial.iter_batches(
+        batch_size=None, batch_format="pyarrow", prefetch_batches=16
+    ):
         tables.append(b)
         rows += b.num_rows
         if rows > TOPK_MERGE_BUDGET_ROWS:
