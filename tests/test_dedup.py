@@ -414,3 +414,37 @@ def test_group_all_pairs_matches_per_group_reference():
             ["band_id", "band_key"],
         )
         assert len(out) == 0 and list(out.columns) == ["id", "keep_id"]
+
+
+def test_exact_dedup_arms_and_guards(ray_session):
+    """The keys-only loser-scan arm, the past-budget bucketed arm, and
+    the duplicate-id guard must all produce the grouped min-id-winner
+    answer."""
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import exact_dedup
+
+    rows = [
+        {"doc_id": 5, "text": "alpha"},
+        {"doc_id": 2, "text": "alpha"},
+        {"doc_id": 9, "text": "beta"},
+        {"doc_id": 1, "text": "gamma"},
+        {"doc_id": 7, "text": "beta"},
+    ]
+    want = [(1, "gamma"), (2, "alpha"), (7, "beta")]
+
+    def got(**kw):
+        out = exact_dedup(rd.from_items(rows), "text", "doc_id", **kw).to_pandas()
+        return sorted(zip(out["doc_id"].astype(int), out["text"]))
+
+    assert got() == want  # fold arm
+    assert got(fold_budget_rows=2) == want  # forced bucketed arm
+    # duplicate ids (one id, two texts) must route to the grouped arm:
+    # filter-by-id would over-drop doc 1's surviving text
+    dup = rows + [{"doc_id": 1, "text": "alpha"}]
+    out = exact_dedup(rd.from_items(dup), "text", "doc_id").to_pandas()
+    assert sorted(zip(out["doc_id"].astype(int), out["text"])) == [
+        (1, "alpha"),
+        (1, "gamma"),
+        (7, "beta"),
+    ]

@@ -74,17 +74,26 @@ def q1_pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_disc", alias_name="_sum_disc"),
-            Sum("count_order", alias_name="count_order"),
+    sums = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_disc", "count_order"]
+    folded = _fold_partials(partials)
+    if folded is not None:
+        # partials are O(blocks × ~6 groups) — the merge is a driver
+        # pandas groupby, no all-to-all at all
+        out = folded.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        )[sums].sum().rename(columns={"sum_disc": "_sum_disc"})
+    else:
+        out = (
+            partials.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                Sum("sum_qty", alias_name="sum_qty"),
+                Sum("sum_base_price", alias_name="sum_base_price"),
+                Sum("sum_disc_price", alias_name="sum_disc_price"),
+                Sum("sum_disc", alias_name="_sum_disc"),
+                Sum("count_order", alias_name="count_order"),
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     out["avg_price"] = out["sum_base_price"] / out["count_order"]
     out["avg_disc"] = out["_sum_disc"] / out["count_order"]

@@ -51,15 +51,79 @@ def add_content_hash(text_col: str):
     return kernel
 
 
-def exact_dedup(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
+def exact_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 256,
+    fold_budget_rows: int | None = None,
+):
     """Keep exactly one row per distinct ``text_col`` value — the row
     with the smallest ``id_col`` (deterministic winner; reference
-    uniqueness-check idiom D2). Hash-partition + per-group first.
+    uniqueness-check idiom D2). Two arms, identical results:
 
-    The shuffle key is a coarse bucket of the md5 (one all-to-all,
-    O(num_buckets) group dispatch); the min-id winner per exact hash is
-    a vectorized pandas pass inside each bucket — per-distinct-value
-    map_groups dispatch would dominate at corpus scale."""
+    * keys-only loser scan (default): one pass ships (md5, id) rows —
+      ~40 B each, never the text — folded on the driver under
+      ``fold_budget_rows``; losers (rows beaten by a smaller id with
+      the same hash) are O(duplicates), broadcast once via ray.put,
+      and a vectorized is_in filter drops them from the original
+      rows. The corpus itself never shuffles.
+    * past the budget, or when duplicate (hash, id) pairs exist
+      (identical full rows need the grouped single-winner), the exact
+      bucketed shuffle: coarse md5 bucket (one all-to-all,
+      O(num_buckets) dispatch), min-id winner per hash inside each
+      bucket. (The fallback re-executes ``ds``'s lineage once more —
+      the documented budget-idiom trade.)"""
+    import ray
+
+    if fold_budget_rows is None:
+        fold_budget_rows = GROUP_APPLY_FOLD_BUDGET_ROWS
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": pa.array(md5_hex(batch[text_col].to_pylist()), pa.string()),
+                "id": batch[id_col],
+            }
+        )
+
+    keys = ds.map_batches(keys_only, batch_format="pyarrow")
+    tables, rows = [], 0
+    for b in keys.iter_batches(
+        batch_size=None, batch_format="pyarrow", prefetch_batches=16
+    ):
+        tables.append(b)
+        rows += b.num_rows
+        if rows > fold_budget_rows:
+            return _exact_dedup_bucketed(ds, text_col, id_col, num_buckets=num_buckets)
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return ds
+    df = pa.concat_tables(live).combine_chunks().to_pandas()
+    # duplicate ids (same full row, or one id across different texts)
+    # break the filter-by-id contract — only the grouped single-winner
+    # arm is exact there
+    if df["id"].duplicated().any():
+        return _exact_dedup_bucketed(ds, text_col, id_col, num_buckets=num_buckets)
+    mins = df.groupby("h")["id"].transform("min")
+    losers = df.loc[df["id"] != mins, "id"]
+    if len(losers) == 0:
+        return ds
+    drop_ref = ray.put(pa.Array.from_pandas(losers))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drops = ray.get(drop_ref)
+        col = batch[id_col]
+        vs = drops if drops.type == col.type else drops.cast(col.type)
+        hit = pc.is_in(col, value_set=vs)
+        return batch.filter(pc.invert(pc.fill_null(hit, False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _exact_dedup_bucketed(ds, text_col: str, id_col: str, *, num_buckets: int = 256):
+    """The exact all-to-all arm of `exact_dedup` (see there)."""
     from ..functions.scalar import stable_bucket
 
     hashed = ds.map_batches(add_content_hash(text_col), batch_format="pyarrow")
