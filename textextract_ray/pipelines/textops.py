@@ -73,29 +73,57 @@ def token_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def counts(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-block PARTIAL per-lang sums (combiner): integer sums are
+        # exact, so any merge order gives the identical answer
+        t = pa.table(
             {
                 "lang": batch["lang"],
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
                 "n_tokens": token_count(batch["text"]).cast(pa.int64()),
                 "n_bpe_tokens": pa.array(
                     bpeish_token_count(batch["text"].to_pylist()), pa.int64()
                 ),
             }
         )
-
-    out = (
-        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_tokens", alias_name="total_tokens"),
-            Mean("n_tokens", alias_name="avg_tokens"),
-            Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
+        g = t.group_by("lang").aggregate(
+            [("one", "sum"), ("n_tokens", "sum"), ("n_bpe_tokens", "sum")]
         )
-    )
-    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
-    df["avg_tokens"] = df["avg_tokens"].round(4)
-    return df
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_docs": g["one_sum"],
+                "total_tokens": g["n_tokens_sum"],
+                "total_bpe_tokens": g["n_bpe_tokens_sum"],
+            }
+        )
+
+    from .relational import _fold_partials
+
+    partials = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    folded = _fold_partials(partials)
+    if folded is not None:
+        df = (
+            folded.groupby("lang", as_index=False)[
+                ["n_docs", "total_tokens", "total_bpe_tokens"]
+            ].sum()
+            if len(folded)
+            else pd.DataFrame(
+                columns=["lang", "n_docs", "total_tokens", "total_bpe_tokens"]
+            )
+        )
+    else:
+        df = (
+            partials.groupby("lang")
+            .aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("total_tokens", alias_name="total_tokens"),
+                Sum("total_bpe_tokens", alias_name="total_bpe_tokens"),
+            )
+            .to_pandas()
+        )
+    df = df.sort_values("lang").reset_index(drop=True)
+    df["avg_tokens"] = (df["total_tokens"] / df["n_docs"]).round(4)
+    return df[["lang", "n_docs", "total_tokens", "avg_tokens", "total_bpe_tokens"]]
 
 
 def fingerprints(sf_dir: str):
