@@ -448,3 +448,39 @@ def test_exact_dedup_arms_and_guards(ray_session):
         (1, "gamma"),
         (7, "beta"),
     ]
+
+
+def test_bucketed_group_apply_frame_fn_distributed_arm(ray_session):
+    """Forcing the past-budget bucketed arm must give the same pairs
+    as the driver fold when a `frame_fn` (vectorized all-groups body)
+    is used — the frame_fn runs inside map_groups there."""
+    import numpy as np
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import (
+        _bucketed_group_apply,
+        _group_all_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    rows = [
+        {
+            "band_id": int(b),
+            "band_key": f"k{k}",
+            "id": int(i),
+        }
+        for b, k, i in zip(
+            rng.integers(0, 4, n), rng.integers(0, 60, n), rng.integers(0, 800, n)
+        )
+    ]
+    ds = rd.from_items(rows).repartition(7)
+    fn = lambda df: _group_all_pairs(df, ["band_id", "band_key"])
+    a = _bucketed_group_apply(
+        ds, ["band_id", "band_key"], None, frame_fn=fn
+    ).to_pandas()
+    b = _bucketed_group_apply(
+        ds, ["band_id", "band_key"], None, frame_fn=fn, fold_budget_rows=10
+    ).to_pandas()
+    assert len(a) > 0
+    assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))
