@@ -484,3 +484,29 @@ def test_bucketed_group_apply_frame_fn_distributed_arm(ray_session):
     ).to_pandas()
     assert len(a) > 0
     assert sorted(map(tuple, a.to_numpy())) == sorted(map(tuple, b.to_numpy()))
+
+
+def test_minhash_string_ids_past_budget_arm(ray_session, monkeypatch):
+    """String doc ids through the past-budget map_groups arm: buckets
+    that find zero pairs must emit string-typed empty blocks (an int64
+    empty would break schema unification against the pair-bearing
+    string blocks)."""
+    import ray.data as rd
+
+    import textextract_ray.stages.fold as fold_mod
+    from textextract_ray.stages.dedup import minhash_duplicate_assignments
+
+    texts = [
+        " ".join(f"w{i}x{j}" for j in range(40)) for i in range(60)
+    ]
+    texts[7] = texts[3] + " tail"  # one near-dup pair
+    rows = [{"doc_id": f"doc-{i:03d}", "text": t} for i, t in enumerate(texts)]
+    ds = rd.from_items(rows).repartition(6)
+
+    monkeypatch.setattr(
+        fold_mod, "fold_partials", lambda *a, **k: None
+    )  # force the bucketed map_groups arm everywhere
+    pairs = minhash_duplicate_assignments(ds, "text", "doc_id").to_pandas()
+    assert len(pairs) == 1
+    assert set(pairs.iloc[0][["id", "keep_id"]]) == {"doc-003", "doc-007"}
+    assert pairs["id"].dtype == object

@@ -361,13 +361,64 @@ def test_agg_fold_fallback_arm_parity(ray_session, sf_dir, monkeypatch):
 
     import pandas as pd
 
+    from textextract_ray.pipelines import textops as tx
+
     a_q3 = rel.q3_top_orders(sf_dir)
     a_roll = rel.usage_rollup(sf_dir)
+    a_q1 = rel.q1_pricing_summary(sf_dir)
+    a_tok = tx.token_stats(sf_dir)
     monkeypatch.setattr(rel, "_fold_partials", lambda *a, **k: None)
     b_q3 = rel.q3_top_orders(sf_dir)
     b_roll = rel.usage_rollup(sf_dir)
+    b_q1 = rel.q1_pricing_summary(sf_dir)
+    b_tok = tx.token_stats(sf_dir)
     assert a_q3["o_orderkey"].tolist() == b_q3["o_orderkey"].tolist()
     assert (a_q3["revenue"] - b_q3["revenue"]).abs().max() < 1e-6
     pd.testing.assert_frame_equal(
         a_roll.reset_index(drop=True), b_roll.reset_index(drop=True)
+    )
+    # q1 floats merge in a different association order across arms
+    for c in a_q1.columns:
+        if a_q1[c].dtype.kind == "f":
+            assert (a_q1[c] - b_q1[c]).abs().max() < 1e-4
+        else:
+            assert a_q1[c].tolist() == b_q1[c].tolist()
+    # token_stats sums are integers: bit-identical across arms
+    pd.testing.assert_frame_equal(
+        a_tok.reset_index(drop=True), b_tok.reset_index(drop=True)
+    )
+
+
+def test_token_stats_null_text_avg_semantics(ray_session, tmp_path):
+    """avg_tokens divides by the NON-NULL text count (SQL AVG
+    semantics), while n_docs counts all rows — pinned with an injected
+    null text, in both merge arms."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import textextract_ray.pipelines.relational as rel
+    from textextract_ray.pipelines import textops as tx
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["one two three", None, "four five"], pa.string()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = tx.token_stats(str(tmp_path))
+    assert out["n_docs"].tolist() == [3]
+    assert out["total_tokens"].tolist() == [5]
+    assert out["avg_tokens"].tolist() == [2.5]  # 5 / 2 non-null, not 5/3
+    # distributed arm agrees
+    orig = rel._fold_partials
+    try:
+        rel._fold_partials = lambda *a, **k: None
+        out2 = tx.token_stats(str(tmp_path))
+    finally:
+        rel._fold_partials = orig
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out2.reset_index(drop=True)
     )

@@ -78,10 +78,19 @@ def q1_pricing_summary(sf_dir: str):
     folded = _fold_partials(partials)
     if folded is not None:
         # partials are O(blocks × ~6 groups) — the merge is a driver
-        # pandas groupby, no all-to-all at all
-        out = folded.groupby(
-            ["l_returnflag", "l_linestatus"], as_index=False
-        )[sums].sum().rename(columns={"sum_disc": "_sum_disc"})
+        # pandas groupby, no all-to-all at all. min_count=1 keeps
+        # all-null sums null (SQL/Ray Sum semantics), and the empty
+        # fold (columnless frame) gets a typed empty result
+        if len(folded):
+            out = folded.groupby(
+                ["l_returnflag", "l_linestatus"], as_index=False
+            )[sums].sum(min_count=1).rename(columns={"sum_disc": "_sum_disc"})
+        else:
+            out = pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty",
+                         "sum_base_price", "sum_disc_price", "_sum_disc",
+                         "count_order"]
+            )
     else:
         out = (
             partials.groupby(["l_returnflag", "l_linestatus"])
@@ -118,27 +127,13 @@ AGG_FOLD_BUDGET_ROWS = 5_000_000
 
 
 def _fold_partials(partials, *, budget_rows: int = AGG_FOLD_BUDGET_ROWS):
-    """Stream per-block partial-aggregate rows to the driver (prefetch
-    overlaps the per-block fetch latency with execution) and return one
-    pandas frame — or None once the stream exceeds ``budget_rows``,
-    in which case the caller falls back to the distributed groupby
-    over the SAME partials lineage (sums of partial sums; only paid in
-    the regime where the partial pass is a vanishing fraction of the
-    work). A Ray groupby costs ~1 s of fixed all-to-all overhead per
-    few hundred blocks regardless of row count (SCALE.md round-4
-    audit), which dwarfs aggregate-sized folds at bench scale."""
-    tables, rows = [], 0
-    for b in partials.iter_batches(
-        batch_size=None, batch_format="pyarrow", prefetch_batches=16
-    ):
-        tables.append(b)
-        rows += b.num_rows
-        if rows > budget_rows:
-            return None
-    live = [t for t in tables if t.num_rows]
-    if not live:
-        return pd.DataFrame()
-    return pa.concat_tables(live).combine_chunks().to_pandas()
+    """Budgeted driver fold of partial-aggregate rows — the shared
+    engine idiom (`stages.fold.fold_partials`): pandas frame under the
+    budget, None past it (callers fall back to the distributed groupby
+    over the SAME partials lineage; sums of partial sums)."""
+    from ..stages.fold import fold_partials
+
+    return fold_partials(partials, budget_rows=budget_rows)
 
 
 def _segment_customer_keys_ds(sf_dir: str, segment: str):
@@ -237,7 +232,7 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
         out = agg.to_pandas()
     else:
         out = (
-            folded.groupby("l_orderkey", as_index=False)["rev"].sum()
+            folded.groupby("l_orderkey", as_index=False)["rev"].sum(min_count=1)
             .rename(columns={"rev": "revenue"})
             if len(folded)
             else pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
@@ -490,12 +485,14 @@ def usage_rollup(sf_dir: str):
         # aggregate-sized fold: both rollup levels are driver pandas
         # (the month level reaggregates the |users|×|days| day frame)
         if len(folded):
-            d = folded.groupby(["user_id", "bucket"], as_index=False)[sums].sum()
+            d = folded.groupby(["user_id", "bucket"], as_index=False)[sums].sum(
+                min_count=1
+            )
         else:
             d = pd.DataFrame(columns=cols)
         m = (
             d.assign(bucket=d["bucket"].str.slice(0, 7))
-            .groupby(["user_id", "bucket"], as_index=False)[sums].sum()
+            .groupby(["user_id", "bucket"], as_index=False)[sums].sum(min_count=1)
         )
     else:
         # past-budget regime: hierarchical distributed merge of the

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..functions.text import lang_id, md5_hex, quality_features, token_count
 from ..sources import read_table
@@ -86,13 +86,21 @@ def token_stats(sf_dir: str):
             }
         )
         g = t.group_by("lang").aggregate(
-            [("one", "sum"), ("n_tokens", "sum"), ("n_bpe_tokens", "sum")]
+            [
+                ("one", "sum"),
+                ("n_tokens", "sum"),
+                # non-null token-count rows: avg_tokens divides by THIS
+                # (SQL AVG skips nulls; n_docs counts all rows)
+                ("n_tokens", "count"),
+                ("n_bpe_tokens", "sum"),
+            ]
         )
         return pa.table(
             {
                 "lang": g["lang"],
                 "n_docs": g["one_sum"],
                 "total_tokens": g["n_tokens_sum"],
+                "tok_rows": g["n_tokens_count"].cast(pa.int64()),
                 "total_bpe_tokens": g["n_bpe_tokens_sum"],
             }
         )
@@ -104,11 +112,12 @@ def token_stats(sf_dir: str):
     if folded is not None:
         df = (
             folded.groupby("lang", as_index=False)[
-                ["n_docs", "total_tokens", "total_bpe_tokens"]
-            ].sum()
+                ["n_docs", "total_tokens", "tok_rows", "total_bpe_tokens"]
+            ].sum(min_count=1)
             if len(folded)
             else pd.DataFrame(
-                columns=["lang", "n_docs", "total_tokens", "total_bpe_tokens"]
+                columns=["lang", "n_docs", "total_tokens", "tok_rows",
+                         "total_bpe_tokens"]
             )
         )
     else:
@@ -117,12 +126,20 @@ def token_stats(sf_dir: str):
             .aggregate(
                 Sum("n_docs", alias_name="n_docs"),
                 Sum("total_tokens", alias_name="total_tokens"),
+                Sum("tok_rows", alias_name="tok_rows"),
                 Sum("total_bpe_tokens", alias_name="total_bpe_tokens"),
             )
             .to_pandas()
         )
     df = df.sort_values("lang").reset_index(drop=True)
-    df["avg_tokens"] = (df["total_tokens"] / df["n_docs"]).round(4)
+    # pandas upcasts nullable int sums to float64 in the fold arm;
+    # restore int64 whenever no null survived so both arms agree
+    for c in ["n_docs", "total_tokens", "tok_rows", "total_bpe_tokens"]:
+        if len(df) and df[c].notna().all():
+            df[c] = df[c].astype("int64")
+    # AVG semantics: null token counts (null text) are excluded from
+    # the denominator, exactly like the SQL oracle's avg()
+    df["avg_tokens"] = (df["total_tokens"] / df["tok_rows"].where(df["tok_rows"] > 0)).round(4)
     return df[["lang", "n_docs", "total_tokens", "avg_tokens", "total_bpe_tokens"]]
 
 

@@ -88,23 +88,19 @@ def exact_dedup(
             }
         )
 
+    from .fold import fold_partials
+
     keys = ds.map_batches(keys_only, batch_format="pyarrow")
-    tables, rows = [], 0
-    for b in keys.iter_batches(
-        batch_size=None, batch_format="pyarrow", prefetch_batches=16
-    ):
-        tables.append(b)
-        rows += b.num_rows
-        if rows > fold_budget_rows:
-            return _exact_dedup_bucketed(ds, text_col, id_col, num_buckets=num_buckets)
-    live = [t for t in tables if t.num_rows]
-    if not live:
+    df = fold_partials(keys, budget_rows=fold_budget_rows)
+    if df is None:
+        return _exact_dedup_bucketed(ds, text_col, id_col, num_buckets=num_buckets)
+    if len(df) == 0:
         return ds
-    df = pa.concat_tables(live).combine_chunks().to_pandas()
     # duplicate ids (same full row, or one id across different texts)
-    # break the filter-by-id contract — only the grouped single-winner
-    # arm is exact there
-    if df["id"].duplicated().any():
+    # and null ids (is_in can't drop them; idxmin can) both break the
+    # filter-by-id contract — only the grouped single-winner arm is
+    # exact there
+    if df["id"].duplicated().any() or df["id"].isna().any():
         return _exact_dedup_bucketed(ds, text_col, id_col, num_buckets=num_buckets)
     mins = df.groupby("h")["id"].transform("min")
     losers = df.loc[df["id"] != mins, "id"]
@@ -171,8 +167,13 @@ def _group_all_pairs(
     names an optional truthy column; rows where it is falsy never
     appear on the drop (``id``) side but still anchor as keepers
     (the incremental-index contract)."""
+    # type the empty result from the input's id dtype (string ids are
+    # supported throughout the LSH stages — an int64-typed empty block
+    # from one zero-pair bucket task would break schema unification
+    # against string-id blocks in the past-budget map_groups arm)
+    id_dtype = df["id"].dtype if "id" in df.columns else "int64"
     empty = pd.DataFrame(
-        {"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")}
+        {"id": pd.Series(dtype=id_dtype), "keep_id": pd.Series(dtype=id_dtype)}
     )
     if len(df) == 0:
         return empty
@@ -278,23 +279,13 @@ def _bucketed_group_apply(
             return pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    tables, rows = [], 0
-    # prefetch_batches: the fold's per-block driver fetch is pure
-    # latency (~10 ms/block serialized); prefetching overlaps it with
-    # upstream execution — measured 2× on a 64-block band pass
-    for b in ds.iter_batches(
-        batch_size=None, batch_format="pyarrow", prefetch_batches=16
-    ):
-        tables.append(b)
-        rows += b.num_rows
-        if rows > fold_budget_rows:
-            break
-    if rows <= fold_budget_rows:
-        live = [t for t in tables if t.num_rows]
-        if not live:
-            return rd.from_pandas(apply_bucket(pd.DataFrame(columns=cols)))
-        df = pa.concat_tables(live).combine_chunks().to_pandas()
-        return rd.from_pandas(apply_bucket(df))
+    from .fold import fold_partials
+
+    folded = fold_partials(ds, budget_rows=fold_budget_rows)
+    if folded is not None:
+        if len(folded) == 0:
+            folded = pd.DataFrame(columns=cols)
+        return rd.from_pandas(apply_bucket(folded))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = list(zip(*(batch[c].to_pylist() for c in cols)))
