@@ -654,33 +654,30 @@ def semantic_dedup(sf_dir: str, *, threshold: float = 0.45):
 def _first_queries(sf_dir: str, nq: int) -> dict:
     """The first nq embeddings double as the query set (deterministic).
 
-    Pushed-down selection (never materializes the table on the
-    driver): pass 1 scans ONLY the 8-byte id column with a per-batch
-    partial nsmallest — the driver merges O(blocks × nq) ids; pass 2
-    fetches exactly those nq embedding rows with a vectorized is_in
-    filter. At 10^12 rows the driver holds nq vectors, not the
-    corpus (VERDICT r2 finding 2)."""
-    import pyarrow.compute as pc
-
-    ids = read_table(sf_dir, "embeddings", columns=["vec_id"])
-
-    def partial_min(batch: pa.Table) -> pa.Table:
-        v = batch["vec_id"].to_numpy(zero_copy_only=False)
-        keep = np.sort(np.partition(v, min(nq, len(v)) - 1)[:nq]) if len(v) else v
-        return pa.table({"vec_id": pa.array(keep, pa.int64())})
-
-    cand = ids.map_batches(partial_min, batch_format="pyarrow").to_pandas()
-    qids = pa.array(np.sort(cand["vec_id"].to_numpy())[:nq], pa.int64())
+    Pushed-down selection in ONE pass (never materializes the table
+    on the driver): each block nominates its local nq-smallest ids
+    WITH their vectors; the driver keeps the global nq smallest of
+    O(blocks × nq) nominated rows. At 10^12 rows the driver holds
+    blocks × nq vectors (e.g. 10^4 blocks × 5 × 128 floats ≈ 25 MB),
+    not the corpus — strictly less I/O than the former two-pass
+    id-scan + is_in fetch, which decoded the embedding column in full
+    for the fetch pass anyway (VERDICT r2 finding 2)."""
 
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def pick(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["vec_id"], value_set=qids))
+    def nominate(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return batch
+        take = min(nq, len(v))
+        idx = np.argpartition(v, take - 1)[:take]
+        return batch.take(pa.array(np.sort(idx)))
 
     q = (
-        vecs.map_batches(pick, batch_format="pyarrow")
+        vecs.map_batches(nominate, batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
+        .head(nq)
     )
     return {
         "query_id": q["vec_id"].to_numpy(np.int64),
