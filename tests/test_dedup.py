@@ -510,3 +510,23 @@ def test_minhash_string_ids_past_budget_arm(ray_session, monkeypatch):
     assert len(pairs) == 1
     assert set(pairs.iloc[0][["id", "keep_id"]]) == {"doc-003", "doc-007"}
     assert pairs["id"].dtype == object
+
+
+def test_exact_dedup_null_ids(ray_session):
+    """Null ids route to the grouped arm and must not crash: min
+    non-null id wins its hash group; an all-null-id group keeps
+    exactly one row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from textextract_ray.stages.dedup import exact_dedup
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, None, 3, None, None], dtype="Int64"),
+            "text": ["aaa", "bbb", "aaa", "bbb", "ccc"],
+        }
+    )
+    out = exact_dedup(rd.from_pandas(rows), "text", "doc_id").to_pandas()
+    assert sorted(out["text"]) == ["aaa", "bbb", "ccc"]
+    assert int(out.loc[out["text"] == "aaa", "doc_id"].iloc[0]) == 1

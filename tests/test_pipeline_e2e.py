@@ -422,3 +422,37 @@ def test_token_stats_null_text_avg_semantics(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), out2.reset_index(drop=True)
     )
+
+
+def test_token_stats_null_lang_group_survives(ray_session, tmp_path):
+    """A NULL lang forms its own group (SQL GROUP BY semantics) in
+    BOTH merge arms — pandas' default dropna=True must not eat it."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import textextract_ray.pipelines.relational as rel
+    from textextract_ray.pipelines import textops as tx
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["one two", "three", "four five six"], pa.string()),
+            "lang": pa.array(["en", None, None], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = tx.token_stats(str(tmp_path))
+    assert len(out) == 2
+    null_row = out[out["lang"].isna()]
+    assert null_row["n_docs"].tolist() == [2]
+    assert null_row["total_tokens"].tolist() == [4]
+    orig = rel._fold_partials
+    try:
+        rel._fold_partials = lambda *a, **k: None
+        out2 = tx.token_stats(str(tmp_path))
+    finally:
+        rel._fold_partials = orig
+    a = out.sort_values("lang", na_position="last").reset_index(drop=True)
+    b = out2.sort_values("lang", na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

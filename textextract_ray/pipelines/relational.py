@@ -82,14 +82,22 @@ def q1_pricing_summary(sf_dir: str):
         # all-null sums null (SQL/Ray Sum semantics), and the empty
         # fold (columnless frame) gets a typed empty result
         if len(folded):
+            # dropna=False: NULL group keys survive, as in the Ray
+            # groupby arm and SQL GROUP BY
             out = folded.groupby(
-                ["l_returnflag", "l_linestatus"], as_index=False
+                ["l_returnflag", "l_linestatus"], as_index=False, dropna=False
             )[sums].sum(min_count=1).rename(columns={"sum_disc": "_sum_disc"})
         else:
             out = pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "sum_qty",
-                         "sum_base_price", "sum_disc_price", "_sum_disc",
-                         "count_order"]
+                {
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "l_linestatus": pd.Series(dtype="object"),
+                    "sum_qty": pd.Series(dtype="float64"),
+                    "sum_base_price": pd.Series(dtype="float64"),
+                    "sum_disc_price": pd.Series(dtype="float64"),
+                    "_sum_disc": pd.Series(dtype="float64"),
+                    "count_order": pd.Series(dtype="int64"),
+                }
             )
     else:
         out = (
@@ -130,7 +138,14 @@ def _fold_partials(partials, *, budget_rows: int = AGG_FOLD_BUDGET_ROWS):
     """Budgeted driver fold of partial-aggregate rows — the shared
     engine idiom (`stages.fold.fold_partials`): pandas frame under the
     budget, None past it (callers fall back to the distributed groupby
-    over the SAME partials lineage; sums of partial sums)."""
+    over the SAME partials lineage; sums of partial sums).
+
+    Null group keys: the fold arms keep them (``dropna=False``, SQL
+    GROUP BY semantics). Ray's sort-based groupby cannot shuffle a
+    null key, so a past-budget arm whose key column may be null must
+    mask-and-restore (see ``token_stats``); q1/q3/usage_rollup group
+    on TPC-H keys that are non-null by schema and document the
+    limitation here instead."""
     from ..stages.fold import fold_partials
 
     return fold_partials(partials, budget_rows=budget_rows)
@@ -232,7 +247,8 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING", k: int = 10):
         out = agg.to_pandas()
     else:
         out = (
-            folded.groupby("l_orderkey", as_index=False)["rev"].sum(min_count=1)
+            folded.groupby("l_orderkey", as_index=False, dropna=False)["rev"]
+            .sum(min_count=1)
             .rename(columns={"rev": "revenue"})
             if len(folded)
             else pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
@@ -485,14 +501,24 @@ def usage_rollup(sf_dir: str):
         # aggregate-sized fold: both rollup levels are driver pandas
         # (the month level reaggregates the |users|×|days| day frame)
         if len(folded):
-            d = folded.groupby(["user_id", "bucket"], as_index=False)[sums].sum(
-                min_count=1
-            )
+            # dropna=False: NULL group keys survive, as in the Ray arm
+            d = folded.groupby(
+                ["user_id", "bucket"], as_index=False, dropna=False
+            )[sums].sum(min_count=1)
         else:
-            d = pd.DataFrame(columns=cols)
+            d = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="object"),
+                    "requests_count": pd.Series(dtype="int64"),
+                    "total_value": pd.Series(dtype="float64"),
+                    "error_count": pd.Series(dtype="int64"),
+                }
+            )
         m = (
             d.assign(bucket=d["bucket"].str.slice(0, 7))
-            .groupby(["user_id", "bucket"], as_index=False)[sums].sum(min_count=1)
+            .groupby(["user_id", "bucket"], as_index=False, dropna=False)[sums]
+            .sum(min_count=1)
         )
     else:
         # past-budget regime: hierarchical distributed merge of the

@@ -111,18 +111,41 @@ def token_stats(sf_dir: str):
     folded = _fold_partials(partials)
     if folded is not None:
         df = (
-            folded.groupby("lang", as_index=False)[
+            # dropna=False: a NULL lang group survives (Ray arm / SQL
+            # GROUP BY semantics)
+            folded.groupby("lang", as_index=False, dropna=False)[
                 ["n_docs", "total_tokens", "tok_rows", "total_bpe_tokens"]
             ].sum(min_count=1)
             if len(folded)
             else pd.DataFrame(
-                columns=["lang", "n_docs", "total_tokens", "tok_rows",
-                         "total_bpe_tokens"]
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "total_tokens": pd.Series(dtype="int64"),
+                    "tok_rows": pd.Series(dtype="int64"),
+                    "total_bpe_tokens": pd.Series(dtype="int64"),
+                }
             )
         )
     else:
+        # Ray's sort-based groupby cannot shuffle a null key (None<str
+        # raises in searchsorted), so the past-budget arm carries the
+        # null-ness as a separate int key and restores it after
+        def mask_null(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang_f": pc.fill_null(batch["lang"], ""),
+                    "lang_n": pc.is_null(batch["lang"]).cast(pa.int8()),
+                    "n_docs": batch["n_docs"],
+                    "total_tokens": batch["total_tokens"],
+                    "tok_rows": batch["tok_rows"],
+                    "total_bpe_tokens": batch["total_bpe_tokens"],
+                }
+            )
+
         df = (
-            partials.groupby("lang")
+            partials.map_batches(mask_null, batch_format="pyarrow")
+            .groupby(["lang_f", "lang_n"])
             .aggregate(
                 Sum("n_docs", alias_name="n_docs"),
                 Sum("total_tokens", alias_name="total_tokens"),
@@ -131,6 +154,8 @@ def token_stats(sf_dir: str):
             )
             .to_pandas()
         )
+        df["lang"] = df["lang_f"].where(df["lang_n"] == 0, None)
+        df = df.drop(columns=["lang_f", "lang_n"])
     df = df.sort_values("lang").reset_index(drop=True)
     # pandas upcasts nullable int sums to float64 in the fold arm;
     # restore int64 whenever no null survived so both arms agree

@@ -129,8 +129,13 @@ def _exact_dedup_bucketed(ds, text_col: str, id_col: str, *, num_buckets: int = 
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     def min_per_hash(bucket: pd.DataFrame) -> pd.DataFrame:
-        idx = bucket.groupby("content_hash")[id_col].idxmin()
-        return bucket.loc[idx].drop(columns=["content_hash", "_bucket"])
+        # stable sort + keep-first == idxmin for non-null ids, and an
+        # all-null-id group (idxmin would yield NaN and loc would
+        # raise) deterministically keeps its first row in frame order
+        w = bucket.sort_values(
+            id_col, kind="stable", na_position="last"
+        ).drop_duplicates("content_hash", keep="first")
+        return w.drop(columns=["content_hash", "_bucket"])
 
     out = (
         hashed.map_batches(add_bucket, batch_format="pyarrow")
@@ -276,7 +281,13 @@ def _bucketed_group_apply(
         for _, g in df.groupby(cols, sort=True):
             outs.append(fn(g))
         if not outs:
-            return pd.DataFrame({"id": pd.Series(dtype="int64"), "keep_id": pd.Series(dtype="int64")})
+            # type the empty from the input id dtype (string-id blocks
+            # from other buckets must unify) — same contract as
+            # `_group_all_pairs`'s empty
+            idt = df["id"].dtype if "id" in df.columns else "int64"
+            return pd.DataFrame(
+                {"id": pd.Series(dtype=idt), "keep_id": pd.Series(dtype=idt)}
+            )
         return pd.concat(outs, ignore_index=True)
 
     from .fold import fold_partials
