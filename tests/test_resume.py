@@ -263,3 +263,83 @@ def test_run_job_fused_single_pool_parity(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         read_all(tmp_path / "out_fused"), read_all(tmp_path / "out_pool")
     )
+
+
+def test_multi_kill_resume_fuzz(ray_session, tmp_path):
+    """Randomized multi-kill schedules over BOTH job paths: a resumed
+    run must equal a clean run at the same partitioning byte-for-byte,
+    and the versioned table must stay exactly-once per url (its row
+    set is partition-invariant; the manifest path's dedup scope is
+    per-partition by design)."""
+    import glob
+    import random
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import (
+        run_job,
+        run_job_versioned,
+    )
+    from textextract_ray.pipelines.tablelog import read_table_at
+
+    files = generate_pages(str(tmp_path / "pages"), 240, 6, giant_bytes=1 << 15)
+
+    def read_out(out_dir):
+        parts = sorted(glob.glob(out_dir + "/part-*/*.parquet"))
+        df = pd.concat(
+            [pq.read_table(p).to_pandas() for p in parts], ignore_index=True
+        )
+        return (
+            df[["url", "extracted_text"]]
+            .sort_values(["url", "extracted_text"])
+            .reset_index(drop=True)
+        )
+
+    def read_tbl(tdir):
+        return (
+            read_table_at(tdir)
+            .to_pandas()[["url", "extracted_text"]]
+            .sort_values(["url", "extracted_text"])
+            .reset_index(drop=True)
+        )
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        spp = rng.choice([2, 3])
+        n_parts = (6 + spp - 1) // spp
+        kills = sorted(
+            rng.sample(range(1, n_parts), k=1), reverse=True
+        )
+        for mode in ("manifest", "table"):
+            ref_dir = str(tmp_path / f"ref-{mode}-{spp}")
+            out = str(tmp_path / f"{mode}-{seed}")
+            shutil.rmtree(ref_dir, ignore_errors=True)
+            if mode == "manifest":
+                run_job(files, ref_dir, shards_per_partition=spp)
+                ref = read_out(ref_dir)
+            else:
+                run_job_versioned(files, ref_dir, shards_per_partition=spp)
+                ref = read_tbl(ref_dir)
+                assert ref["url"].is_unique
+            for k in kills:
+                with pytest.raises(RuntimeError):
+                    if mode == "manifest":
+                        run_job(
+                            files, out, shards_per_partition=spp,
+                            fail_at_partition=k,
+                        )
+                    else:
+                        run_job_versioned(
+                            files, out, shards_per_partition=spp,
+                            fail_at_partition=k,
+                        )
+            if mode == "manifest":
+                run_job(files, out, shards_per_partition=spp)
+                got = read_out(out)
+            else:
+                run_job_versioned(files, out, shards_per_partition=spp)
+                got = read_tbl(out)
+            pd.testing.assert_frame_equal(got, ref)
