@@ -1035,3 +1035,85 @@ def test_append_type_guard_covers_evolved_columns(ray_session, tmp_path):
     bad2["score"] = "high"
     with pytest.raises(ValueError, match="types mismatch"):
         table_append(t2, rd.from_pandas(bad2))
+
+
+def test_tags_pin_read_and_survive_expire(ray_session, tmp_path):
+    """Named tags: pin, read by tag, duplicate/force semantics, and —
+    the point of the feature — a tagged version survives retention GC
+    fully readable (manifest AND data) while untagged old versions
+    expire; untagging makes it expirable again."""
+    from textextract_ray.pipelines.tablelog import (
+        table_tag,
+        table_tags,
+        table_untag,
+    )
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 50))        # v1
+    table_overwrite(t, _ds(100, 160))  # v2
+    assert table_tag(t, "dataset-v1.0", 1) == 1
+    table_overwrite(t, _ds(200, 210))  # v3
+    table_overwrite(t, _ds(300, 305))  # v4
+    assert table_tag(t, "latest-good") == 4  # defaults to head
+    assert table_tags(t) == {"dataset-v1.0": 1, "latest-good": 4}
+
+    # read by tag == read by version; tag+version together rejected
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, tag="dataset-v1.0").to_pandas()),
+        _sorted(_df(0, 50)),
+    )
+    with pytest.raises(ValueError):
+        read_table_at(t, 2, tag="dataset-v1.0")
+    with pytest.raises(ValueError):
+        read_table_at(t, tag="nope")
+
+    # duplicate tag raises; force re-points
+    with pytest.raises(ValueError):
+        table_tag(t, "dataset-v1.0", 2)
+    assert table_tag(t, "dataset-v1.0", 1, force=True) == 1
+
+    # retention: keep_last=1 would normally keep only v4 — the tagged
+    # v1 must survive with its data; untagged v2/v3 expire
+    rep = table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    assert set(rep["kept_versions"]) == {1, 4}
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, tag="dataset-v1.0").to_pandas()),
+        _sorted(_df(0, 50)),
+    )
+    with pytest.raises(ValueError):
+        read_table_at(t, 2)
+
+    # tagging an expired version is a clean error
+    with pytest.raises(ValueError):
+        table_tag(t, "too-late", 2)
+
+    # untag -> expirable again; unknown untag raises
+    table_untag(t, "dataset-v1.0")
+    with pytest.raises(ValueError):
+        table_untag(t, "dataset-v1.0")
+    rep = table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    assert set(rep["kept_versions"]) == {4}
+    with pytest.raises(ValueError):
+        read_table_at(t, 1)
+    # head unaffected throughout
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t).to_pandas()), _sorted(_df(300, 305))
+    )
+
+
+def test_tag_survives_compaction_expire(ray_session, tmp_path):
+    """Compaction rewrites the head into new files; a tag pinned to a
+    PRE-compaction version keeps its original files through expire."""
+    from textextract_ray.pipelines.tablelog import table_tag
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    for lo in range(0, 400, 100):
+        table_append(t, _ds(lo, lo + 100))  # v1..v4
+    table_tag(t, "pre-compact")  # v4
+    v5 = table_compact(t)
+    assert v5 == 5
+    table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    got = _sorted(read_table_at(t, tag="pre-compact").to_pandas())
+    pd.testing.assert_frame_equal(got, _sorted(_df(0, 400)))

@@ -166,6 +166,20 @@ def cmd_table(args) -> int:
         _init_ray()
         v = tablelog.table_compact(args.table, target_mb=args.target_mb)
         print(json.dumps({"compacted_as_version": v}))
+    elif args.action == "tag":
+        if not args.name:
+            raise SystemExit("table tag requires --name")
+        v = tablelog.table_tag(
+            args.table, args.name, args.version, force=args.force
+        )
+        print(json.dumps({"tag": args.name, "version": v}))
+    elif args.action == "untag":
+        if not args.name:
+            raise SystemExit("table untag requires --name")
+        tablelog.table_untag(args.table, args.name)
+        print(json.dumps({"untagged": args.name}))
+    elif args.action == "tags":
+        print(json.dumps(tablelog.table_tags(args.table)))
     return 0
 
 
@@ -226,8 +240,17 @@ def main(argv=None) -> int:
     pi.set_defaults(fn=cmd_ingest)
 
     pt = sub.add_parser("table", help="versioned-table maintenance")
-    pt.add_argument("action", choices=["history", "expire", "compact"])
+    pt.add_argument(
+        "action", choices=["history", "expire", "compact", "tag", "untag", "tags"]
+    )
     pt.add_argument("--table", required=True)
+    pt.add_argument("--name", help="tag name (tag/untag)")
+    pt.add_argument(
+        "--version", type=int, default=None, help="version to tag (default: head)"
+    )
+    pt.add_argument(
+        "--force", action="store_true", help="re-point an existing tag"
+    )
     pt.add_argument("--keep-last", type=int, default=2)
     pt.add_argument(
         "--orphan-grace",

@@ -406,6 +406,86 @@ def table_overwrite(
     )
 
 
+# --- named tags (pinned snapshots) ------------------------------------------
+
+def _tag_path(table_dir: str, name: str) -> str:
+    # the "tag-" filename prefix keeps tags disjoint from manifests,
+    # so any filesystem-safe name works (incl. "v1.0")
+    if not name or "/" in name or "\\" in name or name.startswith("."):
+        raise ValueError(f"tablelog: invalid tag name {name!r}")
+    return os.path.join(_log_dir(table_dir), f"tag-{name}.json")
+
+
+def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = False) -> int:
+    """Pin ``name`` to ``version`` (default: current head) — a named
+    immutable snapshot in the training-data release workflow
+    ("dataset-v1.0 == table version 7"). Tagged versions survive
+    ``table_expire`` regardless of ``keep_last``: their manifests are
+    retained and their data files stay reachable, so a pinned release
+    stays time-travelable forever. One tag = one exclusively-created
+    file (no read-modify-write race between concurrent taggers);
+    ``force`` atomically re-points an existing tag."""
+    head = _head_version(table_dir)
+    if head < 0:
+        raise ValueError(f"tablelog: {table_dir} is not a table")
+    v = head if version is None else int(version)
+    if not os.path.exists(os.path.join(_log_dir(table_dir), _manifest_name(v))):
+        raise ValueError(
+            f"tablelog: cannot tag version {v} — no manifest (expired or never committed)"
+        )
+    path = _tag_path(table_dir, name)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        if force:
+            os.replace(tmp, path)
+        else:
+            # exclusive claim: link fails if the tag already exists
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise ValueError(
+                    f"tablelog: tag {name!r} exists (use force=True to re-point)"
+                ) from None
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        return v
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def table_untag(table_dir: str, name: str) -> None:
+    """Remove a tag (the pinned version becomes expirable again)."""
+    try:
+        os.unlink(_tag_path(table_dir, name))
+    except FileNotFoundError:
+        raise ValueError(f"tablelog: no tag {name!r}") from None
+
+
+def table_tags(table_dir: str) -> dict:
+    """{tag name: pinned version} for every tag on the table."""
+    out = {}
+    try:
+        names = os.listdir(_log_dir(table_dir))
+    except FileNotFoundError:
+        return out
+    for n in sorted(names):
+        if n.startswith("tag-") and n.endswith(".json"):
+            with open(os.path.join(_log_dir(table_dir), n)) as fh:
+                out[n[4:-5]] = int(json.load(fh)["version"])
+    return out
+
+
 def read_table_at(
     table_dir: str,
     version: int = None,
@@ -414,6 +494,7 @@ def read_table_at(
     lo=None,
     hi=None,
     columns=None,
+    tag: str = None,
 ):
     """Read the table AS OF ``version`` (default: head) as a Dataset.
     With ``filter_col``/``lo``/``hi``, files whose manifest stats prove
@@ -421,12 +502,21 @@ def read_table_at(
     records (files_read, files_total)); the residual filter keeps the
     result exact whether or not a file carried stats. ``columns``
     prunes at the parquet decode (pass the filter column too when
-    combining both)."""
+    combining both). ``tag`` resolves a pinned snapshot name
+    (`table_tag`) to its version — mutually exclusive with
+    ``version``."""
     import ray.data as rd
 
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
+    if tag is not None:
+        if version is not None:
+            raise ValueError("tablelog: pass version OR tag, not both")
+        tags = table_tags(table_dir)
+        if tag not in tags:
+            raise ValueError(f"tablelog: no tag {tag!r}")
+        version = tags[tag]
     v = head if version is None else int(version)
     m = _read_manifest(table_dir, v)
     files = m["files"]
@@ -1150,13 +1240,16 @@ def table_expire(
     unreferenced file younger than the grace (by mtime) is a plausible
     in-flight stage, not garbage, and survives this pass — the same
     retention rule cloud-table VACUUMs use. Set 0 only when no writer
-    can be active. Returns {kept_versions, deleted_files}."""
+    can be active. Versions pinned by a tag (`table_tag`) are retained
+    regardless of ``keep_last`` — manifest kept, files reachable.
+    Returns {kept_versions, deleted_files}."""
     import time
 
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
     cutoff = max(0, head - max(1, keep_last) + 1)
+    tagged = set(table_tags(table_dir).values())
     log = _log_dir(table_dir)
     kept, reachable, expired_notes = [], set(), set()
     expired_reachable = set()  # data of expired versions: delete NOW
@@ -1171,7 +1264,7 @@ def table_expire(
             continue
         v = int(name[1:9])
         path = os.path.join(log, name)
-        if v < cutoff:
+        if v < cutoff and v not in tagged:
             with open(path) as fh:
                 m = json.load(fh)
             if m.get("note"):
