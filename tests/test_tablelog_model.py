@@ -100,3 +100,85 @@ def test_random_op_sequences_match_pandas_model(ray_session, tmp_path):
             assert len(got_tv) == 0
         else:
             pd.testing.assert_frame_equal(_norm(got_tv), _norm(want))
+
+
+def test_random_ops_with_tags_and_expire(ray_session, tmp_path):
+    """Model test extended with random tag / untag / expire: every
+    live tag must keep reading exactly its recorded snapshot through
+    arbitrary later ops, compactions and retention sweeps."""
+    import ray.data as rd
+
+    from textextract_ray.pipelines.tablelog import (
+        table_compact,
+        table_expire,
+        table_tag,
+        table_tags,
+        table_untag,
+    )
+
+    rng = np.random.RandomState(2027)
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    model = pd.DataFrame({"k": pd.Series([], dtype="int64"), "txt": []})
+    snapshots = {0: model.copy()}
+    tags: dict = {}
+
+    for step in range(24):
+        op = rng.choice(["append", "overwrite", "merge", "delete", "compact"],
+                        p=[0.35, 0.15, 0.25, 0.15, 0.10])
+        if op == "append":
+            df = _frame(rng, 200)
+            v = table_append(t, rd.from_pandas(df), stats_cols=["k"])
+            model = pd.concat([model, df], ignore_index=True)
+        elif op == "overwrite":
+            df = _frame(rng, 200)
+            v = table_overwrite(t, rd.from_pandas(df), stats_cols=["k"])
+            model = df.copy()
+        elif op == "merge":
+            df = _frame(rng, 200)
+            v = table_merge(t, rd.from_pandas(df), "k", stats_cols=["k"])
+            model = pd.concat(
+                [model[~model.k.isin(df.k)], df], ignore_index=True
+            )
+        elif op == "compact":
+            if not len(model):
+                continue  # nothing to compact raises by contract
+            v = table_compact(t)
+        else:  # delete
+            if not len(model):
+                continue
+            doomed = list(
+                rng.choice(
+                    model.k.unique(), size=min(3, model.k.nunique()), replace=False
+                )
+            )
+            v = table_delete_keys(t, "k", [int(x) for x in doomed])
+            model = model[~model.k.isin(doomed)].reset_index(drop=True)
+        snapshots[v] = model.copy()
+
+        if rng.rand() < 0.30:
+            name = f"t{step}"
+            table_tag(t, name, v)
+            tags[name] = v
+        if tags and rng.rand() < 0.15:
+            name = rng.choice(sorted(tags))
+            table_untag(t, name)
+            del tags[name]
+        if rng.rand() < 0.20:
+            rep = table_expire(t, keep_last=2, orphan_grace_seconds=0)
+            snapshots = {
+                kv: s for kv, s in snapshots.items() if kv in rep["kept_versions"]
+            }
+            assert set(tags.values()) <= set(rep["kept_versions"])
+
+        assert table_tags(t) == tags
+        pd.testing.assert_frame_equal(
+            _norm(read_table_at(t).to_pandas()), _norm(model)
+        )
+        for name, tv in tags.items():
+            want = snapshots[tv]
+            got = read_table_at(t, tag=name).to_pandas()
+            if len(want) == 0:
+                assert len(got) == 0
+            else:
+                pd.testing.assert_frame_equal(_norm(got), _norm(want))
