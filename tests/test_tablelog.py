@@ -1117,3 +1117,17 @@ def test_tag_survives_compaction_expire(ray_session, tmp_path):
     table_expire(t, keep_last=1, orphan_grace_seconds=0)
     got = _sorted(read_table_at(t, tag="pre-compact").to_pandas())
     pd.testing.assert_frame_equal(got, _sorted(_df(0, 400)))
+
+
+def test_read_table_keys_by_tag(ray_session, tmp_path):
+    from textextract_ray.pipelines.tablelog import read_table_keys, table_tag
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 50), stats_cols=["k"])
+    table_tag(t, "rel")
+    table_overwrite(t, _ds(100, 110))
+    got = read_table_keys(t, "k", [3, 7], tag="rel").to_pandas()
+    assert sorted(got["k"]) == [3, 7]
+    with pytest.raises(ValueError):
+        read_table_keys(t, "k", [3], version=1, tag="rel")

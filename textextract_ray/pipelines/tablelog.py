@@ -548,7 +548,10 @@ def read_table_at(
     return ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, columns=None):
+def read_table_keys(
+    table_dir: str, key_col: str, keys, *, version: int = None, columns=None,
+    tag: str = None,
+):
     """Point lookup over a bloom-indexed table: open ONLY the files of
     the version whose ``key_col`` sidecar admits one of ``keys`` (plus
     any file WITHOUT a sidecar — soundness over pruning), then apply
@@ -556,7 +559,8 @@ def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, 
     sidecars the copy-on-write merge/delete prune with: k url lookups
     over a 100-TB table touch O(files containing those urls), not the
     table. ``read_table_keys.last_pruning`` records (files_read,
-    files_total)."""
+    files_total). ``tag`` resolves a pinned snapshot name, exactly as
+    in `read_table_at`."""
     import ray.data as rd
 
     from .storage import _probe_blooms
@@ -564,6 +568,13 @@ def read_table_keys(table_dir: str, key_col: str, keys, *, version: int = None, 
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
+    if tag is not None:
+        if version is not None:
+            raise ValueError("tablelog: pass version OR tag, not both")
+        tags = table_tags(table_dir)
+        if tag not in tags:
+            raise ValueError(f"tablelog: no tag {tag!r}")
+        version = tags[tag]
     v = head if version is None else int(version)
     _m = _read_manifest(table_dir, v)
     files = _m["files"]
