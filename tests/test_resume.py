@@ -306,6 +306,22 @@ def test_multi_kill_resume_fuzz(ray_session, tmp_path):
             .reset_index(drop=True)
         )
 
+    refs: dict = {}
+
+    def ref_for(mode, spp):
+        # clean-run reference is a pure function of (mode, spp)
+        if (mode, spp) not in refs:
+            ref_dir = str(tmp_path / f"ref-{mode}-{spp}")
+            if mode == "manifest":
+                run_job(files, ref_dir, shards_per_partition=spp)
+                r = read_out(ref_dir)
+            else:
+                run_job_versioned(files, ref_dir, shards_per_partition=spp)
+                r = read_tbl(ref_dir)
+                assert r["url"].is_unique
+            refs[(mode, spp)] = r
+        return refs[(mode, spp)]
+
     for seed in (0, 1):
         rng = random.Random(seed)
         spp = rng.choice([2, 3])
@@ -314,16 +330,8 @@ def test_multi_kill_resume_fuzz(ray_session, tmp_path):
             rng.sample(range(1, n_parts), k=1), reverse=True
         )
         for mode in ("manifest", "table"):
-            ref_dir = str(tmp_path / f"ref-{mode}-{spp}")
             out = str(tmp_path / f"{mode}-{seed}")
-            shutil.rmtree(ref_dir, ignore_errors=True)
-            if mode == "manifest":
-                run_job(files, ref_dir, shards_per_partition=spp)
-                ref = read_out(ref_dir)
-            else:
-                run_job_versioned(files, ref_dir, shards_per_partition=spp)
-                ref = read_tbl(ref_dir)
-                assert ref["url"].is_unique
+            ref = ref_for(mode, spp)
             for k in kills:
                 with pytest.raises(RuntimeError):
                     if mode == "manifest":

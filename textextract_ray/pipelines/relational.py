@@ -62,7 +62,10 @@ def q1_pricing_summary(sf_dir: str):
         t = batch.append_column("disc_price", disc_price)
         df = t.to_pandas()
         g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            # dropna=False so a null group key would survive the
+            # combiner too (end-to-end SQL GROUP BY semantics; TPC-H
+            # keys are non-null by schema, but the invariant holds)
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False)
             .agg(
                 sum_qty=("l_quantity", "sum"),
                 sum_base_price=("l_extendedprice", "sum"),

@@ -429,7 +429,8 @@ def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = F
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
     v = head if version is None else int(version)
-    if not os.path.exists(os.path.join(_log_dir(table_dir), _manifest_name(v))):
+    manifest = os.path.join(_log_dir(table_dir), _manifest_name(v))
+    if not os.path.exists(manifest):
         raise ValueError(
             f"tablelog: cannot tag version {v} — no manifest (expired or never committed)"
         )
@@ -455,13 +456,29 @@ def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = F
                     os.unlink(tmp)
                 except OSError:
                     pass
-        return v
     except BaseException:
         try:
             os.unlink(tmp)
         except OSError:
             pass
         raise
+    # tag-vs-expire fence: a concurrent table_expire may have read the
+    # tag set before this tag landed and already unlinked the manifest.
+    # Re-check AFTER the tag file is durably visible — if the manifest
+    # vanished, withdraw the tag and fail loudly rather than leaving a
+    # dangling pin on deleted data. (expire re-reads tags after its
+    # read-only pass for the same reason; the residual sub-millisecond
+    # window is the documented live-writer race class — don't race
+    # expire against tagging of near-expiry versions.)
+    if not os.path.exists(manifest):
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        raise ValueError(
+            f"tablelog: version {v} expired while tagging — tag withdrawn"
+        )
+    return v
 
 
 def table_untag(table_dir: str, name: str) -> None:
@@ -481,9 +498,27 @@ def table_tags(table_dir: str) -> dict:
         return out
     for n in sorted(names):
         if n.startswith("tag-") and n.endswith(".json"):
-            with open(os.path.join(_log_dir(table_dir), n)) as fh:
-                out[n[4:-5]] = int(json.load(fh)["version"])
+            try:
+                with open(os.path.join(_log_dir(table_dir), n)) as fh:
+                    out[n[4:-5]] = int(json.load(fh)["version"])
+            except FileNotFoundError:
+                continue  # concurrently untagged between listdir and open
     return out
+
+
+def _resolve_tag(table_dir: str, version, tag):
+    """Shared tag→version resolution for the read paths: one open of
+    the single tag file (not a scan of all tags); tag and version are
+    mutually exclusive."""
+    if tag is None:
+        return version
+    if version is not None:
+        raise ValueError("tablelog: pass version OR tag, not both")
+    try:
+        with open(_tag_path(table_dir, tag)) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise ValueError(f"tablelog: no tag {tag!r}") from None
 
 
 def read_table_at(
@@ -510,13 +545,7 @@ def read_table_at(
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
-    if tag is not None:
-        if version is not None:
-            raise ValueError("tablelog: pass version OR tag, not both")
-        tags = table_tags(table_dir)
-        if tag not in tags:
-            raise ValueError(f"tablelog: no tag {tag!r}")
-        version = tags[tag]
+    version = _resolve_tag(table_dir, version, tag)
     v = head if version is None else int(version)
     m = _read_manifest(table_dir, v)
     files = m["files"]
@@ -568,13 +597,7 @@ def read_table_keys(
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
-    if tag is not None:
-        if version is not None:
-            raise ValueError("tablelog: pass version OR tag, not both")
-        tags = table_tags(table_dir)
-        if tag not in tags:
-            raise ValueError(f"tablelog: no tag {tag!r}")
-        version = tags[tag]
+    version = _resolve_tag(table_dir, version, tag)
     v = head if version is None else int(version)
     _m = _read_manifest(table_dir, v)
     files = _m["files"]
@@ -1260,38 +1283,48 @@ def table_expire(
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
     cutoff = max(0, head - max(1, keep_last) + 1)
-    tagged = set(table_tags(table_dir).values())
     log = _log_dir(table_dir)
-    kept, reachable, expired_notes = [], set(), set()
-    expired_reachable = set()  # data of expired versions: delete NOW
-    expired_manifests = []
-    # PASS 1 — read-only: collect expired notes + file sets. Nothing is
-    # unlinked until the notes sidecar is durably on disk: a crash
-    # between unlink and notes-write would permanently lose a dump-
-    # idempotence stamp, and a later ingest_dumps_versioned rerun would
-    # re-merge a stale old dump over newer captures (ADVICE r4, medium).
-    for name in sorted(os.listdir(log)):
-        if not (name.startswith("v") and name.endswith(".json")):
-            continue
-        v = int(name[1:9])
-        path = os.path.join(log, name)
-        if v < cutoff and v not in tagged:
+    tagged = set(table_tags(table_dir).values())
+    while True:
+        kept, reachable, expired_notes = [], set(), set()
+        expired_reachable = set()  # data of expired versions: delete NOW
+        expired_manifests = []
+        # PASS 1 — read-only: collect expired notes + file sets. Nothing
+        # is unlinked until the notes sidecar is durably on disk: a
+        # crash between unlink and notes-write would permanently lose a
+        # dump-idempotence stamp, and a later ingest_dumps_versioned
+        # rerun would re-merge a stale old dump over newer captures
+        # (ADVICE r4, medium).
+        for name in sorted(os.listdir(log)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:9])
+            path = os.path.join(log, name)
+            if v < cutoff and v not in tagged:
+                with open(path) as fh:
+                    m = json.load(fh)
+                if m.get("note"):
+                    expired_notes.add(m["note"])
+                for f in m["files"]:
+                    expired_reachable.add(f["path"])
+                    if f.get("bloom"):
+                        expired_reachable.add(f["bloom"]["path"])
+                expired_manifests.append(path)
+                continue
+            kept.append(v)
             with open(path) as fh:
-                m = json.load(fh)
-            if m.get("note"):
-                expired_notes.add(m["note"])
-            for f in m["files"]:
-                expired_reachable.add(f["path"])
-                if f.get("bloom"):
-                    expired_reachable.add(f["bloom"]["path"])
-            expired_manifests.append(path)
-            continue
-        kept.append(v)
-        with open(path) as fh:
-            for f in json.load(fh)["files"]:
-                reachable.add(f["path"])
-                if f.get("bloom"):
-                    reachable.add(f["bloom"]["path"])
+                for f in json.load(fh)["files"]:
+                    reachable.add(f["path"])
+                    if f.get("bloom"):
+                        reachable.add(f["bloom"]["path"])
+        # tag-vs-expire fence: a tag that landed during the read-only
+        # pass pins its version OUT of the expiry plan — re-read and
+        # replan until the tag set is stable (table_tag re-checks its
+        # manifest after the tag file lands, closing the other side)
+        tagged2 = set(table_tags(table_dir).values())
+        if tagged2 <= tagged:
+            break
+        tagged |= tagged2
     expired_reachable -= reachable
     # PASS 2 — persist notes FIRST (atomic merge-write), THEN unlink the
     # expired manifests. A crash anywhere leaves either extra manifests

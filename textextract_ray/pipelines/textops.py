@@ -156,6 +156,13 @@ def token_stats(sf_dir: str):
         )
         df["lang"] = df["lang_f"].where(df["lang_n"] == 0, None)
         df = df.drop(columns=["lang_f", "lang_n"])
+    # normalize the null-lang spelling: the fold arm's groupby leaves
+    # float NaN in the object column while the mask-and-restore arm
+    # writes None — pick ONE (None) so arm outputs are identical
+    if len(df) and df["lang"].isna().any():
+        lang = df["lang"].astype(object)
+        lang[lang.isna()] = None
+        df["lang"] = lang
     df = df.sort_values("lang").reset_index(drop=True)
     # pandas upcasts nullable int sums to float64 in the fold arm;
     # restore int64 whenever no null survived so both arms agree

@@ -150,6 +150,18 @@ def _exact_dedup_bucketed(ds, text_col: str, id_col: str, *, num_buckets: int = 
 GROUP_APPLY_FOLD_BUDGET_ROWS = 5_000_000
 
 
+def _typed_pair_empty(df: pd.DataFrame) -> pd.DataFrame:
+    """Empty (id, keep_id) frame typed from the input's id dtype —
+    string ids are supported throughout the LSH stages, and an
+    int64-typed empty block from one zero-pair bucket task would break
+    schema unification against string-id blocks in the past-budget
+    map_groups arm."""
+    idt = df["id"].dtype if "id" in df.columns else "int64"
+    return pd.DataFrame(
+        {"id": pd.Series(dtype=idt), "keep_id": pd.Series(dtype=idt)}
+    )
+
+
 def _group_all_pairs(
     df: pd.DataFrame,
     cols,
@@ -172,14 +184,7 @@ def _group_all_pairs(
     names an optional truthy column; rows where it is falsy never
     appear on the drop (``id``) side but still anchor as keepers
     (the incremental-index contract)."""
-    # type the empty result from the input's id dtype (string ids are
-    # supported throughout the LSH stages — an int64-typed empty block
-    # from one zero-pair bucket task would break schema unification
-    # against string-id blocks in the past-budget map_groups arm)
-    id_dtype = df["id"].dtype if "id" in df.columns else "int64"
-    empty = pd.DataFrame(
-        {"id": pd.Series(dtype=id_dtype), "keep_id": pd.Series(dtype=id_dtype)}
-    )
+    empty = _typed_pair_empty(df)
     if len(df) == 0:
         return empty
     cols = list(cols)
@@ -281,13 +286,7 @@ def _bucketed_group_apply(
         for _, g in df.groupby(cols, sort=True):
             outs.append(fn(g))
         if not outs:
-            # type the empty from the input id dtype (string-id blocks
-            # from other buckets must unify) — same contract as
-            # `_group_all_pairs`'s empty
-            idt = df["id"].dtype if "id" in df.columns else "int64"
-            return pd.DataFrame(
-                {"id": pd.Series(dtype=idt), "keep_id": pd.Series(dtype=idt)}
-            )
+            return _typed_pair_empty(df)
         return pd.concat(outs, ignore_index=True)
 
     from .fold import fold_partials
