@@ -1131,3 +1131,55 @@ def test_read_table_keys_by_tag(ray_session, tmp_path):
     assert sorted(got["k"]) == [3, 7]
     with pytest.raises(ValueError):
         read_table_keys(t, "k", [3], version=1, tag="rel")
+
+
+def test_tag_expire_fences(ray_session, tmp_path, monkeypatch):
+    """Both sides of the tag-vs-expire TOCTOU fence: (a) expire replans
+    when a tag lands during its read-only pass (the late tag pins its
+    version); (b) table_tag withdraws itself when the manifest vanishes
+    under it (expire won the race) instead of leaving a dangling pin."""
+    import textextract_ray.pipelines.tablelog as tl
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 30))       # v1
+    table_overwrite(t, _ds(50, 60))   # v2
+    table_overwrite(t, _ds(70, 80))   # v3
+
+    # (a) a tag that lands BETWEEN expire's first tag read and its
+    # replan check must be honored: inject it via the table_tags seam
+    real_tags = tl.table_tags
+    calls = {"n": 0}
+
+    def racing_tags(table_dir):
+        calls["n"] += 1
+        if calls["n"] == 2 and not real_tags(table_dir):
+            tl.table_tag(table_dir, "late", 1)  # lands mid-expire
+        return real_tags(table_dir)
+
+    monkeypatch.setattr(tl, "table_tags", racing_tags)
+    rep = tl.table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    monkeypatch.undo()
+    assert 1 in rep["kept_versions"]  # the late tag pinned v1
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, tag="late").to_pandas()), _sorted(_df(0, 30))
+    )
+
+    # (b) expire deleting the manifest while the tag file is being
+    # created: the tag must withdraw and raise, not dangle
+    from textextract_ray.pipelines.tablelog import _log_dir, _manifest_name
+
+    tl.table_untag(t, "late")
+    tl.table_expire(t, keep_last=1, orphan_grace_seconds=0)  # only v3 left
+    real_link = os.link
+
+    def link_then_expire(src, dst):
+        real_link(src, dst)
+        # simulate expire winning immediately after the tag lands
+        os.unlink(os.path.join(_log_dir(t), _manifest_name(3)))
+
+    monkeypatch.setattr(os, "link", link_then_expire)
+    with pytest.raises(ValueError, match="expired while tagging"):
+        tl.table_tag(t, "doomed", 3)
+    monkeypatch.undo()
+    assert "doomed" not in tl.table_tags(t)  # withdrawn, no dangling pin
