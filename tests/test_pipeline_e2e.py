@@ -456,3 +456,39 @@ def test_token_stats_null_lang_group_survives(ray_session, tmp_path):
     a = out.sort_values("lang", na_position="last").reset_index(drop=True)
     b = out2.sort_values("lang", na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_q1_null_group_key_both_arms(ray_session, tmp_path):
+    """A NULL l_returnflag forms its own group in BOTH q1 merge arms
+    (fold keeps it via dropna=False; the past-budget arm masks key
+    null-ness through the Ray groupby and restores it)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import textextract_ray.pipelines.relational as rel
+
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A", None, None], pa.string()),
+            "l_linestatus": pa.array(["O", "O", "O"], pa.string()),
+            "l_quantity": pa.array([1.0, 2.0, 3.0]),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+            "l_discount": pa.array([0.0, 0.1, 0.2]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    a = rel.q1_pricing_summary(str(tmp_path))
+    assert len(a) == 2
+    nrow = a[a["l_returnflag"].isna()]
+    assert nrow["count_order"].tolist() == [2]
+    assert nrow["sum_qty"].tolist() == [5.0]
+    orig = rel._fold_partials
+    try:
+        rel._fold_partials = lambda *x, **k: None
+        b = rel.q1_pricing_summary(str(tmp_path))
+    finally:
+        rel._fold_partials = orig
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

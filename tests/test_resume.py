@@ -273,7 +273,7 @@ def test_multi_kill_resume_fuzz(ray_session, tmp_path):
     per-partition by design)."""
     import glob
     import random
-    import shutil
+
 
     import pandas as pd
     import pyarrow.parquet as pq

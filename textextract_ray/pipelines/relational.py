@@ -74,7 +74,22 @@ def q1_pricing_summary(sf_dir: str):
                 count_order=("l_quantity", "size"),
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: a block whose keys are ALL null would
+        # otherwise infer a null-typed column and break concat/union
+        schema = pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.float64()),
+                ("sum_base_price", pa.float64()),
+                ("sum_disc_price", pa.float64()),
+                ("sum_disc", pa.float64()),
+                ("count_order", pa.int64()),
+            ]
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).select(
+            schema.names
+        ).cast(schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     sums = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_disc", "count_order"]
@@ -103,8 +118,28 @@ def q1_pricing_summary(sf_dir: str):
                 }
             )
     else:
+        # Ray's sort-based groupby cannot shuffle a null key, so the
+        # past-budget arm masks key null-ness into companion int keys
+        # and restores after (same pattern as token_stats) — both arms
+        # keep null groups end to end
+        def mask_null(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "rf": pc.fill_null(batch["l_returnflag"], ""),
+                    "rf_n": pc.is_null(batch["l_returnflag"]).cast(pa.int8()),
+                    "ls": pc.fill_null(batch["l_linestatus"], ""),
+                    "ls_n": pc.is_null(batch["l_linestatus"]).cast(pa.int8()),
+                    "sum_qty": batch["sum_qty"],
+                    "sum_base_price": batch["sum_base_price"],
+                    "sum_disc_price": batch["sum_disc_price"],
+                    "sum_disc": batch["sum_disc"],
+                    "count_order": batch["count_order"],
+                }
+            )
+
         out = (
-            partials.groupby(["l_returnflag", "l_linestatus"])
+            partials.map_batches(mask_null, batch_format="pyarrow")
+            .groupby(["rf", "rf_n", "ls", "ls_n"])
             .aggregate(
                 Sum("sum_qty", alias_name="sum_qty"),
                 Sum("sum_base_price", alias_name="sum_base_price"),
@@ -114,6 +149,20 @@ def q1_pricing_summary(sf_dir: str):
             )
             .to_pandas()
         )
+        out["l_returnflag"] = out["rf"].where(out["rf_n"] == 0, None)
+        out["l_linestatus"] = out["ls"].where(out["ls_n"] == 0, None)
+        out = out.drop(columns=["rf", "rf_n", "ls", "ls_n"])
+    # one column order and one null-key spelling (None, not NaN) for
+    # both merge arms
+    out = out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "_sum_disc", "count_order"]
+    ].copy()
+    for c in ("l_returnflag", "l_linestatus"):
+        if len(out) and out[c].isna().any():
+            col = out[c].astype(object)
+            col[col.isna()] = None
+            out[c] = col
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     out["avg_price"] = out["sum_base_price"] / out["count_order"]
     out["avg_disc"] = out["_sum_disc"] / out["count_order"]

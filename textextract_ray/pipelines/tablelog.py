@@ -436,12 +436,18 @@ def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = F
         )
     path = _tag_path(table_dir, name)
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    prior = None  # force path: the pin to RESTORE if the fence trips
     try:
         with open(tmp, "w") as fh:
             json.dump({"version": v}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         if force:
+            try:
+                with open(path) as fh:
+                    prior = json.load(fh)
+            except FileNotFoundError:
+                pass
             os.replace(tmp, path)
         else:
             # exclusive claim: link fails if the tag already exists
@@ -465,14 +471,23 @@ def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = F
     # tag-vs-expire fence: a concurrent table_expire may have read the
     # tag set before this tag landed and already unlinked the manifest.
     # Re-check AFTER the tag file is durably visible — if the manifest
-    # vanished, withdraw the tag and fail loudly rather than leaving a
-    # dangling pin on deleted data. (expire re-reads tags after its
-    # read-only pass for the same reason; the residual sub-millisecond
-    # window is the documented live-writer race class — don't race
-    # expire against tagging of near-expiry versions.)
+    # vanished, withdraw the NEW pin and fail loudly rather than leave
+    # a dangling pin on deleted data. A force re-point RESTORES the
+    # prior pin (which pointed at retained data) instead of deleting
+    # the tag outright. (expire re-reads tags again immediately before
+    # unlinking; the residual window is the few unlink syscalls — the
+    # documented live-writer race class.)
     if not os.path.exists(manifest):
         try:
-            os.unlink(path)
+            if prior is not None:
+                rtmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(rtmp, "w") as fh:
+                    json.dump(prior, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(rtmp, path)
+            else:
+                os.unlink(path)
         except OSError:
             pass
         raise ValueError(
@@ -1317,41 +1332,51 @@ def table_expire(
                     reachable.add(f["path"])
                     if f.get("bloom"):
                         reachable.add(f["bloom"]["path"])
-        # tag-vs-expire fence: a tag that landed during the read-only
-        # pass pins its version OUT of the expiry plan — re-read and
-        # replan until the tag set is stable (table_tag re-checks its
-        # manifest after the tag file lands, closing the other side)
+        # tag-vs-expire fence (read 1 of 2): a tag that landed during
+        # the read-only pass pins its version OUT of the expiry plan —
+        # re-read and replan until the tag set is stable (table_tag
+        # re-checks its manifest after the tag file lands, closing the
+        # other side)
         tagged2 = set(table_tags(table_dir).values())
-        if tagged2 <= tagged:
-            break
-        tagged |= tagged2
-    expired_reachable -= reachable
-    # PASS 2 — persist notes FIRST (atomic merge-write), THEN unlink the
-    # expired manifests. A crash anywhere leaves either extra manifests
-    # (re-expired next run, idempotent) or extra notes (harmless), never
-    # a lost note.
-    if expired_notes:
-        np_ = os.path.join(log, _NOTES_EXPIRED)
-        try:
-            with open(np_) as fh:
-                expired_notes.update(json.load(fh))
-        except FileNotFoundError:
-            pass
-        tmp = np_ + f".tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            with open(tmp, "w") as fh:
-                json.dump(sorted(expired_notes), fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, np_)
-        except BaseException:
-            # same tmp-hygiene as _commit: a disk-full/crash mid-write
-            # must not litter _log with stray tmp files forever
+        if not tagged2 <= tagged:
+            tagged |= tagged2
+            continue
+        # PASS 2 — persist notes FIRST (atomic merge-write), THEN
+        # unlink the expired manifests. A crash anywhere leaves either
+        # extra manifests (re-expired next run, idempotent) or extra
+        # notes (harmless — also why notes may be written for a plan
+        # that a late tag then invalidates), never a lost note.
+        if expired_notes:
+            np_ = os.path.join(log, _NOTES_EXPIRED)
             try:
-                os.unlink(tmp)
-            except OSError:
+                with open(np_) as fh:
+                    expired_notes.update(json.load(fh))
+            except FileNotFoundError:
                 pass
-            raise
+            tmp = np_ + f".tmp-{uuid.uuid4().hex[:8]}"
+            try:
+                with open(tmp, "w") as fh:
+                    json.dump(sorted(expired_notes), fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, np_)
+            except BaseException:
+                # same tmp-hygiene as _commit: a disk-full/crash
+                # mid-write must not litter _log with stray tmp files
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+        # fence read 2 of 2, immediately before the destructive step:
+        # the fsync'd notes write above can take milliseconds on a
+        # loaded disk — a tag landing in that window must still pin.
+        # After this read only the unlink syscalls remain.
+        tagged3 = set(table_tags(table_dir).values())
+        if tagged3 <= tagged:
+            break
+        tagged |= tagged3
+    expired_reachable -= reachable
     for path in expired_manifests:
         os.unlink(path)
     deleted = 0
