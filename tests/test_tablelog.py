@@ -1183,3 +1183,47 @@ def test_tag_expire_fences(ray_session, tmp_path, monkeypatch):
         tl.table_tag(t, "doomed", 3)
     monkeypatch.undo()
     assert "doomed" not in tl.table_tags(t)  # withdrawn, no dangling pin
+
+
+def test_restore_rolls_back_content_and_schema(ray_session, tmp_path):
+    """table_restore commits an old snapshot's content (and defaults
+    map) as a NEW head with files carried by reference; intervening
+    history stays time-travelable, and a tagged source works too."""
+    from textextract_ray.pipelines.tablelog import (
+        table_add_column,
+        table_history,
+        table_restore,
+        table_tag,
+    )
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 40))        # v1
+    table_tag(t, "good")
+    table_overwrite(t, _ds(100, 105))  # v2 (the "bad" overwrite)
+    table_add_column(t, "flag", 7)     # v3: evolved schema
+
+    v = table_restore(t, tag="good")
+    assert v == 4
+    got = _sorted(read_table_at(t).to_pandas())
+    pd.testing.assert_frame_equal(got, _sorted(_df(0, 40)))
+    assert "flag" not in got.columns  # schema restored to the snapshot's
+    # rolled-past versions still time-travel
+    assert sorted(read_table_at(t, 2).to_pandas()["k"]) == list(range(100, 105))
+    hist = table_history(t)
+    assert hist.loc[hist["version"] == 4, "operation"].iloc[0] == "restore"
+    assert hist.loc[hist["version"] == 4, "note"].iloc[0] == "restore:v1"
+    # restore by explicit version of the evolved head: defaults return
+    v5 = table_restore(t, 3)
+    out = read_table_at(t).to_pandas()
+    assert v5 == 5 and set(out["flag"]) == {7}
+    # a restored head survives expiry of its source version (files are
+    # referenced by the NEW manifest)
+    from textextract_ray.pipelines.tablelog import table_untag
+
+    table_untag(t, "good")
+    table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    out = _sorted(read_table_at(t).to_pandas().drop(columns=["flag"]))
+    pd.testing.assert_frame_equal(out, _sorted(_df(100, 105)))
+    with pytest.raises(ValueError):
+        table_restore(t, tag="nope")

@@ -180,6 +180,11 @@ def cmd_table(args) -> int:
         print(json.dumps({"untagged": args.name}))
     elif args.action == "tags":
         print(json.dumps(tablelog.table_tags(args.table)))
+    elif args.action == "restore":
+        v = tablelog.table_restore(
+            args.table, args.version, tag=args.name or None
+        )
+        print(json.dumps({"restored_as_version": v}))
     return 0
 
 
@@ -241,7 +246,8 @@ def main(argv=None) -> int:
 
     pt = sub.add_parser("table", help="versioned-table maintenance")
     pt.add_argument(
-        "action", choices=["history", "expire", "compact", "tag", "untag", "tags"]
+        "action",
+        choices=["history", "expire", "compact", "tag", "untag", "tags", "restore"],
     )
     pt.add_argument("--table", required=True)
     pt.add_argument("--name", help="tag name (tag/untag)")

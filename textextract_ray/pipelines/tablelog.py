@@ -354,6 +354,43 @@ def _write_version(
     )
 
 
+def table_restore(
+    table_dir: str, version: int = None, *, tag: str = None,
+    retries: int = 5, note=None,
+) -> int:
+    """Roll the table's LOGICAL content back to an earlier version (or
+    pinned tag) as a NEW commit — the undo for a bad merge, a botched
+    recrawl ingest, or an over-broad takedown. The source snapshot's
+    files carry BY REFERENCE (zero data movement at any table size)
+    and its defaults map comes along, so the restored head has exactly
+    that snapshot's content and schema. History is preserved: the
+    versions being rolled past stay time-travelable until
+    ``table_expire`` reclaims them."""
+    version = _resolve_tag(table_dir, version, tag)
+    if version is None:
+        raise ValueError("tablelog: table_restore needs version= or tag=")
+    src = _read_manifest(table_dir, int(version))
+    for _ in range(max(1, retries)):
+        head = _head_version(table_dir)
+        man = {
+            "version": head + 1,
+            "parent": head,
+            "operation": "restore",
+            "note": note or f"restore:v{int(version)}",
+            "files": src["files"],
+        }
+        if src.get("defaults"):
+            man["defaults"] = src["defaults"]
+        try:
+            _commit(table_dir, head + 1, man)
+            return head + 1
+        except CommitConflict:
+            continue  # referenced files are version-independent; retry
+    raise CommitConflict(
+        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
+    )
+
+
 def table_append(
     table_dir: str,
     ds,
