@@ -1227,3 +1227,29 @@ def test_restore_rolls_back_content_and_schema(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out, _sorted(_df(100, 105)))
     with pytest.raises(ValueError):
         table_restore(t, tag="nope")
+
+
+def test_expire_dry_run_plans_without_touching(ray_session, tmp_path):
+    """dry_run returns the exact plan (kept, expired, would-delete
+    count) and changes NOTHING; the real sweep then deletes exactly
+    the planned count."""
+    from textextract_ray.pipelines.tablelog import table_tag
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 30))       # v1
+    table_overwrite(t, _ds(50, 60))   # v2
+    table_overwrite(t, _ds(70, 80))   # v3
+    table_tag(t, "keepme", 1)
+
+    plan = table_expire(t, keep_last=1, orphan_grace_seconds=0, dry_run=True)
+    assert set(plan["kept_versions"]) == {1, 3}
+    assert plan["expired_versions"] == [0, 2]  # the empty create manifest expires too
+    assert plan["deleted_files"] > 0
+    # nothing touched: v2 still reads
+    assert sorted(read_table_at(t, 2).to_pandas()["k"]) == list(range(50, 60))
+    real = table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    assert real["deleted_files"] == plan["deleted_files"]
+    assert set(real["kept_versions"]) == {1, 3}
+    with pytest.raises(ValueError):
+        read_table_at(t, 2)

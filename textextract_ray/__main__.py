@@ -160,6 +160,7 @@ def cmd_table(args) -> int:
             args.table,
             keep_last=args.keep_last,
             orphan_grace_seconds=args.orphan_grace,
+            dry_run=args.dry_run,
         )
         print(json.dumps(res))
     elif args.action == "compact":
@@ -256,6 +257,10 @@ def main(argv=None) -> int:
     )
     pt.add_argument(
         "--force", action="store_true", help="re-point an existing tag"
+    )
+    pt.add_argument(
+        "--dry-run", action="store_true",
+        help="expire: plan only (kept/expired/would-delete), touch nothing",
     )
     pt.add_argument("--keep-last", type=int, default=2)
     pt.add_argument(

@@ -1313,7 +1313,8 @@ def table_notes(table_dir: str) -> set:
 
 
 def table_expire(
-    table_dir: str, *, keep_last: int = 2, orphan_grace_seconds: float = 86400.0
+    table_dir: str, *, keep_last: int = 2, orphan_grace_seconds: float = 86400.0,
+    dry_run: bool = False,
 ) -> dict:
     """Retention GC: keep the newest ``keep_last`` versions, delete
     older manifests (their ``note`` stamps are preserved in
@@ -1328,7 +1329,12 @@ def table_expire(
     retention rule cloud-table VACUUMs use. Set 0 only when no writer
     can be active. Versions pinned by a tag (`table_tag`) are retained
     regardless of ``keep_last`` — manifest kept, files reachable.
-    Returns {kept_versions, deleted_files}."""
+    Returns {kept_versions, deleted_files}.
+
+    ``dry_run=True`` plans without touching anything (no notes write,
+    no unlinks) and returns {kept_versions, expired_versions,
+    deleted_files(count it WOULD delete)} — run it before a sweep with
+    ``orphan_grace_seconds=0`` to see what is on the chopping block."""
     import time
 
     head = _head_version(table_dir)
@@ -1378,6 +1384,8 @@ def table_expire(
         if not tagged2 <= tagged:
             tagged |= tagged2
             continue
+        if dry_run:
+            break  # plan only: no notes write, no unlinks
         # PASS 2 — persist notes FIRST (atomic merge-write), THEN
         # unlink the expired manifests. A crash anywhere leaves either
         # extra manifests (re-expired next run, idempotent) or extra
@@ -1414,28 +1422,46 @@ def table_expire(
             break
         tagged |= tagged3
     expired_reachable -= reachable
+
+    def sweepable():
+        # the shared delete predicate (used by the real sweep AND the
+        # dry-run count): unreachable files, with the orphan grace
+        # protecting files referenced by NO manifest
+        now = time.time()
+        data_root = os.path.join(table_dir, _DATA)
+        for root, _dirs, files in os.walk(data_root, topdown=False):
+            for f in files:
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, table_dir)
+                if rel in reachable:
+                    continue
+                if rel not in expired_reachable:
+                    # referenced by NO manifest: only an orphan if
+                    # older than the grace — a young one is a
+                    # plausible in-flight stage of a live writer
+                    try:
+                        if now - os.path.getmtime(p) < orphan_grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                yield p
+
+    if dry_run:
+        return {
+            "kept_versions": kept,
+            "expired_versions": sorted(
+                int(os.path.basename(p)[1:9]) for p in expired_manifests
+            ),
+            "deleted_files": sum(1 for _ in sweepable()),
+        }
     for path in expired_manifests:
         os.unlink(path)
     deleted = 0
-    now = time.time()
+    for p in sweepable():
+        os.unlink(p)
+        deleted += 1
     data_root = os.path.join(table_dir, _DATA)
-    for root, _dirs, files in os.walk(data_root, topdown=False):
-        for f in files:
-            p = os.path.join(root, f)
-            rel = os.path.relpath(p, table_dir)
-            if rel in reachable:
-                continue
-            if rel not in expired_reachable:
-                # referenced by NO manifest: only an orphan if older
-                # than the grace — a young one is a plausible in-flight
-                # stage of a live concurrent writer
-                try:
-                    if now - os.path.getmtime(p) < orphan_grace_seconds:
-                        continue
-                except OSError:
-                    continue
-            os.unlink(p)
-            deleted += 1
+    for root, _dirs, _files in os.walk(data_root, topdown=False):
         if root != data_root and not os.listdir(root):
             os.rmdir(root)
     return {"kept_versions": kept, "deleted_files": deleted}
