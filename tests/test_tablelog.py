@@ -1253,3 +1253,52 @@ def test_expire_dry_run_plans_without_touching(ray_session, tmp_path):
     assert set(real["kept_versions"]) == {1, 3}
     with pytest.raises(ValueError):
         read_table_at(t, 2)
+
+
+def test_restore_expire_fences(ray_session, tmp_path, monkeypatch):
+    """Restore-vs-expire: (a) a restore landing mid-expire forces a
+    replan that keeps the re-referenced files; (b) a restore whose
+    source files were deleted under it fails loudly instead of
+    returning a head that points at deleted data."""
+    import textextract_ray.pipelines.tablelog as tl
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 30))       # v1
+    table_overwrite(t, _ds(50, 60))   # v2
+    table_overwrite(t, _ds(70, 80))   # v3
+
+    # (a) inject a restore at expire's final fence read (the 3rd
+    # table_tags call): the fence must replan and keep v1's files
+    real_tags = tl.table_tags
+    calls = {"n": 0}
+
+    def tags_with_restore(table_dir):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            tl.table_restore(table_dir, 1)  # lands mid-expire
+        return real_tags(table_dir)
+
+    monkeypatch.setattr(tl, "table_tags", tags_with_restore)
+    tl.table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    monkeypatch.undo()
+    # the restored head (v4 = v1's content) must read intact
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t).to_pandas()), _sorted(_df(0, 30))
+    )
+
+    # (b) files deleted between restore's manifest read and commit:
+    # simulate by running the REAL expire inside the commit step
+    table_overwrite(t, _ds(90, 95))   # v5: make v4 expirable
+    real_commit = tl._commit
+
+    def commit_after_expire(table_dir, version, man):
+        if man.get("operation") == "restore":
+            monkeypatch.setattr(tl, "_commit", real_commit)
+            tl.table_expire(t, keep_last=1, orphan_grace_seconds=0)
+        return real_commit(table_dir, version, man)
+
+    monkeypatch.setattr(tl, "_commit", commit_after_expire)
+    with pytest.raises(RuntimeError, match="raced a concurrent"):
+        tl.table_restore(t, 4)
+    monkeypatch.undo()

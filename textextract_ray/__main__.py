@@ -182,6 +182,8 @@ def cmd_table(args) -> int:
     elif args.action == "tags":
         print(json.dumps(tablelog.table_tags(args.table)))
     elif args.action == "restore":
+        if args.version is None and not args.name:
+            raise SystemExit("table restore requires --version or --name")
         v = tablelog.table_restore(
             args.table, args.version, tag=args.name or None
         )
@@ -253,7 +255,9 @@ def main(argv=None) -> int:
     pt.add_argument("--table", required=True)
     pt.add_argument("--name", help="tag name (tag/untag)")
     pt.add_argument(
-        "--version", type=int, default=None, help="version to tag (default: head)"
+        "--version", type=int, default=None,
+        help="version to tag (default: head) / to restore (required "
+        "unless --name gives a tag)",
     )
     pt.add_argument(
         "--force", action="store_true", help="re-point an existing tag"

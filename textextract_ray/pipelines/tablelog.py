@@ -354,6 +354,25 @@ def _write_version(
     )
 
 
+def _commit_metadata_with_retry(table_dir: str, build_man, retries: int) -> int:
+    """Optimistic METADATA-ONLY commit shared by restore/add_column:
+    ``build_man(head, parent_manifest)`` returns (or raises from) the
+    manifest dict for head+1; on a lost commit race the head and
+    parent re-read and the build re-runs."""
+    for _ in range(max(1, retries)):
+        h = _head_version(table_dir)
+        parent = _read_manifest(table_dir, h)
+        man = build_man(h, parent)
+        try:
+            _commit(table_dir, h + 1, man)
+            return h + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
+    )
+
+
 def table_restore(
     table_dir: str, version: int = None, *, tag: str = None,
     retries: int = 5, note=None,
@@ -370,8 +389,8 @@ def table_restore(
     if version is None:
         raise ValueError("tablelog: table_restore needs version= or tag=")
     src = _read_manifest(table_dir, int(version))
-    for _ in range(max(1, retries)):
-        head = _head_version(table_dir)
+
+    def build_man(head, _parent):
         man = {
             "version": head + 1,
             "parent": head,
@@ -381,14 +400,29 @@ def table_restore(
         }
         if src.get("defaults"):
             man["defaults"] = src["defaults"]
-        try:
-            _commit(table_dir, head + 1, man)
-            return head + 1
-        except CommitConflict:
-            continue  # referenced files are version-independent; retry
-    raise CommitConflict(
-        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
-    )
+        return man
+
+    v_new = _commit_metadata_with_retry(table_dir, build_man, retries)
+    # restore-vs-expire fence: restore is the one writer that can
+    # re-reference an EXPIRING version's files. table_expire re-scans
+    # the manifest set immediately before its unlinks (a restore
+    # landing earlier forces an expire replan that marks these files
+    # reachable); a restore landing inside the unlink syscalls is
+    # caught here — fail loudly rather than return a head that points
+    # at deleted data.
+    missing = [
+        f["path"]
+        for f in src["files"]
+        if not os.path.exists(os.path.join(table_dir, f["path"]))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"tablelog: restore of v{int(version)} raced a concurrent "
+            f"table_expire — {len(missing)} referenced file(s) were "
+            f"deleted (head v{v_new} is damaged; restore an intact "
+            "version, e.g. the previous head, to repair)"
+        )
+    return v_new
 
 
 def table_append(
@@ -711,33 +745,22 @@ def table_add_column(table_dir: str, name: str, default, *, retries: int = 5, no
             f"table_add_column: default {default!r} is not usable as a "
             "column default (use a plain int/float/str/bool/None)"
         ) from None
-    for _ in range(max(1, retries)):
-        h = _head_version(table_dir)
-        parent = _read_manifest(table_dir, h)
+    def build_man(h, parent):
         defaults = dict(parent.get("defaults") or {})
         phys = parent["files"][0]["cols"] if parent["files"] else []
         if name in defaults or name in phys:
             raise ValueError(f"table_add_column: column {name!r} already exists")
         defaults[name] = default
-        try:
-            _commit(
-                table_dir,
-                h + 1,
-                {
-                    "version": h + 1,
-                    "parent": h,
-                    "operation": "add_column",
-                    "note": note,
-                    "files": parent["files"],
-                    "defaults": defaults,
-                },
-            )
-            return h + 1
-        except CommitConflict:
-            continue
-    raise CommitConflict(
-        f"tablelog: lost {retries} commit races on {table_dir}; giving up"
-    )
+        return {
+            "version": h + 1,
+            "parent": h,
+            "operation": "add_column",
+            "note": note,
+            "files": parent["files"],
+            "defaults": defaults,
+        }
+
+    return _commit_metadata_with_retry(table_dir, build_man, retries)
 
 
 def _fill_defaults(ds, defaults: dict, columns=None, types: dict = None):
@@ -1343,7 +1366,15 @@ def table_expire(
     cutoff = max(0, head - max(1, keep_last) + 1)
     log = _log_dir(table_dir)
     tagged = set(table_tags(table_dir).values())
-    while True:
+
+    def _manifest_names():
+        return {
+            n for n in os.listdir(log)
+            if n.startswith("v") and n.endswith(".json")
+        }
+
+    for _replan in range(16):
+        mnames = _manifest_names()
         kept, reachable, expired_notes = [], set(), set()
         expired_reachable = set()  # data of expired versions: delete NOW
         expired_manifests = []
@@ -1415,12 +1446,24 @@ def table_expire(
                 raise
         # fence read 2 of 2, immediately before the destructive step:
         # the fsync'd notes write above can take milliseconds on a
-        # loaded disk — a tag landing in that window must still pin.
-        # After this read only the unlink syscalls remain.
+        # loaded disk — a tag OR a new commit landing in that window
+        # must be honored (a `table_restore` may have re-referenced an
+        # expiring version's files; replanning marks them reachable).
+        # After these reads only the unlink syscalls remain (restore
+        # additionally verifies its files post-commit for that
+        # residue).
         tagged3 = set(table_tags(table_dir).values())
-        if tagged3 <= tagged:
-            break
-        tagged |= tagged3
+        if not tagged3 <= tagged:
+            tagged |= tagged3
+            continue
+        if _manifest_names() != mnames:
+            continue  # a commit landed mid-plan: replan over it
+        break
+    else:
+        raise CommitConflict(
+            f"tablelog: {table_dir} too busy to expire (16 replans — "
+            "commits or tags kept landing mid-plan); retry later"
+        )
     expired_reachable -= reachable
 
     def sweepable():
