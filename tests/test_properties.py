@@ -203,3 +203,66 @@ def test_robots_disallow_only_stdlib_parity(dis, paths):
     got = match_allowed(pa.array(paths), comp).tolist()
     want = [rp.can_fetch("*", p) for p in paths]
     assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # band_id
+            st.integers(0, 6),          # band_key (stringified)
+            st.integers(0, 12),         # id (small domain -> collisions)
+            st.booleans(),              # droppable rank
+        ),
+        max_size=60,
+    ),
+    cap=st.integers(1, 8),
+    use_rank=st.booleans(),
+)
+def test_group_all_pairs_matches_reference_property(rows, cap, use_rank):
+    """`_group_all_pairs` == the per-group sort/dedup/cap/triu
+    reference for ARBITRARY group shapes, caps, and droppable masks —
+    the vectorized candidate-pair kernel behind the MinHash stages."""
+    import pandas as pd
+
+    from textextract_ray.stages.dedup import _group_all_pairs
+
+    df = pd.DataFrame(
+        {
+            "band_id": [r[0] for r in rows],
+            "band_key": [f"k{r[1]}" for r in rows],
+            "id": [r[2] for r in rows],
+            "_rank": [int(r[3]) for r in rows],
+        }
+    )
+    order = ["_rank", "id"] if use_rank else ["id"]
+    cols = ["band_id", "band_key"]
+
+    outs = []
+    d2 = df[df.duplicated(cols, keep=False)]
+    for _, g in d2.groupby(cols, sort=True):
+        g = g.sort_values(order, kind="stable").drop_duplicates("id").head(cap)
+        ids = g["id"].to_numpy()
+        lo, hi = np.triu_indices(len(ids), k=1)
+        if use_rank:
+            keep = (g["_rank"].to_numpy() > 0)[hi]
+            outs.append(
+                pd.DataFrame({"id": ids[hi[keep]], "keep_id": ids[lo[keep]]})
+            )
+        else:
+            outs.append(pd.DataFrame({"id": ids[hi], "keep_id": ids[lo]}))
+    want = (
+        pd.concat(outs, ignore_index=True)
+        if outs
+        else pd.DataFrame({"id": [], "keep_id": []})
+    )
+    got = _group_all_pairs(
+        df,
+        cols,
+        cap=cap,
+        order=order,
+        droppable_col="_rank" if use_rank else None,
+    )
+    assert sorted(map(tuple, want.to_numpy())) == sorted(
+        map(tuple, got.to_numpy())
+    )
