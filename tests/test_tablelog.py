@@ -1154,7 +1154,13 @@ def test_tag_expire_fences(ray_session, tmp_path, monkeypatch):
     def racing_tags(table_dir):
         calls["n"] += 1
         if calls["n"] == 2 and not real_tags(table_dir):
-            tl.table_tag(table_dir, "late", 1)  # lands mid-expire
+            # simulate a tag whose lock pre-check passed just before
+            # expire acquired the lock (table_tag itself would WAIT on
+            # the lock): write the tag file directly
+            import json as _json
+
+            with open(tl._tag_path(table_dir, "late"), "w") as fh:
+                _json.dump({"version": 1}, fh)
         return real_tags(table_dir)
 
     monkeypatch.setattr(tl, "table_tags", racing_tags)
@@ -1268,15 +1274,29 @@ def test_restore_expire_fences(ray_session, tmp_path, monkeypatch):
     table_overwrite(t, _ds(50, 60))   # v2
     table_overwrite(t, _ds(70, 80))   # v3
 
-    # (a) inject a restore at expire's final fence read (the 3rd
-    # table_tags call): the fence must replan and keep v1's files
+    # (a) a restore manifest landing at expire's final fence read —
+    # the window where a restore passed its lock pre-check just before
+    # expire took the lock. Inject the bare commit (the pre-check
+    # already happened in that scenario): the fence must replan and
+    # keep v1's files. A full table_restore call at this point is
+    # REFUSED by the lock (also asserted).
+    import json as _json
+    import os as _os
+
     real_tags = tl.table_tags
     calls = {"n": 0}
 
     def tags_with_restore(table_dir):
         calls["n"] += 1
         if calls["n"] == 3:
-            tl.table_restore(table_dir, 1)  # lands mid-expire
+            with pytest.raises(RuntimeError, match="in progress"):
+                tl.table_restore(table_dir, 1)  # lock refuses mid-expire
+            src = tl._read_manifest(table_dir, 1)
+            h = tl._head_version(table_dir)
+            tl._commit(table_dir, h + 1, {
+                "version": h + 1, "parent": h, "operation": "restore",
+                "note": "restore:v1", "files": src["files"],
+            })
         return real_tags(table_dir)
 
     monkeypatch.setattr(tl, "table_tags", tags_with_restore)

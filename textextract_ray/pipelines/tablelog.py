@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 import pandas as pd
@@ -354,6 +355,47 @@ def _write_version(
     )
 
 
+_EXPIRE_LOCK = "_expire.lock"
+# a lock older than this is a crashed expire: it will never delete
+# anything, so writers ignore it and a new expire steals it. An expire
+# whose DESTRUCTIVE phase (unlinks only — planning happens before the
+# final fence) outlives this bound while a restore races it is the one
+# residual hazard, documented on table_restore.
+EXPIRE_LOCK_STALE_SECONDS = 3600.0
+
+
+def _expire_lock_path(table_dir: str) -> str:
+    return os.path.join(_log_dir(table_dir), _EXPIRE_LOCK)
+
+
+def _live_expire_lock(table_dir: str) -> bool:
+    try:
+        age = time.time() - os.path.getmtime(_expire_lock_path(table_dir))
+    except OSError:
+        return False
+    return age < EXPIRE_LOCK_STALE_SECONDS
+
+
+def _wait_expire_lock(table_dir: str) -> None:
+    """Block until no LIVE expire lock remains (released, or aged into
+    staleness — a crashed holder cannot delete anything)."""
+    while _live_expire_lock(table_dir):
+        time.sleep(0.05)
+
+
+def _version_files_missing(table_dir: str, files: list) -> list:
+    """Paths (data + bloom sidecars) of ``files`` that are gone."""
+    missing = []
+    for f in files:
+        paths = [f["path"]]
+        if f.get("bloom"):
+            paths.append(f["bloom"]["path"])
+        for p in paths:
+            if not os.path.exists(os.path.join(table_dir, p)):
+                missing.append(p)
+    return missing
+
+
 def _commit_metadata_with_retry(table_dir: str, build_man, retries: int) -> int:
     """Optimistic METADATA-ONLY commit shared by restore/add_column:
     ``build_man(head, parent_manifest)`` returns (or raises from) the
@@ -402,19 +444,28 @@ def table_restore(
             man["defaults"] = src["defaults"]
         return man
 
-    v_new = _commit_metadata_with_retry(table_dir, build_man, retries)
     # restore-vs-expire fence: restore is the one writer that can
-    # re-reference an EXPIRING version's files. table_expire re-scans
-    # the manifest set immediately before its unlinks (a restore
-    # landing earlier forces an expire replan that marks these files
-    # reachable); a restore landing inside the unlink syscalls is
-    # caught here — fail loudly rather than return a head that points
-    # at deleted data.
-    missing = [
-        f["path"]
-        for f in src["files"]
-        if not os.path.exists(os.path.join(table_dir, f["path"]))
-    ]
+    # re-reference an EXPIRING version's files. Three coordinated
+    # mechanisms close the race:
+    #   1. refuse to start while an expire holds its destructive-phase
+    #      lock (stale locks — crashed holders — are ignored);
+    #   2. table_expire replans over any restore manifest that landed
+    #      before its final pre-unlink fence read;
+    #   3. a restore landing AFTER that read waits out the lock below,
+    #      then verifies every referenced path (data + bloom) and
+    #      fails LOUDLY if the sweep won — never a silent head onto
+    #      deleted data. Residual: an expire whose unlink phase
+    #      outlives EXPIRE_LOCK_STALE_SECONDS under a concurrent
+    #      restore — don't run retention against a table while
+    #      restoring decade-old snapshots.
+    if _live_expire_lock(table_dir):
+        raise RuntimeError(
+            f"tablelog: table_expire in progress on {table_dir} — "
+            "retry the restore after it completes"
+        )
+    v_new = _commit_metadata_with_retry(table_dir, build_man, retries)
+    _wait_expire_lock(table_dir)
+    missing = _version_files_missing(table_dir, src["files"])
     if missing:
         raise RuntimeError(
             f"tablelog: restore of v{int(version)} raced a concurrent "
@@ -500,6 +551,9 @@ def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = F
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
     v = head if version is None else int(version)
+    # don't race an expire's destructive phase: tags created mid-sweep
+    # are invisible to its (already finished) fence reads
+    _wait_expire_lock(table_dir)
     manifest = os.path.join(_log_dir(table_dir), _manifest_name(v))
     if not os.path.exists(manifest):
         raise ValueError(
@@ -541,13 +595,13 @@ def table_tag(table_dir: str, name: str, version: int = None, *, force: bool = F
         raise
     # tag-vs-expire fence: a concurrent table_expire may have read the
     # tag set before this tag landed and already unlinked the manifest.
-    # Re-check AFTER the tag file is durably visible — if the manifest
-    # vanished, withdraw the NEW pin and fail loudly rather than leave
-    # a dangling pin on deleted data. A force re-point RESTORES the
-    # prior pin (which pointed at retained data) instead of deleting
-    # the tag outright. (expire re-reads tags again immediately before
-    # unlinking; the residual window is the few unlink syscalls — the
-    # documented live-writer race class.)
+    # Wait out any destructive phase that started around our write,
+    # then re-check — if the manifest vanished, withdraw the NEW pin
+    # and fail loudly rather than leave a dangling pin on deleted
+    # data. A force re-point RESTORES the prior pin (which pointed at
+    # retained data) instead of deleting the tag outright. (expire
+    # also re-reads tags immediately before unlinking.)
+    _wait_expire_lock(table_dir)
     if not os.path.exists(manifest):
         try:
             if prior is not None:
@@ -1373,6 +1427,50 @@ def table_expire(
             if n.startswith("v") and n.endswith(".json")
         }
 
+    # the destructive-phase mutex (exclusive link, stale-aware):
+    # table_restore/table_tag refuse or wait while it is held, so the
+    # only writer that can re-reference expiring files cannot slip
+    # into the unlink window undetected. dry_run deletes nothing and
+    # needs no lock.
+    lock = _expire_lock_path(table_dir)
+    if not dry_run:
+        tmpl = lock + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmpl, "w") as fh:
+            fh.write(str(os.getpid()))
+        try:
+            try:
+                os.link(tmpl, lock)
+            except FileExistsError:
+                if _live_expire_lock(table_dir):
+                    raise RuntimeError(
+                        f"tablelog: another table_expire is running on {table_dir}"
+                    ) from None
+                os.unlink(lock)  # stale crashed holder: steal
+                os.link(tmpl, lock)  # a losing co-stealer raises here
+        finally:
+            try:
+                os.unlink(tmpl)
+            except OSError:
+                pass
+    try:
+        return _expire_locked(
+            table_dir, log, cutoff, tagged, orphan_grace_seconds, dry_run,
+            _manifest_names,
+        )
+    finally:
+        if not dry_run:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+
+def _expire_locked(
+    table_dir, log, cutoff, tagged, orphan_grace_seconds, dry_run,
+    _manifest_names,
+):
+    """Body of `table_expire` (see there) — runs under the expire lock
+    unless ``dry_run``."""
     for _replan in range(16):
         mnames = _manifest_names()
         kept, reachable, expired_notes = [], set(), set()
@@ -1384,9 +1482,7 @@ def table_expire(
         # dump-idempotence stamp, and a later ingest_dumps_versioned
         # rerun would re-merge a stale old dump over newer captures
         # (ADVICE r4, medium).
-        for name in sorted(os.listdir(log)):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
+        for name in sorted(mnames):  # the fenced snapshot, exactly
             v = int(name[1:9])
             path = os.path.join(log, name)
             if v < cutoff and v not in tagged:
@@ -1446,23 +1542,37 @@ def table_expire(
                 raise
         # fence read 2 of 2, immediately before the destructive step:
         # the fsync'd notes write above can take milliseconds on a
-        # loaded disk — a tag OR a new commit landing in that window
-        # must be honored (a `table_restore` may have re-referenced an
-        # expiring version's files; replanning marks them reachable).
-        # After these reads only the unlink syscalls remain (restore
-        # additionally verifies its files post-commit for that
-        # residue).
+        # loaded disk — a tag landing in that window must be honored,
+        # and a new COMMIT must be replanned over only if it
+        # re-references files this plan is about to delete (a
+        # `table_restore`; restores also respect the expire lock).
+        # Unrelated appends/merges reference kept-parent files plus
+        # fresh young files the grace protects — proceeding keeps
+        # expire live under steady ingest traffic.
         tagged3 = set(table_tags(table_dir).values())
         if not tagged3 <= tagged:
             tagged |= tagged3
             continue
-        if _manifest_names() != mnames:
-            continue  # a commit landed mid-plan: replan over it
+        new_names = _manifest_names() - mnames
+        if new_names:
+            dying = expired_reachable - reachable
+            refs = set()
+            for n in sorted(new_names):
+                try:
+                    with open(os.path.join(log, n)) as fh:
+                        for f in json.load(fh)["files"]:
+                            refs.add(f["path"])
+                            if f.get("bloom"):
+                                refs.add(f["bloom"]["path"])
+                except FileNotFoundError:
+                    continue
+            if refs & dying:
+                continue  # a restore re-referenced dying files: replan
         break
     else:
         raise CommitConflict(
             f"tablelog: {table_dir} too busy to expire (16 replans — "
-            "commits or tags kept landing mid-plan); retry later"
+            "restores or tags kept landing mid-plan); retry later"
         )
     expired_reachable -= reachable
 
