@@ -1322,3 +1322,34 @@ def test_restore_expire_fences(ray_session, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="raced a concurrent"):
         tl.table_restore(t, 4)
     monkeypatch.undo()
+
+
+def test_timestamp_time_travel(ray_session, tmp_path):
+    """read_table_at(as_of=) resolves the latest version committed at
+    or before that wall time (manifests now stamp `ts` at commit)."""
+    import time
+
+    from textextract_ray.pipelines.tablelog import table_history
+
+    t = str(tmp_path / "tbl")
+    table_create(t)
+    table_append(t, _ds(0, 20))       # v1
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    table_overwrite(t, _ds(50, 55))   # v2
+
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, as_of=t_mid).to_pandas()), _sorted(_df(0, 20))
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(read_table_at(t, as_of=time.time()).to_pandas()),
+        _sorted(_df(50, 55)),
+    )
+    with pytest.raises(ValueError):
+        read_table_at(t, as_of=t_mid - 100)  # before the table existed
+    with pytest.raises(ValueError):
+        read_table_at(t, 1, as_of=t_mid)  # mutually exclusive
+    hist = table_history(t)
+    assert hist["ts"].notna().all()
+    assert hist["ts"].is_monotonic_increasing

@@ -195,6 +195,10 @@ def _commit(table_dir: str, version: int, manifest: dict) -> None:
     ``CommitConflict`` with the table untouched."""
     log = _log_dir(table_dir)
     os.makedirs(log, exist_ok=True)
+    # commit wall time, for timestamp time travel (read_table_at
+    # as_of=) and history; legacy manifests without it fall back to
+    # file mtime
+    manifest.setdefault("ts", time.time())
     final = os.path.join(log, _manifest_name(version))
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     try:
@@ -646,6 +650,33 @@ def table_tags(table_dir: str) -> dict:
     return out
 
 
+def _resolve_as_of(table_dir: str, as_of: float) -> int:
+    """Timestamp time travel: the highest version whose commit time is
+    <= ``as_of`` (unix seconds). Manifests record ``ts`` at commit;
+    legacy manifests fall back to file mtime."""
+    log = _log_dir(table_dir)
+    best = None
+    for name in sorted(os.listdir(log)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        path = os.path.join(log, name)
+        try:
+            with open(path) as fh:
+                ts = json.load(fh).get("ts")
+            if ts is None:
+                ts = os.path.getmtime(path)
+        except (FileNotFoundError, OSError):
+            continue
+        if ts <= as_of:
+            v = int(name[1:9])
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"tablelog: no retained version committed at or before {as_of}"
+        )
+    return best
+
+
 def _resolve_tag(table_dir: str, version, tag):
     """Shared tag→version resolution for the read paths: one open of
     the single tag file (not a scan of all tags); tag and version are
@@ -670,6 +701,7 @@ def read_table_at(
     hi=None,
     columns=None,
     tag: str = None,
+    as_of: float = None,
 ):
     """Read the table AS OF ``version`` (default: head) as a Dataset.
     With ``filter_col``/``lo``/``hi``, files whose manifest stats prove
@@ -678,13 +710,18 @@ def read_table_at(
     result exact whether or not a file carried stats. ``columns``
     prunes at the parquet decode (pass the filter column too when
     combining both). ``tag`` resolves a pinned snapshot name
-    (`table_tag`) to its version — mutually exclusive with
-    ``version``."""
+    (`table_tag`) to its version; ``as_of`` (unix seconds) resolves
+    the latest version committed at or before that time — version,
+    tag, and as_of are mutually exclusive."""
     import ray.data as rd
 
     head = _head_version(table_dir)
     if head < 0:
         raise ValueError(f"tablelog: {table_dir} is not a table")
+    if as_of is not None:
+        if version is not None or tag is not None:
+            raise ValueError("tablelog: pass only one of version / tag / as_of")
+        version = _resolve_as_of(table_dir, float(as_of))
     version = _resolve_tag(table_dir, version, tag)
     v = head if version is None else int(version)
     m = _read_manifest(table_dir, v)
@@ -950,6 +987,7 @@ def table_history(table_dir: str) -> pd.DataFrame:
                 "n_files": len(m["files"]),
                 "n_rows": int(sum(f["rows"] for f in m["files"])),
                 "note": m.get("note"),
+                "ts": m.get("ts"),
                 "is_head": m["version"] == head,
             }
         )
