@@ -652,29 +652,39 @@ def table_tags(table_dir: str) -> dict:
 
 def _resolve_as_of(table_dir: str, as_of: float) -> int:
     """Timestamp time travel: the highest version whose commit time is
-    <= ``as_of`` (unix seconds). Manifests record ``ts`` at commit;
-    legacy manifests fall back to file mtime."""
+    <= ``as_of`` (unix seconds). Manifests record ``ts`` at commit
+    (legacy manifests fall back to file mtime). Commit times are
+    non-decreasing with version (commits serialize through the
+    exclusive manifest link), so the scan walks versions DESCENDING
+    and returns at the first hit — one or two manifest reads in the
+    common case, not the whole log."""
     log = _log_dir(table_dir)
-    best = None
-    for name in sorted(os.listdir(log)):
-        if not (name.startswith("v") and name.endswith(".json")):
-            continue
-        path = os.path.join(log, name)
+    try:
+        names = os.listdir(log)
+    except FileNotFoundError:
+        raise ValueError(f"tablelog: {table_dir} is not a table") from None
+    vs = sorted(
+        (
+            int(n[1:9])
+            for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+        ),
+        reverse=True,
+    )
+    for v in vs:
+        path = os.path.join(log, _manifest_name(v))
         try:
             with open(path) as fh:
                 ts = json.load(fh).get("ts")
             if ts is None:
                 ts = os.path.getmtime(path)
-        except (FileNotFoundError, OSError):
-            continue
+        except OSError:
+            continue  # expired under the scan
         if ts <= as_of:
-            v = int(name[1:9])
-            best = v if best is None else max(best, v)
-    if best is None:
-        raise ValueError(
-            f"tablelog: no retained version committed at or before {as_of}"
-        )
-    return best
+            return v
+    raise ValueError(
+        f"tablelog: no retained version committed at or before {as_of}"
+    )
 
 
 def _resolve_tag(table_dir: str, version, tag):
