@@ -351,3 +351,50 @@ def test_multi_kill_resume_fuzz(ray_session, tmp_path):
                 run_job_versioned(files, out, shards_per_partition=spp)
                 got = read_tbl(out)
             pd.testing.assert_frame_equal(got, ref)
+
+
+def test_versioned_job_release_tag(ray_session, tmp_path):
+    """run_job_versioned(tag=) pins the COMPLETED run's head as a
+    named snapshot: a failed run does not tag, the completed resume
+    does, the pin survives retention GC of later versions, and a
+    manifest-mode tag is a clean error."""
+    from textextract_ray.datagen import generate_pages
+    from textextract_ray.pipelines.extract_pipeline import (
+        run_job,
+        run_job_versioned,
+    )
+    from textextract_ray.pipelines.tablelog import (
+        read_table_at,
+        table_expire,
+        table_tags,
+    )
+
+    files = generate_pages(str(tmp_path / "pages"), 120, 4, giant_bytes=1 << 14)
+    t = str(tmp_path / "tbl")
+    with pytest.raises(RuntimeError):
+        run_job_versioned(
+            files, t, shards_per_partition=2, fail_at_partition=1,
+            tag="rel-1",
+        )
+    assert "rel-1" not in table_tags(t)  # failed runs never stamp
+    run_job_versioned(files, t, shards_per_partition=2, tag="rel-1")
+    tags = table_tags(t)
+    assert "rel-1" in tags
+    pinned = read_table_at(t, tag="rel-1").to_pandas()
+    assert pinned["url"].is_unique and len(pinned) > 0
+    # the pin survives retention of everything after it (a takedown
+    # delete creates the later version)
+    import pandas as pd
+
+    from textextract_ray.pipelines.tablelog import table_delete_keys
+
+    table_delete_keys(t, "url", [pinned["url"].iloc[0]])
+    table_expire(t, keep_last=1, orphan_grace_seconds=0)
+    again = read_table_at(t, tag="rel-1").to_pandas()
+    pd.testing.assert_frame_equal(
+        pinned.sort_values("url").reset_index(drop=True),
+        again.sort_values("url").reset_index(drop=True),
+    )
+    # manifest mode cannot pin
+    with pytest.raises(ValueError, match="requires table_dir"):
+        run_job(files, str(tmp_path / "out"), tag="nope")

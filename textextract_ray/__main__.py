@@ -75,6 +75,7 @@ def cmd_extract(args) -> int:
             args.out or args.table,
             shards_per_partition=args.shards_per_partition or None,
             table_dir=args.table,
+            tag=args.release_tag or None,
         )
         print(report.to_string(index=False))
         return 0
@@ -220,6 +221,13 @@ def main(argv=None) -> int:
         help="commit partitions into this versioned table log instead "
         "of manifest directories (time travel / change feeds / "
         "compaction; resume is note-based and automatic)",
+    )
+    pe.add_argument(
+        "--release-tag",
+        default="",
+        help="with --table: pin the completed run's table version as "
+        "this named snapshot (survives retention GC; re-running under "
+        "the same name re-points it)",
     )
     pe.add_argument("--resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)

@@ -834,6 +834,7 @@ def run_job_versioned(
     batch_size: int = 256,
     key_col: str = "url",
     fail_at_partition: int | None = None,
+    tag: str | None = None,
 ) -> pd.DataFrame:
     """The resumable extraction job committing INTO the versioned table
     log: each partition publishes as one atomic table version (first as
@@ -1002,6 +1003,16 @@ def run_job_versioned(
             commits.join_all()
         commits.submit(pid, commit_one)
     commits.join_all()
+    if tag is not None:
+        # release stamping: pin the COMPLETED run's table version as a
+        # named snapshot (survives retention GC; `read_table_at(tag=)`
+        # is then "the exact corpus this run produced"). force=True:
+        # re-running the job under the same release name re-points the
+        # tag to the rerun's head, matching the job's own idempotent
+        # resume semantics.
+        from .tablelog import table_tag
+
+        table_tag(table_dir, tag, force=True)
     return counters_report([results[pid] for pid in sorted(results)])
 
 
@@ -1016,6 +1027,7 @@ def run_job(
     fail_at_partition: int | None = None,
     overlap_commit: bool = True,
     table_dir: str | None = None,
+    tag: str | None = None,
 ) -> pd.DataFrame:
     """Resumable extraction job over Parquet shards.
 
@@ -1061,6 +1073,11 @@ def run_job(
     table version with time travel / CDC / compaction for free, and
     ``out_dir`` is ignored. Returns the per-partition counters report.
     """
+    if tag is not None and table_dir is None:
+        raise ValueError(
+            "run_job(tag=...) requires table_dir= — release tags pin a "
+            "versioned-table snapshot; manifest mode has no versions to pin"
+        )
     if table_dir is not None:
         # reject, don't silently drop: the versioned job is the fused
         # single-pool always-overlapped shape — a caller passing
@@ -1089,6 +1106,7 @@ def run_job(
             shards_per_partition=shards_per_partition,
             batch_size=batch_size,
             fail_at_partition=fail_at_partition,
+            tag=tag,
         )
     committed = {m["partition_id"]: m for m in checkpoint.load_manifests(out_dir)}
     if shards_per_partition is None:
