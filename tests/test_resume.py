@@ -398,3 +398,15 @@ def test_versioned_job_release_tag(ray_session, tmp_path):
     # manifest mode cannot pin
     with pytest.raises(ValueError, match="requires table_dir"):
         run_job(files, str(tmp_path / "out"), tag="nope")
+
+
+def test_versioned_job_bad_tag_fails_fast(ray_session, tmp_path):
+    """An invalid release-tag name fails BEFORE any extraction work."""
+    from textextract_ray.pipelines.extract_pipeline import run_job_versioned
+
+    with pytest.raises(ValueError, match="invalid tag name"):
+        run_job_versioned(
+            ["/nonexistent/shard.parquet"],  # never touched
+            str(tmp_path / "tbl"),
+            tag="v1/rc1",
+        )

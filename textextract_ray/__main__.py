@@ -54,6 +54,15 @@ def cmd_extract(args) -> int:
     if not args.table and not args.out:
         print("error: pass --out (manifest mode) or --table (versioned mode)", file=sys.stderr)
         return 2
+    if args.release_tag and not args.table:
+        # silently dropping a release pin is a misconfiguration the
+        # user would only notice when the tag is missing in production
+        print(
+            "error: --release-tag requires --table (release tags pin a "
+            "versioned-table snapshot; manifest mode has no versions)",
+            file=sys.stderr,
+        )
+        return 2
     if args.table:
         # versioned mode: commits go to the table log (time travel /
         # CDC / compaction); resume is note-based and always safe, so

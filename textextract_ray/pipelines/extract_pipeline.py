@@ -865,6 +865,12 @@ def run_job_versioned(
     alone would rewrite the whole table every partition).
 
     Returns the standard per-partition counters report."""
+    # validate the release-tag NAME before any work: a bad name must
+    # fail in milliseconds, not after a multi-hour corpus commits
+    if tag is not None:
+        from .tablelog import _tag_path
+
+        _tag_path(table_dir, tag)
     import hashlib
 
     from ..state.checkpoint import EXTRACTOR_VERSION
